@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loading + schema utilities.
+  *
+  * Mirrors the reference's dataset/file handling surface
+  * (dataslicer/dataset_base.py:24-53 directory scan,
+  * dataslicer/df_utils.py:77-139 column checks & wildcard matching)
+  * re-expressed over Spark's multi-file parquet reader.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** A "dataset" in the reference is a directory of files
+    * (dataset_base.py:19-53); here: one parquet table per name under a
+    * scale-factor directory. Spark's reader handles multi-file dirs
+    * natively, so `dir/name.parquet` may be a file or a directory.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** check_col equivalent (df_utils.py:77-105): fail fast with the list
+    * of available columns when a requested column is missing.
+    */
+  def requireCols(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(
+      missing.isEmpty,
+      s"column(s) ${missing.mkString(", ")} not present. " +
+        s"Available columns: ${df.columns.mkString(", ")}")
+    df
+  }
+
+  /** `*`-wildcard name matching (df_utils.py:107-126 `stringinlist`):
+    * a pattern containing `*` matches any column containing the
+    * pattern stripped of `*`; otherwise exact match.
+    */
+  def matchesPattern(name: String, pattern: String): Boolean =
+    if (pattern.contains("*")) name.contains(pattern.replace("*", ""))
+    else name == pattern
+
+  /** Wildcard projection (df_utils.py:52-59, metadata.py:143-153):
+    * keep columns matching any of the requested patterns, preserving
+    * the dataframe's column order.
+    */
+  def wildcardSelect(df: DataFrame, patterns: Seq[String]): DataFrame = {
+    val keep = df.columns.filter(c => patterns.exists(p => matchesPattern(c, p)))
+    require(keep.nonEmpty,
+      s"no columns match ${patterns.mkString(", ")}; available: ${df.columns.mkString(", ")}")
+    df.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  /** strlist_in_strlist (df_utils.py:128-139): are all requested
+    * patterns satisfied by the available names? Used for cache
+    * schema-compat checks.
+    */
+  def patternsCovered(patterns: Seq[String], available: Seq[String]): Boolean =
+    patterns.forall(p => available.exists(n => matchesPattern(n, p)))
+
+  /** Numeric downcast (df_utils.py:141-160). The reference shrinks
+    * ints to the smallest unsigned type and float64->float32 to save
+    * RAM. On Spark, Parquet encodings + Tungsten make this mostly
+    * unnecessary; provided as an explicit utility. Spark has no
+    * unsigned types, so ints stay signed (next-wider as needed).
+    */
+  def downcast(df: DataFrame, floats: Boolean = true, ints: Boolean = true): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType if floats => col(f.name).cast(FloatType).as(f.name)
+        case LongType if ints     => col(f.name).cast(IntegerType).as(f.name)
+        case _                    => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** subtract_dfs (df_utils.py:176-184): rows of df1 not present in
+    * df2. The reference's merge-indicator keeps df1 duplicates ->
+    * `exceptAll` semantics via left_anti on all columns.
+    */
+  def subtract(df1: DataFrame, df2: DataFrame): DataFrame =
+    df1.join(df2, df1.columns.toIndexedSeq, "left_anti")
+
+  /** Estimated in-memory size in MB (df_utils.py:163-173 mem_usage). */
+  def memUsageMb(df: DataFrame): Double =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1024.0 / 1024.0
+}

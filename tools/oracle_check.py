@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfdir> <verify_outdir>
+
+Reads each <verify_outdir>/<name> parquet written by graft.Verify plus
+<verify_outdir>/oracle_sql.json, runs each oracle SQL in DuckDB against
+views over <sfdir>/*.parquet, and compares: columns sorted by name, rows
+sorted by all columns, exact value equality (with a float diff report).
+
+Dev tool only — the engine itself has no Python dependency.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        # decimals and other objects -> canonical string
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
+    got, exp = normalize(got), normalize(exp)
+    if list(got.columns) != list(exp.columns):
+        return f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}"
+    if len(got) != len(exp):
+        return f"ROWS got={len(got)} exp={len(exp)}"
+    bad = []
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            ga, ea = g.astype(float), e.astype(float)
+            both_nan = ga.isna() & ea.isna()
+            neq = ~both_nan & (ga != ea)
+            if neq.any():
+                i = neq.idxmax()
+                bad.append(f"{c}: {int(neq.sum())} diffs e.g. row {i}: {ga[i]!r} vs {ea[i]!r} "
+                           f"(maxdiff={float((ga[neq]-ea[neq]).abs().max())})")
+        else:
+            neq = (g != e) & ~(g.isna() & e.isna())
+            if neq.any():
+                i = neq.idxmax()
+                bad.append(f"{c}: {int(neq.sum())} diffs e.g. row {i}: {g[i]!r} vs {e[i]!r}")
+    return "; ".join(bad) if bad else ""
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sfdir}/{tname}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as exc:
+            print(f"FAIL {name}: oracle SQL error: {exc}")
+            n_bad += 1
+            continue
+        try:
+            got = pd.read_parquet(f"{outdir}/{name}")
+        except Exception as exc:
+            print(f"FAIL {name}: spark output missing: {exc}")
+            n_bad += 1
+            continue
+        msg = compare(name, got, exp)
+        if msg:
+            print(f"FAIL {name}: {msg}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows x {len(got.columns)} cols)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
