@@ -19,46 +19,8 @@ import graft.core.{QueryDialect, Tables}
   */
 case class Q(name: String, sql: Option[String], fn: (SparkSession, String) => DataFrame)
 
-/** Deterministic float aggregation helpers (oracle-parity mode).
-  *
-  * Summing doubles is order-dependent; Spark and DuckDB will disagree
-  * in the last ulps. Routing sums through an exact decimal accumulator
-  * and casting the *result* back to double makes the aggregate
-  * bit-deterministic in both engines; derived scalar double math
-  * (division, sqrt) is IEEE-defined and equally deterministic.
-  */
-object Det {
-  def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
-
-  def davg(c: Column, scale: Int = 4): Column =
-    dsum(c, scale) / count(lit(1))
-
-  /** Sample standard deviation from exact sums (ddof=1, matching
-    * pandas `std` — SURVEY §2.4 A3). */
-  def dstd(c: Column, scale: Int = 4): Column = {
-    val n = count(lit(1)).cast(DoubleType)
-    val s1 = dsum(c, scale)
-    val s2 = dsum(c * c, scale)
-    when(n > 1, sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - lit(1.0)))))
-  }
-
-  def sqlDsum(x: String, scale: Int = 4): String =
-    s"CAST(sum(CAST(($x) AS DECIMAL(30,$scale))) AS DOUBLE)"
-
-  def sqlDavg(x: String, scale: Int = 4): String =
-    s"${sqlDsum(x, scale)} / count(*)"
-
-  def sqlDstd(x: String, scale: Int = 4): String = {
-    val n = "CAST(count(*) AS DOUBLE)"
-    val s1 = sqlDsum(x, scale)
-    val s2 = sqlDsum(s"($x)*($x)", scale)
-    s"CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0, ($s2 - $s1*$s1/$n) / ($n - 1.0))) END"
-  }
-}
-
 object Queries {
-  import Det._
+  import graft.core.Det._
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -151,5 +113,5 @@ object Queries {
     s2ScanPushdown,
     a3GroupStats,
     j1BroadcastJoin,
-    p1ExprFilter)
+    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all
 }

@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Det, Tables}
+import graft.functions.{Coords, Photometry}
+import graft.operators.GroupOps
+
+/** SURVEY §2.4/2.5/2.8 — aggregations, window-shaped ops, photometric
+  * scalar math. All oracle-checked.
+  */
+object QueriesAgg {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** A2: cluster centroids (objtable.py:171-198). avg over
+    * integer-valued coords is bit-deterministic (exact double sums). */
+  private val a2 = Q(
+    "a2_centroids",
+    Some("""WITH t AS (SELECT p_brand, p_partkey % 3072 AS x,
+              (p_partkey * 7) % 3080 AS y FROM part)
+            SELECT p_brand, avg(x) AS x_centroid, avg(y) AS y_centroid
+            FROM t GROUP BY p_brand ORDER BY p_brand"""),
+    (s, dir) => {
+      val df = t(s, dir, "part").select(
+        col("p_brand"),
+        (col("p_partkey") % 3072).as("x"),
+        ((col("p_partkey") * 7) % 3080).as("y"))
+      GroupOps.centroids(df, "p_brand", "x", "y").orderBy("p_brand")
+    })
+
+  /** A4: per-group mean magnitudes and their difference
+    * (_objtable_methods.py:336-341). */
+  private val a4 = Q(
+    "a4_group_mean_diff",
+    Some(s"""SELECT l_partkey,
+               ${sqlDavg("l_extendedprice")} AS av_mag,
+               ${sqlDavg("l_extendedprice")} - ${sqlDavg("l_extendedprice * (1 - l_discount)")} AS mag_diff
+             FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""),
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(
+          davg(col("l_extendedprice")).as("av_mag"),
+          (davg(col("l_extendedprice")) -
+            davg(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("mag_diff"))
+        .orderBy("l_partkey"))
+
+  /** A5+A9: group max + distinct counts (various, SURVEY §2.4). */
+  private val a5 = Q(
+    "a5_group_max_distinct",
+    Some("""SELECT event_type, max(value) AS max_value, min(value) AS min_value,
+              count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(max(col("value")).as("max_value"), min(col("value")).as("min_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"))
+
+  /** A6: exposure-quality table (_objtable_methods.py:190-262): the
+    * per-RCID python loop collapses into one extra grouping key; one
+    * hash aggregate, partials map-side. Exact percentile for oracle
+    * parity; percentile_approx is the 100 TB path. */
+  private val a6 = Q(
+    "a6_quality_table",
+    Some(s"""WITH t AS (SELECT year(l_shipdate) AS expid, l_returnflag AS fieldid,
+               l_linenumber AS rcid,
+               abs(10 * (l_tax - l_discount)) * 1000 AS mmd
+             FROM lineitem)
+             SELECT expid, fieldid, rcid,
+               ${sqlDavg("mmd", 6)} AS bias,
+               ${sqlDstd("mmd", 6)} AS spread,
+               round(quantile_cont(mmd, 0.5), 6) AS median,
+               count(*) AS nstars
+             FROM t GROUP BY expid, fieldid, rcid
+             ORDER BY expid, fieldid, rcid"""),
+    (s, dir) => {
+      val df = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).as("expid"),
+        col("l_returnflag").as("fieldid"),
+        col("l_linenumber").as("rcid"),
+        (abs(lit(10) * (col("l_tax") - col("l_discount"))) * 1000).as("mmd"))
+      df.groupBy("expid", "fieldid", "rcid")
+        .agg(
+          davg(col("mmd"), 6).as("bias"),
+          dstd(col("mmd"), 6).as("spread"),
+          round(percentile(col("mmd"), lit(0.5)), 6).as("median"),
+          count(lit(1)).as("nstars"))
+        .orderBy("expid", "fieldid", "rcid")
+    })
+
+  /** A7: per-bin IQR (_objtable_methods.py:345-349). */
+  private val a7 = Q(
+    "a7_binned_iqr",
+    Some("""WITH t AS (SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+              l_extendedprice AS v FROM lineitem)
+            SELECT bin, round(quantile_cont(v, 0.25), 6) AS q1,
+              round(quantile_cont(v, 0.75), 6) AS q3,
+              round(quantile_cont(v, 0.75), 6) - round(quantile_cont(v, 0.25), 6) AS iqr,
+              count(*) AS n
+            FROM t GROUP BY bin ORDER BY bin"""),
+    (s, dir) => {
+      val df = t(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") / 10000).as("bin"), col("l_extendedprice").as("v"))
+      df.groupBy("bin")
+        .agg(
+          round(percentile(col("v"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("v"), lit(0.75)), 6).as("q3"),
+          (round(percentile(col("v"), lit(0.75)), 6) -
+            round(percentile(col("v"), lit(0.25)), 6)).as("iqr"),
+          count(lit(1)).as("n"))
+        .orderBy("bin")
+    })
+
+  /** A8+C8+W3: per-bin median/IQR broadcast back to member rows,
+    * normalized distance |v - med| / iqr (_objtable_methods.py:351-362)
+    * — agg + broadcast join-back, no driver loop. */
+  private val a8 = Q(
+    "a8_norm_dist",
+    Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+              CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+              l_extendedprice AS v FROM lineitem),
+            g AS (SELECT bin, round(quantile_cont(v, 0.5), 6) AS med,
+              round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6) AS iqr
+              FROM t GROUP BY bin)
+            SELECT t.l_orderkey, t.l_linenumber, t.bin,
+              abs(t.v - g.med) / g.iqr AS norm_dist
+            FROM t LEFT JOIN g ON t.bin = g.bin
+            ORDER BY t.l_orderkey, t.l_linenumber"""),
+    (s, dir) => {
+      val df = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") / 10000).as("bin"),
+        col("l_extendedprice").as("v"))
+      GroupOps.aggJoinBack(df, "bin", Seq(
+          round(percentile(col("v"), lit(0.5)), 6).as("med"),
+          round(percentile(col("v"), lit(0.75)) - percentile(col("v"), lit(0.25)), 6).as("iqr")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("bin"),
+          (abs(col("v") - col("med")) / col("iqr")).as("norm_dist"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** A10: full-row dedup (metadata.py:83 drop_duplicates). */
+  private val a10 = Q(
+    "a10_drop_duplicates",
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+            ORDER BY o_orderstatus, o_orderpriority"""),
+    (s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority"))
+
+  /** A11+A13: global stats report in one row
+    * (PS1Cal_matching.py:219-328 `stats`). Field `min_mag` keeps the
+    * reference's mislabel — it is a max (SURVEY §2.12). */
+  private val a13 = Q(
+    "a13_stats_report",
+    Some(s"""SELECT count(*) AS datapoints,
+               count(DISTINCT l_partkey) AS n_stars,
+               count(DISTINCT l_orderkey) AS n_exposures,
+               ${sqlDsum("l_tax", 6)} AS sum_airmass,
+               max(l_extendedprice * (1 - l_discount)) AS min_mag
+             FROM lineitem"""),
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("datapoints"),
+        countDistinct(col("l_partkey")).as("n_stars"),
+        countDistinct(col("l_orderkey")).as("n_exposures"),
+        dsum(col("l_tax"), 6).as("sum_airmass"),
+        max(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("min_mag")))
+
+  /** A12: lightcurve averages per object (PS1Cal_matching.py:308-309). */
+  private val a12 = Q(
+    "a12_lightcurve",
+    Some(s"""SELECT user_id, ${sqlDavg("value", 6)} AS av_value, count(*) AS n,
+               min(ts) AS first_ts, max(ts) AS last_ts
+             FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .agg(davg(col("value"), 6).as("av_value"), count(lit(1)).as("n"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy("user_id"))
+
+  /** A14: histogram binning (objtable.py:338-341 diagnostics). */
+  private val a14 = Q(
+    "a14_histogram",
+    Some("""SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin, count(*) AS n
+            FROM lineitem GROUP BY bin ORDER BY bin"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor((col("l_quantity") - 1) / 5).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin"))
+
+  /** W1: nearest-match rank — min per partition via row_number
+    * (PS1Cal_matching.py:104 match_to_catalog_sky). */
+  private val w1 = Q(
+    "w1_nearest_rank",
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_extendedprice, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1
+            ORDER BY l_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("l_orderkey")
+    })
+
+  /** W2: largest-wins assignment (srcdf.py:666,680-682: sort-then-
+    * overwrite becomes a rank-desc window). */
+  private val w2 = Q(
+    "w2_largest_wins",
+    Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+                ROW_NUMBER() OVER (PARTITION BY l_partkey
+                  ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1
+            ORDER BY l_partkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("l_partkey")
+    })
+
+  /** W3: per-group value broadcast as a window aggregate (exact
+    * decimal sum over the partition — deterministic). */
+  private val w3 = Q(
+    "w3_window_share",
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_quantity / CAST(sum(CAST(l_quantity AS DECIMAL(30,4)))
+                OVER (PARTITION BY l_orderkey) AS DOUBLE) AS qty_share
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") /
+            sum(col("l_quantity").cast(DecimalType(30, 4))).over(w).cast(DoubleType))
+            .as("qty_share"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** C2: photometric calibration + full error propagation
+    * (srcdf.py:425-443) — pure codegen'd column arithmetic. */
+  private val c2 = Q(
+    "c2_calmag",
+    Some("""SELECT l_orderkey, l_linenumber,
+              (l_quantity + l_tax * 10) + l_discount * ((l_extendedprice / 10000) - (l_quantity / 7)) AS cal_mag,
+              sqrt((l_discount / 10 + 0.01) * (l_discount / 10 + 0.01)
+                + 0.01 * 0.01
+                + (0.002 * ((l_extendedprice / 10000) - (l_quantity / 7)))
+                  * (0.002 * ((l_extendedprice / 10000) - (l_quantity / 7)))
+                + (l_discount * sqrt(0.02 * 0.02 + 0.03 * 0.03))
+                  * (l_discount * sqrt(0.02 * 0.02 + 0.03 * 0.03))) AS cal_mag_err
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val mag = col("l_quantity")
+      val zp = col("l_tax") * 10
+      val cc = col("l_discount")
+      val c1 = col("l_extendedprice") / 10000
+      val c2c = col("l_quantity") / 7
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (Photometry.calMag(mag, zp, Some(cc), Some(c1), Some(c2c))).as("cal_mag"),
+          Photometry.calMagErr(
+            eMag = col("l_discount") / 10 + 0.01, eZp = lit(0.01),
+            clrcoeff = cc, eClrcoeff = lit(0.002),
+            color1 = c1, color2 = c2c,
+            eColor1 = lit(0.02), eColor2 = lit(0.03)).as("cal_mag_err"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** C3: band-conditional color choice (objtable.py:307-313). */
+  private val c3 = Q(
+    "c3_band_conditional",
+    Some("""SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_linenumber IN (1, 2)
+                THEN l_extendedprice - l_quantity
+                ELSE l_quantity - l_discount END AS color
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          Photometry.bandConditional(col("l_linenumber"),
+            col("l_extendedprice") - col("l_quantity"),
+            col("l_quantity") - col("l_discount")).as("color"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+  /** C4: camera-wide coordinates from RCID (srcdf.py:446-506). */
+  private val c4 = Q(
+    "c4_camera_coord",
+    Some("""WITH t AS (SELECT p_partkey, p_partkey % 64 AS rcid,
+              p_partkey % 3072 AS x, (p_partkey * 7) % 3080 AS y FROM part),
+            q AS (SELECT p_partkey, rcid, x, y,
+              CAST(floor(rcid / 4) AS BIGINT) + 1 AS ccd,
+              rcid % 4 + 1 AS quad FROM t),
+            g AS (SELECT *, (ccd - 1) % 4 AS ccdcol,
+              CAST(floor((ccd - 1) / 4) AS BIGINT) AS ccdrow,
+              CASE WHEN quad IN (1, 4) THEN 1 ELSE 0 END AS qcol,
+              CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END AS qrow FROM q)
+            SELECT p_partkey, rcid,
+              (ccdcol * 2 + qcol) * 3072 + ccdcol * 7 + x AS xcam,
+              (ccdrow * 2 + qrow) * 3080 + ccdrow * 10 + y AS ycam
+            FROM g ORDER BY p_partkey"""),
+    (s, dir) => {
+      val df = t(s, dir, "part").select(
+        col("p_partkey"), (col("p_partkey") % 64).as("rcid"),
+        (col("p_partkey") % 3072).as("x"), ((col("p_partkey") * 7) % 3080).as("y"))
+      val (xcam, ycam) = Coords.cameraCoord(col("rcid"), col("x"), col("y"))
+      df.select(col("p_partkey"), col("rcid"), xcam.as("xcam"), ycam.as("ycam"))
+        .orderBy("p_partkey")
+    })
+
+  /** C5: CCD-wide coordinates (srcdf.py:509-575). */
+  private val c5 = Q(
+    "c5_ccd_coord",
+    Some("""WITH t AS (SELECT p_partkey, p_partkey % 64 AS rcid,
+              p_partkey % 3072 AS x, (p_partkey * 7) % 3080 AS y FROM part),
+            q AS (SELECT p_partkey, rcid, x, y, rcid % 4 + 1 AS quad FROM t)
+            SELECT p_partkey, rcid,
+              CASE WHEN quad IN (1, 4) THEN 1 ELSE 0 END * 3072 + x AS xccd,
+              CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END * 3080 + y AS yccd
+            FROM q ORDER BY p_partkey"""),
+    (s, dir) => {
+      val df = t(s, dir, "part").select(
+        col("p_partkey"), (col("p_partkey") % 64).as("rcid"),
+        (col("p_partkey") % 3072).as("x"), ((col("p_partkey") * 7) % 3080).as("y"))
+      val (xccd, yccd) = Coords.ccdCoord(col("rcid"), col("x"), col("y"))
+      df.select(col("p_partkey"), col("rcid"), xccd.as("xccd"), yccd.as("yccd"))
+        .orderBy("p_partkey")
+    })
+
+  /** C12: haversine great-circle distance column expression
+    * (objtable.py:152-156). Rounded: libm sin/cos differ across
+    * engines in the last ulp. */
+  private val c12 = Q(
+    "c12_haversine",
+    Some("""WITH t AS (SELECT p_partkey,
+              (p_partkey % 360) + 0.25 AS ra1, (p_partkey % 120) - 60 + 0.5 AS dec1,
+              (p_size * 7) % 360 + 0.75 AS ra2, (p_size * 11) % 120 - 60 + 0.25 AS dec2
+            FROM part)
+            SELECT p_partkey, round(degrees(2 * asin(sqrt(
+              sin(radians(dec2 - dec1) / 2) * sin(radians(dec2 - dec1) / 2)
+              + cos(radians(dec1)) * cos(radians(dec2))
+                * sin(radians(ra2 - ra1) / 2) * sin(radians(ra2 - ra1) / 2)))), 6) AS dist_deg
+            FROM t ORDER BY p_partkey"""),
+    (s, dir) => {
+      val df = t(s, dir, "part").select(
+        col("p_partkey"),
+        ((col("p_partkey") % 360) + 0.25).as("ra1"),
+        ((col("p_partkey") % 120) - 60 + 0.5).as("dec1"),
+        ((col("p_size") * 7) % 360 + 0.75).as("ra2"),
+        ((col("p_size") * 11) % 120 - 60 + 0.25).as("dec2"))
+      df.select(col("p_partkey"),
+          round(Photometry.haversineDeg(col("ra1"), col("dec1"), col("ra2"), col("dec2")), 6)
+            .as("dist_deg"))
+        .orderBy("p_partkey")
+    })
+
+  val all: Seq[Q] = Seq(a2, a4, a5, a6, a7, a8, a10, a12, a13, a14,
+    w1, w2, w3, c2, c3, c4, c5, c12)
+}

@@ -23,7 +23,14 @@ object Tables {
     * natively, so `dir/name.parquet` may be a file or a directory.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // TIMESTAMP(NANOS) parquet is rejected by the reader; read nanos
+    // as long and truncate to micros (matching how microsecond
+    // engines, incl. the DuckDB oracle, read the same file).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** check_col equivalent (df_utils.py:77-105): fail fast with the list
     * of available columns when a requested column is missing.
