@@ -113,5 +113,5 @@ object Queries {
     s2ScanPushdown,
     a3GroupStats,
     j1BroadcastJoin,
-    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all
+    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all ++ QueriesSpatial.all
 }

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.ml.{Jenks, Odr}
+import graft.operators.{Clustering, GroupOps, Joins, Outliers, Spatial}
+
+/** SURVEY §2.3 spatial joins + §2.9 ML-flavored operators.
+  *
+  * Synthetic planar coordinates are derived deterministically from
+  * keys so the DuckDB oracle can replicate them; distance arithmetic
+  * on integers is exact, keeping results hash-identical.
+  */
+object QueriesSpatial {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def partPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      (col("p_partkey") % 1000).as("px"),
+      ((col("p_partkey") * 13) % 1000).as("py"))
+
+  private def suppPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 37) % 1000).as("sx"),
+      ((col("s_suppkey") * 91) % 1000).as("sy"))
+
+  private val partPointsSql =
+    "SELECT p_partkey, p_partkey % 1000 AS px, (p_partkey * 13) % 1000 AS py FROM part"
+  private val suppPointsSql =
+    "SELECT s_suppkey, (s_suppkey * 37) % 1000 AS sx, (s_suppkey * 91) % 1000 AS sy FROM supplier"
+
+  /** J3: radius-bounded nearest-neighbor join via grid-cell bucketing
+    * (PS1Cal_matching.py:21-132 match_to_PS1cal_fields). Unmatched
+    * rows keep nulls (the reference's NaN-flag, :113-117). Oracle:
+    * brute-force cross join — same answer, different physical plan. */
+  private val j3 = Q(
+    "j3_nn_join",
+    Some(s"""WITH p AS ($partPointsSql), s AS ($suppPointsSql),
+             cand AS (SELECT p.p_partkey, s.s_suppkey,
+               (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) AS dist2
+               FROM p, s
+               WHERE (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) <= 22500),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY p_partkey ORDER BY dist2, s_suppkey) AS rn FROM cand)
+               WHERE rn = 1)
+             SELECT p.p_partkey, best.s_suppkey, best.dist2
+             FROM p LEFT JOIN best ON p.p_partkey = best.p_partkey
+             ORDER BY p.p_partkey"""),
+    (s, dir) =>
+      Spatial.nnJoinWithin(
+          partPoints(s, dir), "p_partkey", "px", "py",
+          suppPoints(s, dir), "s_suppkey", "sx", "sy", radius = 150.0)
+        .select("p_partkey", "s_suppkey", "dist2")
+        .orderBy("p_partkey"))
+
+  /** J4: per-row index-probe NN (PS1Cal_matching.py:135-217) — the
+    * probe loop becomes the same bucketed join, shuffle (non-
+    * broadcast) flavor, opposite direction. */
+  private val j4 = Q(
+    "j4_nn_probe",
+    Some(s"""WITH p AS ($partPointsSql), s AS ($suppPointsSql),
+             cand AS (SELECT s.s_suppkey, p.p_partkey,
+               (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) AS dist2
+               FROM s, p
+               WHERE (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) <= 2500),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY s_suppkey ORDER BY dist2, p_partkey) AS rn FROM cand)
+               WHERE rn = 1)
+             SELECT s.s_suppkey, best.p_partkey, best.dist2
+             FROM s LEFT JOIN best ON s.s_suppkey = best.s_suppkey
+             ORDER BY s.s_suppkey"""),
+    (s, dir) =>
+      Spatial.nnJoinWithin(
+          suppPoints(s, dir), "s_suppkey", "sx", "sy",
+          partPoints(s, dir), "p_partkey", "px", "py",
+          radius = 50.0, broadcastRight = false)
+        .select("s_suppkey", "p_partkey", "dist2")
+        .orderBy("s_suppkey"))
+
+  /** J5: centroid-level match then fan back to members
+    * (_objtable_methods.py:87-109 use='clusters'): A2 centroids ->
+    * NN join -> J2 merge-back onto all member rows. */
+  private val j5 = Q(
+    "j5_centroid_match",
+    Some(s"""WITH p AS ($partPointsSql),
+             pp AS (SELECT p_partkey, p_brand, p_partkey % 1000 AS px,
+               (p_partkey * 13) % 1000 AS py FROM part),
+             c AS (SELECT p_brand, avg(px) AS cx, avg(py) AS cy FROM pp GROUP BY p_brand),
+             s AS ($suppPointsSql),
+             cand AS (SELECT c.p_brand, s.s_suppkey,
+               (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS dist2
+               FROM c, s
+               WHERE (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) <= 40000),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY p_brand ORDER BY dist2, s_suppkey) AS rn FROM cand)
+               WHERE rn = 1)
+             SELECT pp.p_partkey, pp.p_brand, best.s_suppkey, best.dist2
+             FROM pp LEFT JOIN best ON pp.p_brand = best.p_brand
+             ORDER BY pp.p_partkey"""),
+    (s, dir) => {
+      val pp = t(s, dir, "part").select(
+        col("p_partkey"), col("p_brand"),
+        (col("p_partkey") % 1000).as("px"),
+        ((col("p_partkey") * 13) % 1000).as("py"))
+      val cents = pp.groupBy("p_brand").agg(avg("px").as("cx"), avg("py").as("cy"))
+      val matched = Spatial.nnJoinWithin(
+          cents, "p_brand", "cx", "cy",
+          suppPoints(s, dir), "s_suppkey", "sx", "sy", radius = 200.0)
+        .select("p_brand", "s_suppkey", "dist2")
+      Joins.suffixJoin(pp.select("p_partkey", "p_brand"), matched, Seq("p_brand"), "_match")
+        .orderBy("p_partkey")
+    })
+
+  /** J9: point-in-circle theta join, largest-grain-wins
+    * (srcdf.py:616-694 tag_dust). Clean rows keep null grain columns
+    * (split on `dust_r IS NULL` = reference's clean/dusty split). */
+  private val j9 = Q(
+    "j9_dust_theta_join",
+    Some(s"""WITH p AS ($partPointsSql),
+             g AS (SELECT s_suppkey, (s_suppkey * 37) % 1000 AS gx,
+               (s_suppkey * 91) % 1000 AS gy, 20 + (s_suppkey % 80) AS gr FROM supplier),
+             cand AS (SELECT p.p_partkey, g.s_suppkey, g.gx, g.gy, g.gr
+               FROM p, g
+               WHERE (p.px - g.gx) * (p.px - g.gx) + (p.py - g.gy) * (p.py - g.gy)
+                 <= (g.gr * 1.0) * (g.gr * 1.0)),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY p_partkey ORDER BY gr DESC, s_suppkey) AS rn FROM cand)
+               WHERE rn = 1)
+             SELECT p.p_partkey, p.px, p.py, best.s_suppkey,
+               best.gx AS dust_x, best.gy AS dust_y, best.gr AS dust_r,
+               best.gr IS NOT NULL AS dusty
+             FROM p LEFT JOIN best ON p.p_partkey = best.p_partkey
+             ORDER BY p.p_partkey"""),
+    (s, dir) => {
+      val grains = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        ((col("s_suppkey") * 37) % 1000).as("gx"),
+        ((col("s_suppkey") * 91) % 1000).as("gy"),
+        (lit(20) + (col("s_suppkey") % 80)).as("gr"))
+      Spatial.thetaCircleJoin(
+          partPoints(s, dir), "p_partkey", "px", "py",
+          grains, "s_suppkey", "gx", "gy", "gr", radiusMultiplier = 1.0)
+        .select(col("p_partkey"), col("px"), col("py"), col("s_suppkey"),
+          col("gx").as("dust_x"), col("gy").as("dust_y"), col("gr").as("dust_r"),
+          col("gr").isNotNull.as("dusty"))
+        .orderBy("p_partkey")
+    })
+
+  /** M1: DBSCAN clustering (objtable.py:116-168) — grid-cell ε-graph
+    * + label propagation. Oracle: brute-force pairs + recursive-CTE
+    * connected components (sf0.01 only; the Spark side is the scale
+    * path). Labels are min member id — content-derived. */
+  private val m1 = Q(
+    "m1_dbscan",
+    Some("""WITH RECURSIVE pts AS (SELECT p_partkey AS id,
+              (p_partkey * 17) % 2000 AS x, (p_partkey * 29) % 2000 AS y FROM part),
+            pairs AS (SELECT a.id AS a, b.id AS b FROM pts a, pts b
+              WHERE a.id != b.id
+                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625),
+            core AS (SELECT a AS id FROM pairs GROUP BY a HAVING count(*) >= 1),
+            cedges AS (SELECT a, b FROM pairs
+              WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+            r(id, label) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT e.b, r.label FROM r JOIN cedges e ON r.id = e.a),
+            cc AS (SELECT id, min(label) AS cluster FROM r GROUP BY id),
+            border AS (SELECT p.a AS id, min(c.cluster) AS cluster
+              FROM pairs p JOIN cc c ON p.b = c.id
+              WHERE p.a NOT IN (SELECT id FROM core) GROUP BY p.a)
+            SELECT id AS p_partkey, cluster FROM cc
+            UNION ALL SELECT id, cluster FROM border
+            ORDER BY p_partkey"""),
+    (s, dir) => {
+      val pts = t(s, dir, "part").select(
+        col("p_partkey"),
+        ((col("p_partkey") * 17) % 2000).as("x"),
+        ((col("p_partkey") * 29) % 2000).as("y"))
+      Clustering.dbscan(pts, "p_partkey", "x", "y", eps = 25.0, minSamples = 2)
+        .orderBy("p_partkey")
+    })
+
+  /** M2: Jenks natural-breaks binning (_objtable_methods.py:344-347).
+    * Driver-side exact DP on the collected cluster-level aggregate
+    * (like the reference's jenkspy call). Not SQL-expressible —
+    * rows-only check here; correctness in JenksSpec. */
+  private val m2 = Q(
+    "m2_jenks_breaks",
+    None,
+    (s, dir) => {
+      val agg = t(s, dir, "part")
+        .groupBy((col("p_partkey") % 500).as("bucket"))
+        .agg(Det.davg(col("p_retailprice"), 6).as("av_price"))
+      val values = agg.select("av_price").collect().map(_.getDouble(0))
+      val edges = Jenks.breaks(values, 5)
+      val rows = edges.sliding(2).zipWithIndex.map {
+        case (Array(lo, hi), i) => (i, lo, hi)
+      }.toSeq
+      s.createDataFrame(rows).toDF("class", "lower", "upper").orderBy("class")
+    })
+
+  /** M3: IQR outlier rejection composite
+    * (_objtable_methods.py:265-421): A4 -> bins -> A7 -> A8 -> J10 ->
+    * P11, clean side. Equal-width binning for the oracle; the Jenks
+    * flavor is OutliersSpec. */
+  private val m3 = Q(
+    "m3_iqr_outlier_clean",
+    Some(s"""WITH ca AS (SELECT l_partkey,
+               ${Det.sqlDavg("l_quantity + 10 * l_tax", 6)} AS av_mag,
+               ${Det.sqlDavg("l_quantity + 10 * l_tax", 6)}
+                 - ${Det.sqlDavg("l_quantity + 10 * l_discount", 6)} AS mag_diff
+             FROM lineitem GROUP BY l_partkey),
+             mm AS (SELECT min(av_mag) AS lo, max(av_mag) AS hi FROM ca),
+             b AS (SELECT ca.*, CASE WHEN av_mag >= hi THEN 9
+               ELSE CAST(floor((av_mag - lo) / ((hi - lo) / 10)) AS BIGINT) END AS bin
+               FROM ca, mm),
+             st AS (SELECT bin, round(quantile_cont(mag_diff, 0.5), 6) AS med,
+               round(quantile_cont(mag_diff, 0.75) - quantile_cont(mag_diff, 0.25), 6) AS iqr
+               FROM b GROUP BY bin),
+             n AS (SELECT b.l_partkey,
+               abs(b.mag_diff - st.med) / st.iqr AS norm_mag_dist
+               FROM b JOIN st ON b.bin = st.bin)
+             SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, n.norm_mag_dist
+             FROM lineitem l LEFT JOIN n ON l.l_partkey = n.l_partkey
+             WHERE n.norm_mag_dist < 1.0
+             ORDER BY l.l_orderkey, l.l_linenumber"""),
+    (s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_tax", "l_discount")
+      val (clean, _) = Outliers.iqrOutlierRemoval(
+        df, "l_partkey",
+        col("l_quantity") + lit(10) * col("l_tax"),
+        col("l_quantity") + lit(10) * col("l_discount"),
+        cut = 1.0, nBins = 10)
+      clean.select("l_orderkey", "l_linenumber", "l_partkey", "norm_mag_dist")
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** M4: errors-in-both-variables linear fit (srcdf.py:220-363
+    * photometric_solution): one moment aggregate + closed-form Deming
+    * solution, broadcast back as literals. */
+  private val m4 = Q(
+    "m4_odr_fit",
+    Some(Odr.demingSql("lineitem", "l_quantity", "(l_quantity * 2) + (l_discount * 3)")),
+    (s, dir) => {
+      val fit = Odr.demingFit(
+        t(s, dir, "lineitem"),
+        col("l_quantity"),
+        (col("l_quantity") * 2) + (col("l_discount") * 3))
+      t(s, dir, "lineitem").limit(1).select(
+        lit(fit.b0).as("b0"), lit(fit.b1).as("b1"), lit(fit.n).as("n"))
+    })
+
+  val all: Seq[Q] = Seq(j3, j4, j5, j9, m1, m2, m3, m4)
+}

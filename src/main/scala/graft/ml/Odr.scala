@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Det
+
+/** M4: errors-in-both-variables linear fit
+  * (srcdf.py:220-363 photometric_solution, scipy.odr).
+  *
+  * The reference fits y = B0 + x0 + B1·x1 with errors on both axes by
+  * orthogonal-distance regression on a driver-side sample (the
+  * post-match calibrator set is small). The model is linear, so the
+  * distributed form is: one aggregate pass for the second-order
+  * moments (exact decimal sums — deterministic), then the closed-form
+  * Deming-regression solution on the driver, broadcast back as
+  * literal columns (the reference appends 4 constant columns,
+  * srcdf.py:350-359).
+  *
+  * With z = y − x0 (the fixed-coefficient regressor folded into the
+  * response) and δ = var(ε_z)/var(ε_u) the error-variance ratio:
+  *
+  *   b1 = (szz − δ·suu + sqrt((szz − δ·suu)² + 4δ·suz²)) / (2·suz)
+  *   b0 = z̄ − b1·ū
+  */
+object Odr {
+
+  final case class Fit(b0: Double, b1: Double, n: Long)
+
+  /** Deming fit of z on u. `delta` = ratio of z-error variance to
+    * u-error variance (1.0 = orthogonal distances). */
+  def demingFit(df: DataFrame, u: Column, z: Column, delta: Double = 1.0): Fit = {
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      Det.davg(u, 6).as("ub"),
+      Det.davg(z, 6).as("zb"),
+      Det.davg(u * u, 6).as("uub"),
+      Det.davg(z * z, 6).as("zzb"),
+      Det.davg(u * z, 6).as("uzb")).collect()(0)
+    val n = row.getAs[Long]("n")
+    require(n >= 2, "need at least 2 points to fit")
+    val ub = row.getAs[Double]("ub"); val zb = row.getAs[Double]("zb")
+    val suu = row.getAs[Double]("uub") - ub * ub
+    val szz = row.getAs[Double]("zzb") - zb * zb
+    val suz = row.getAs[Double]("uzb") - ub * zb
+    val b1 =
+      if (suz == 0.0) 0.0
+      else (szz - delta * suu + math.sqrt(
+        (szz - delta * suu) * (szz - delta * suu) + 4 * delta * suz * suz)) / (2 * suz)
+    Fit(zb - b1 * ub, b1, n)
+  }
+
+  /** SQL twin of [[demingFit]] for the DuckDB oracle: single-row
+    * SELECT with the same expression tree (bit-deterministic). */
+  def demingSql(table: String, uExpr: String, zExpr: String, delta: Double = 1.0): String = {
+    val d = delta.toString
+    s"""WITH m AS (SELECT count(*) AS n,
+         ${Det.sqlDavg(uExpr, 6)} AS ub, ${Det.sqlDavg(zExpr, 6)} AS zb,
+         ${Det.sqlDavg(s"($uExpr)*($uExpr)", 6)} AS uub,
+         ${Det.sqlDavg(s"($zExpr)*($zExpr)", 6)} AS zzb,
+         ${Det.sqlDavg(s"($uExpr)*($zExpr)", 6)} AS uzb
+       FROM $table),
+       s AS (SELECT n, ub, zb, uub - ub*ub AS suu, zzb - zb*zb AS szz,
+         uzb - ub*zb AS suz FROM m),
+       f AS (SELECT n, ub, zb, suz,
+         CASE WHEN suz = 0.0 THEN 0.0
+              ELSE (szz - $d*suu + sqrt((szz - $d*suu)*(szz - $d*suu)
+                + 4*$d*suz*suz)) / (2*suz) END AS b1
+       FROM s)
+       SELECT zb - b1*ub AS b0, b1, n FROM f"""
+  }
+}

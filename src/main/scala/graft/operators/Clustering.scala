@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M1: distributed DBSCAN (objtable.py:116-168 cluster_sources).
+  *
+  * The reference clusters source detections with sklearn DBSCAN
+  * (ball_tree + haversine, eps = radians(arcsec/3600)). That is a
+  * single-node algorithm; here the same semantics are built from
+  * Spark primitives:
+  *
+  *   1. bucket points into grid cells of size eps; neighbor pairs can
+  *      only span adjacent cells -> cell equi-join + exact distance
+  *      predicate (no false negatives);
+  *   2. core points = ≥ minSamples neighbors within eps (the point
+  *      itself counts — sklearn semantics);
+  *   3. clusters = connected components of the core-core ε-graph via
+  *      iterative smallest-label propagation (converges in O(graph
+  *      diameter) rounds; lineage cut with localCheckpoint each
+  *      round);
+  *   4. border points (non-core within eps of a core) join the
+  *      minimum label among their core neighbors. sklearn assigns the
+  *      first-scanned core's cluster — order-dependent; min-label is
+  *      the deterministic choice and agrees whenever clusters are
+  *      ε-separated (the astronomy case). Noise is dropped, like the
+  *      reference's `purge_df` + groupby-excluding -1.
+  *
+  * Cluster labels are the minimum member point id — content-derived
+  * and stable across runs/partitionings (SURVEY §7 "non-deterministic
+  * ids" risk).
+  *
+  * Scale: the cell id is a high-cardinality shuffle key; each round
+  * is one shuffle of (id, label). For 100 TB skies, eps (arcsec) ≪
+  * cell occupancy keeps candidate lists tiny; pathological dense
+  * blobs bound the pair join by cell, not globally.
+  */
+object Clustering {
+
+  /** Returns (idCol, cluster) for every non-noise point. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+             eps: Double, minSamples: Int): DataFrame = {
+    val spark = points.sparkSession
+    val pts = points.select(col(idCol).as("_id"), col(xCol).as("_x"), col(yCol).as("_y"))
+      .localCheckpoint()
+
+    val (cx, cy) = Spatial.cellCoords(col("_x"), col("_y"), eps)
+    val binned = pts.withColumn("_cx", cx).withColumn("_cy", cy)
+    val probe = binned
+      .withColumn("_dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("_dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("_id").as("_bid"), col("_x").as("_bx"), col("_y").as("_by"),
+        (col("_cx") + col("_dx")).as("_cx"), (col("_cy") + col("_dy")).as("_cy"))
+
+    val d2 = (col("_x") - col("_bx")) * (col("_x") - col("_bx")) +
+      (col("_y") - col("_by")) * (col("_y") - col("_by"))
+    // directed neighbor pairs (a, b), a != b, dist <= eps
+    val pairs = binned.join(probe, Seq("_cx", "_cy"))
+      .where(col("_id") =!= col("_bid") && d2 <= eps * eps)
+      .select(col("_id").as("_a"), col("_bid").as("_b"))
+      .localCheckpoint()
+
+    val degrees = pairs.groupBy("_a").agg(count(lit(1)).as("_deg"))
+    // the point itself counts toward minSamples (sklearn); isolated
+    // points have no pair rows, so minSamples<=1 -> everything core
+    val core = (if (minSamples <= 1) pts.select("_id")
+                else degrees.where(col("_deg") >= minSamples - 1).select(col("_a").as("_id")))
+      .localCheckpoint()
+
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("_id", "_a"), Seq("_a"), "left_semi")
+      .join(core.withColumnRenamed("_id", "_b"), Seq("_b"), "left_semi")
+      .select("_a", "_b")
+      .localCheckpoint()
+
+    // smallest-label propagation over the core-core graph
+    var labels = core.withColumn("_label", col("_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val msgs = coreEdges.join(labels, col("_a") === col("_id"))
+        .groupBy(col("_b").as("_id2")).agg(min("_label").as("_nlabel"))
+      val prop = labels.join(msgs, col("_id") === col("_id2"), "left")
+        .select(col("_id"), least(col("_label"), coalesce(col("_nlabel"), col("_label"))).as("_label"))
+      // pointer jumping (label <- label's label): O(log diameter)
+      // rounds instead of O(diameter)
+      val relabel = prop.select(col("_id").as("_lid"), col("_label").as("_llabel"))
+      val next = prop.join(relabel, col("_label") === col("_lid"), "left")
+        .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
+        .localCheckpoint()
+      // labels decrease monotonically: equal checksum => fixpoint
+      val sumOf = (df: DataFrame) =>
+        df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
+      converged = sumOf(next) == sumOf(labels)
+      labels = next
+      rounds += 1
+    }
+
+    // border points: non-core with >=1 core neighbor -> min core label
+    val borderAssign = pairs
+      .join(core.withColumnRenamed("_id", "_a"), Seq("_a"), "left_anti")  // a not core
+      .join(labels.withColumnRenamed("_id", "_b"), Seq("_b"))             // b core, labeled
+      .groupBy(col("_a").as("_id")).agg(min("_label").as("_label"))
+
+    labels.unionByName(borderAssign)
+      .select(col("_id").as(idCol), col("_label").as("cluster"))
+  }
+}

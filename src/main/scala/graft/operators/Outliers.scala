@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Det
+import graft.ml.Jenks
+
+/** M3: IQR-based per-cluster outlier rejection
+  * (_objtable_methods.py:265-421 ps1based_outlier_rm_iqr).
+  *
+  * Pipeline (all distributed, composing A4, M2/binning, A7, A8, J10,
+  * P11): per-cluster mean magnitudes -> magnitude bins -> per-bin
+  * median & IQR of the cluster/reference difference -> normalized
+  * distance |diff − median| / IQR joined back onto every source row
+  * -> threshold split. Returns (clean, outliers).
+  */
+object Outliers {
+
+  /** Equal-width binning entirely in-engine (deterministic, no
+    * driver collect) — the oracle-parity and 100 TB path.
+    * `useJenks = true` reproduces the reference's jenkspy binning:
+    * breaks computed driver-side on the collected *cluster-level*
+    * aggregate (one value per cluster, small), like the reference.
+    */
+  def iqrOutlierRemoval(df: DataFrame, clusterKey: String, calMag: Column,
+                        refMag: Column, cut: Double, nBins: Int,
+                        useJenks: Boolean = false): (DataFrame, DataFrame) = {
+    val ca = df.groupBy(col(clusterKey))
+      .agg(
+        Det.davg(calMag, 6).as("av_mag"),
+        (Det.davg(calMag, 6) - Det.davg(refMag, 6)).as("mag_diff"))
+
+    val binned =
+      if (useJenks) {
+        val values = ca.select("av_mag").collect().map(_.getDouble(0))
+        val edges = Jenks.breaks(values, nBins)
+        val bin = edges.slice(1, nBins).foldLeft(lit(0)) { (acc, e) =>
+          acc + when(col("av_mag") > e, 1).otherwise(0)
+        }
+        ca.withColumn("bin", bin.cast("long"))
+      } else {
+        val mm = ca.agg(min("av_mag").as("_lo"), max("av_mag").as("_hi"))
+        val w = (col("_hi") - col("_lo")) / nBins
+        ca.join(broadcast(mm))
+          .withColumn("bin",
+            when(col("av_mag") >= col("_hi"), nBins - 1)
+              .otherwise(floor((col("av_mag") - col("_lo")) / w)))
+          .drop("_lo", "_hi")
+      }
+
+    val stats = binned.groupBy("bin").agg(
+      round(percentile(col("mag_diff"), lit(0.5)), 6).as("_med"),
+      round(percentile(col("mag_diff"), lit(0.75)) -
+        percentile(col("mag_diff"), lit(0.25)), 6).as("_iqr"))
+
+    val norm = binned.join(broadcast(stats), Seq("bin"))
+      .select(col(clusterKey),
+        (abs(col("mag_diff") - col("_med")) / col("_iqr")).as("norm_mag_dist"))
+
+    // cluster-level side scales with #clusters — no broadcast hint;
+    // AQE picks broadcast when it fits
+    val merged = df.join(norm, Seq(clusterKey), "left")
+    GroupOps.thresholdSplit(merged, col("norm_mag_dist"), cut)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spatial joins re-expressed as cell-bucketed equi-joins.
+  *
+  * The reference does nearest-neighbor matching against a calibrator
+  * catalog via a per-row healpix index probe over a Mongo connection
+  * (PS1Cal_matching.py:21-132, :135-217) and point-in-circle dust
+  * tagging via a python loop over grains (srcdf.py:616-694). Both
+  * become shuffle-free-or-broadcast DataFrame joins here:
+  *
+  *  - grid cells of size = search radius; a point can only match
+  *    candidates in its own or the 8 neighboring cells, so the
+  *    theta-join collapses to an equi-join on cell id + a residual
+  *    distance predicate (exact, no false negatives);
+  *  - "nearest" / "largest wins" = row_number over a window.
+  *
+  * At 100 TB the cell id is a high-cardinality shuffle key (no skew
+  * hot-spots for approximately uniform skies); the catalog side is
+  * usually small enough to broadcast.
+  */
+object Spatial {
+
+  /** Planar grid-cell coordinates for bucketing at `cellSize`. */
+  def cellCoords(x: Column, y: Column, cellSize: Double): (Column, Column) =
+    (floor(x / cellSize).cast("long"), floor(y / cellSize).cast("long"))
+
+  /** Explode a frame to its 3x3 cell neighborhood — candidates for any
+    * query point whose cell is within one step.
+    */
+  private def withNeighborCells(df: DataFrame, x: String, y: String,
+                                cellSize: Double): DataFrame = {
+    val (cx, cy) = cellCoords(col(x), col(y), cellSize)
+    df.withColumn("_dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("_dy", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("_cx", cx + col("_dx"))
+      .withColumn("_cy", cy + col("_dy"))
+      .drop("_dx", "_dy")
+  }
+
+  /** J3/J4: nearest neighbor within `radius`, else null columns (the
+    * reference's NaN-flag semantics, PS1Cal_matching.py:113-117).
+    *
+    * Left: one row per query point with unique `leftId`. Right: the
+    * catalog; its columns are attached to the matched rows. Ties on
+    * distance break by `rightId` (deterministic). `broadcastRight`
+    * for dimension-sized catalogs.
+    */
+  def nnJoinWithin(left: DataFrame, leftId: String, lx: String, ly: String,
+                   right: DataFrame, rightId: String, rx: String, ry: String,
+                   radius: Double, broadcastRight: Boolean = true): DataFrame = {
+    val (lcx, lcy) = cellCoords(col(lx), col(ly), radius)
+    val leftC = left.withColumn("_cx", lcx).withColumn("_cy", lcy)
+    val rightC = withNeighborCells(right, rx, ry, radius)
+    val rightSide = if (broadcastRight) broadcast(rightC) else rightC
+    val d2 = (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+      (col(ly) - col(ry)) * (col(ly) - col(ry))
+    val rightCols = right.columns.filter(_ != leftId).toIndexedSeq
+    val cand = leftC.join(rightSide, Seq("_cx", "_cy"))
+      .withColumn("dist2", d2)
+      .where(col("dist2") <= radius * radius)
+      .select((col(leftId) +: rightCols.map(col)) :+ col("dist2"): _*)
+    val w = Window.partitionBy(leftId).orderBy(col("dist2"), col(rightId))
+    val best = cand.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+    left.join(best, Seq(leftId), "left")
+  }
+
+  /** J9: point-in-circle theta join with largest-grain-wins
+    * (srcdf.py:616-694 tag_dust: sort-asc-overwrite becomes a
+    * rank-desc window). Grains are broadcast (dimension-sized).
+    * Returns every source row; non-contained sources keep null grain
+    * columns — split on `grainR IS NULL` for clean/dusty.
+    */
+  def thetaCircleJoin(sources: DataFrame, srcId: String, sx: String, sy: String,
+                      grains: DataFrame, grainId: String, gx: String, gy: String,
+                      gr: String, radiusMultiplier: Double = 1.0): DataFrame = {
+    val d2 = (col(sx) - col(gx)) * (col(sx) - col(gx)) +
+      (col(sy) - col(gy)) * (col(sy) - col(gy))
+    val rr = col(gr) * radiusMultiplier
+    val grainCols = grains.columns.filter(_ != srcId).toIndexedSeq
+    val cand = sources.join(broadcast(grains), d2 <= rr * rr, "inner")
+      .select(col(srcId) +: grainCols.map(col): _*)
+    val w = Window.partitionBy(srcId).orderBy(col(gr).desc, col(grainId))
+    val best = cand.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+    sources.join(best, Seq(srcId), "left")
+  }
+}
