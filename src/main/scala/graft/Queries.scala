@@ -113,5 +113,6 @@ object Queries {
     s2ScanPushdown,
     a3GroupStats,
     j1BroadcastJoin,
-    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all ++ QueriesSpatial.all
+    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all ++
+    QueriesSpatial.all ++ QueriesText.all
 }

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Text, Vectors}
+
+/** LLM-training-data pipeline operators over `documents` and
+  * `embeddings` (builder-prompt first-class components): text
+  * analysis, dedup family, similarity search.
+  */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val toksSql = """regexp_split_to_array(lower(text), '\s+')"""
+  private val sh5Sql =
+    """list_distinct(list_transform(range(1, greatest(length(lower(text)) - 4, 1) + 1),
+       i -> substr(lower(text), CAST(i AS INT), 5)))"""
+
+  /** Token counting: whitespace tokens + a chars/4 BPE-ish estimate. */
+  private val txTokens = Q(
+    "tx_token_count",
+    Some(s"""SELECT doc_id, len($toksSql) AS n_tokens, length(text) AS n_chars,
+             greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_bpe_est
+             FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          Text.bpeTokenEstimate(col("text")).as("n_bpe_est"))
+        .orderBy("doc_id"))
+
+  /** Quality scoring: stopword density + length + token-shape. */
+  private val txQuality = Q(
+    "tx_quality_score",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS nws FROM documents)
+             SELECT doc_id,
+               0.5 * (len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks))
+               + 0.3 * least(1.0, len(toks) / 100.0)
+               + 0.2 * least(1.0, (nws / len(toks)) / 5.0) AS quality
+             FROM t ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"))
+
+  /** Language ID: stopword-hit argmax with fixed tie priority. */
+  private val txLangid = Q(
+    "tx_langid",
+    Some {
+      val cnt = Text.langStopwords.map { case (lang, ws) =>
+        s"len(list_filter($toksSql, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS c_$lang"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, $cnt FROM documents)
+          SELECT doc_id, lang,
+            CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                 WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                 WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                 WHEN c_fr >= c_zh THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+          FROM t ORDER BY doc_id"""
+    },
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"))
+
+  /** Document fingerprint: md5 over the sorted distinct token set. */
+  private val txFingerprint = Q(
+    "tx_fingerprint",
+    Some(s"""SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+             FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"))
+
+  /** Exact dedup: hash-groupBy on normalized content, min-id kept. */
+  private val ddExact = Q(
+    "dd_exact",
+    Some("""SELECT md5(lower(text)) AS content_key, min(doc_id) AS kept_id,
+            count(*) AS n_copies
+            FROM documents GROUP BY content_key ORDER BY content_key"""),
+    (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_key"))
+
+  /** MinHash + LSH near-dedup: shingle → 8 minhashes → 2 bands →
+    * bucket-join candidates → exact-Jaccard verify. Never compares
+    * all pairs. */
+  private val ddMinhash = Q(
+    "dd_minhash_lsh",
+    Some {
+      val sigs = (0 until 8)
+        .map(j => s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS s$j")
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+          sig AS (SELECT doc_id, sh, $sigs FROM d),
+          bands AS (
+            SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS key FROM sig),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id < y.doc_id),
+          v AS (SELECT cand.a, cand.b,
+            len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+            FROM cand JOIN d da ON cand.a = da.doc_id JOIN d db ON cand.b = db.doc_id)
+          SELECT a, b, jaccard FROM v WHERE jaccard >= 0.25 ORDER BY a, b"""
+    },
+    (s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4)
+        .orderBy("a", "b"))
+
+  /** N-gram Jaccard similarity on a deterministic pair set (word
+    * 3-grams; the pairwise kernel of near-dedup). */
+  private val ddNgram = Q(
+    "dd_ngram_jaccard",
+    Some(s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len($toksSql) - 2, 1) + 1),
+               i -> array_to_string(($toksSql)[CAST(i AS INT):CAST(i AS INT) + 2], ' '))) AS sh
+             FROM documents)
+             SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.sh, b.sh))
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+             ORDER BY a"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), Text.wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("a"), col("sh").as("_sha"))
+      val b = d.select(col("doc_id").as("b"), col("sh").as("_shb"))
+      a.join(b, col("b") === col("a") + 1)
+        .select(col("a"), col("b"), Text.jaccard(col("_sha"), col("_shb")).as("jaccard"))
+        .orderBy("a")
+    })
+
+  /** SimHash signatures (xxhash64-based, not oracle-mirrorable;
+    * DedupSpec checks hamming locality). Rows-only driver check. */
+  private val ddSimhash = Q(
+    "dd_simhash",
+    None,
+    (s, dir) =>
+      Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+
+  /** Embedding-cosine near-dup pairs, blocked by label (no global
+    * n² compare). */
+  private val ddEmbcos = Q(
+    "dd_embcos_neardup",
+    Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              round(
+                list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
+              , 6) AS cosine
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT a, b, cosine FROM p WHERE cosine >= 0.4 ORDER BY a, b"""),
+    (s, dir) =>
+      Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.4)
+        .orderBy("a", "b"))
+
+  /** Brute-force cosine top-k (the ANN baseline): every 20th vector
+    * queries the full corpus. */
+  private val ssTopk = Q(
+    "ss_topk_bruteforce",
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 20 = 0),
+            c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+            scored AS (SELECT q.query_id, c.vec_id,
+              round(
+                list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qv[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(c.cv[CAST(i AS INT)] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.qv[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(q.qv[CAST(i AS INT)] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(c.cv[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(c.cv[CAST(i AS INT)] AS DOUBLE)))))
+              , 6) AS cosine
+              FROM q, c WHERE q.query_id != c.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3
+            ORDER BY query_id, cosine DESC, vec_id"""),
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Vectors.bruteForceTopK(q, "query_id", "qv", e, "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    })
+
+  /** LSH-bucketed ANN (the scale path; recall vs brute force in
+    * VectorsSpec). Rows-only driver check — Spark-native hashes. */
+  private val ssLsh = Q(
+    "ss_topk_lsh",
+    None,
+    (s, dir) =>
+      Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, planes = 4, k = 3)
+        .orderBy(col("qid"), col("cosine").desc, col("cid")))
+
+  val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
+    ddExact, ddMinhash, ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh)
+}

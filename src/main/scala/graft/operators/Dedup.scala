@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: nothing here ever compares all n² document pairs.
+  * Exact dedup is one hash aggregate; MinHash-LSH only joins documents
+  * that collide in a band bucket (the classic shingle → minhash →
+  * band → bucket-join pipeline); SimHash reduces a document to one
+  * 64-bit signature whose hamming-ball neighbors share band keys.
+  */
+object Dedup {
+
+  /** Content identity for exact dedup: hash of normalized text. */
+  def contentKey(c: Column): Column = md5(lower(c))
+
+  /** Exact dedup: one row per distinct content, keeping the minimum
+    * id (deterministic), with the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature of a shingle-set column: for each of
+    * `numHashes` hash functions, the minimum md5(seed:shingle).
+    * Hex-string min == numeric min of the 128-bit hash — no integer
+    * conversion needed, and the DuckDB oracle can mirror it exactly. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, x => md5(concat(lit(s"$j:"), x))))
+    }: _*)
+
+  /** LSH band keys: hash of each band's signature slice. Documents
+    * sharing any band key are near-dup candidates. */
+  def bandKeys(sig: Column, numHashes: Int, bandSize: Int): Column = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    array((0 until numHashes / bandSize).map { b =>
+      val parts = (0 until bandSize).map(i => element_at(sig, b * bandSize + i + 1))
+      md5(concat(parts: _*))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs (a < b), deduplicated across bands.
+    * The join key (band index, band hash) is high-cardinality —
+    * shuffle-safe at scale; no cross product anywhere. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 5, numHashes: Int = 8,
+                            bandSize: Int = 2): DataFrame = {
+    val sig = minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes)
+    val banded = df
+      .select(col(idCol).as("_id"), bandKeys(sig, numHashes, bandSize).as("_bands"))
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
+    val a = banded.select(col("_band"), col("_key"), col("_id").as("a"))
+    val b = banded.select(col("_band"), col("_key"), col("_id").as("b"))
+    a.join(b, Seq("_band", "_key")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Candidate pairs verified with exact shingle Jaccard ≥ threshold
+    * (the verify step of near-dedup). */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, shingleSize: Int = 5,
+                           numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bandSize)
+    val sh = df.select(col(idCol).as("_sid"),
+      Text.charShingles(col(textCol), shingleSize).as("_sh"))
+    cands
+      .join(sh.select(col("_sid").as("a"), col("_sh").as("_sha")), Seq("a"))
+      .join(sh.select(col("_sid").as("b"), col("_sh").as("_shb")), Seq("b"))
+      .select(col("a"), col("b"), Text.jaccard(col("_sha"), col("_shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from whitespace tokens, built scalably: explode →
+    * per-bit ±1 sums → one hash aggregate per document. Uses Spark's
+    * native xxhash64 (not oracle-mirrorable; covered by DedupSpec). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"),
+        explode(Text.tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when((shiftright(col("_h"), i).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"_b$i")
+    }
+    val agg = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L))
+    }
+    agg.select(col("_id").as(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
