@@ -114,5 +114,5 @@ object Queries {
     a3GroupStats,
     j1BroadcastJoin,
     p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all ++
-    QueriesSpatial.all ++ QueriesText.all
+    QueriesSpatial.all ++ QueriesText.all ++ QueriesSources.all
 }

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Det, Tables}
+import graft.operators.Multimodal
+import graft.sources.DatasetSession
+import graft.streaming.Streams
+
+/** SURVEY §2.1 sources/sinks + §3 EP1 lifecycle + §2.10 streaming +
+  * multimodal plumbing.
+  */
+object QueriesSources {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Scratch dir keyed by sf dir so sf0.01/sf0.1 runs don't collide. */
+  private def scratch(dir: String, tag: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = s"${sys.props("java.io.tmpdir")}/graft_$key/$tag"
+    Files.createDirectories(Paths.get(p))
+    p
+  }
+
+  /** Build (once per scratch dir) a months-partitioned copy of orders
+    * — the "directory of per-exposure files" layout the reference
+    * globs (dataset_base.py:24-53). */
+  private def ordersAsFiles(s: SparkSession, dir: String): String = {
+    val dataDir = scratch(dir, "orders_files")
+    if (!Files.exists(Paths.get(s"$dataDir/_SUCCESS"))) {
+      t(s, dir, "orders")
+        .withColumn("mon", month(col("o_orderdate")))
+        .repartition(col("mon"))
+        .write.mode("overwrite").partitionBy("mon").parquet(dataDir)
+    }
+    dataDir
+  }
+
+  /** S1: directory scan — the file list itself as data
+    * (dataset_base.py:24-53; `input_file_name` is the PATH column). */
+  private val s1 = Q(
+    "s1_file_scan",
+    Some("""SELECT 'lineitem.parquet' AS file, count(*) AS n FROM lineitem"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(count(lit(1)).as("n")))
+
+  /** S3+S7+EP1: per-file metadata (cache-or-reload) + metadata-pruned
+    * source read + J1 metadata merge-back — the dataset.load()
+    * lifecycle (dataset.py:151-170) on a real multi-file layout.
+    * Pruning here physically reads 3 of 12 files. */
+  private val ep1 = Q(
+    "ep1_pruned_load",
+    Some("""WITH o AS (SELECT *, month(o_orderdate) AS mon FROM orders),
+            m AS (SELECT mon, count(*) AS n_rows FROM o GROUP BY mon)
+            SELECT o.o_orderkey, o.o_totalprice, o.mon, m.n_rows
+            FROM o JOIN m ON o.mon = m.mon
+            WHERE o.mon <= 3 AND o.o_totalprice > 50000
+            ORDER BY o.o_orderkey"""),
+    (s, dir) => {
+      val ds = new DatasetSession(s, "orders", ordersAsFiles(s, dir), scratch(dir, "cache"))
+      ds.loadMetadata(
+        aggs = Seq(max(col("mon")).as("mon"), count(lit(1)).as("n_rows")),
+        requestedCols = Seq("PATH", "mon", "n_rows"))
+      ds.loadObjtable(
+        metaExpr = Some("mon <= 3"),
+        selectCols = Seq("o_orderkey", "o_totalprice", "mon"),
+        rowFilter = Some("o_totalprice > 50000"))
+      ds.mergeMetadataToSources(Seq("n_rows"), joinOn = "mon")
+        .select("o_orderkey", "o_totalprice", "mon", "n_rows")
+        .orderBy("o_orderkey")
+    })
+
+  /** S5+S6+S11: gzip CSV sink then CSV source round-trip
+    * (dataset_base.py:98-170), schema preserved. */
+  private val s5 = Q(
+    "s5_csv_roundtrip",
+    Some("""SELECT * FROM nation ORDER BY n_nationkey"""),
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val path = scratch(dir, "nation_csv")
+      n.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(path)
+      s.read.schema(n.schema).option("header", "true").csv(path)
+        .orderBy("n_nationkey")
+    })
+
+  /** S7: cache-or-reload — second load must hit the parquet snapshot
+    * (column-compat check, dataset.py:81-89). */
+  private val s7 = Q(
+    "s7_cache_reload",
+    Some("""WITH o AS (SELECT month(o_orderdate) AS mon, o_totalprice FROM orders)
+            SELECT mon, count(*) AS n_rows,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+            FROM o GROUP BY mon ORDER BY mon"""),
+    (s, dir) => {
+      val ds = new DatasetSession(s, "orders_s7", ordersAsFiles(s, dir), scratch(dir, "cache"))
+      val aggs = Seq(max(col("mon")).as("mon2"), count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      val cols = Seq("PATH", "mon2", "n_rows", "sum_price")
+      ds.loadMetadata(aggs, cols, forceReload = true)   // build + write snapshot
+      ds.loadMetadata(aggs, cols)                       // cache hit
+        .select(col("mon2").as("mon"), col("n_rows"), col("sum_price"))
+        .orderBy("mon")
+    })
+
+  /** Streaming surface, tumbling windows: hourly per-type counts
+    * (batch flavor here; StreamsSpec drives readStream). */
+  private val st1 = Q(
+    "st_hourly_counts",
+    Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n, ${Det.sqlDsum("value", 6)} AS v_sum
+             FROM events GROUP BY bucket, event_type
+             ORDER BY bucket, event_type"""),
+    (s, dir) =>
+      Streams.hourlyTypeCounts(t(s, dir, "events"))
+        .orderBy("bucket", "event_type"))
+
+  /** Streaming surface, session windows: 30-minute-gap user sessions.
+    * Oracle: gaps-and-islands (new session when diff >= gap, matching
+    * session_window's `ts < last + gap` merge rule). */
+  private val st2 = Q(
+    "st_session_windows",
+    Some(s"""WITH x AS (SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+             SELECT user_id, min(ts) AS session_start, count(*) AS n,
+               ${Det.sqlDsum("value", 6)} AS v_sum
+             FROM y GROUP BY user_id, sid
+             ORDER BY user_id, session_start"""),
+    (s, dir) =>
+      Streams.userSessions(t(s, dir, "events"))
+        .orderBy("user_id", "session_start"))
+
+  /** Multimodal: opaque binary payload + typed metadata struct
+    * (flattened scalars for the hash compare). */
+  private val mm1 = Q(
+    "mm_binary_meta",
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+            md5(text) AS checksum, ascii(text) AS first_code
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      Multimodal.withBlob(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"),
+          ascii(col("text")).as("first_code"))
+        .orderBy("doc_id"))
+
+  /** Multimodal: STUB decode + feature extraction via mapPartitions
+    * record batches (the mapInPandas shape); features exploded to
+    * scalars so the oracle can mirror the deterministic fake decode. */
+  private val mm2 = Q(
+    "mm_decode_features",
+    Some("""WITH f AS (SELECT doc_id, length(text) AS n, CAST(i.range AS BIGINT) AS dim
+              FROM documents, range(8) i),
+            b AS (SELECT doc_id, dim, (dim * n) // 8 AS lo,
+              greatest((dim * n) // 8 + 1, ((dim + 1) * n) // 8) AS hi, n FROM f)
+            SELECT b.doc_id, b.dim,
+              CAST(list_sum(list_transform(range(lo + 1, hi + 1),
+                j -> ascii(substr(d.text, CAST(j AS INT), 1)))) AS DOUBLE)
+                / (hi - lo) AS feature
+            FROM b JOIN documents d ON b.doc_id = d.doc_id
+            ORDER BY b.doc_id, dim"""),
+    (s, dir) => {
+      val blobbed = Multimodal.withBlob(t(s, dir, "documents"), "text")
+      Multimodal.decodeFeaturesStub(blobbed, "doc_id", "blob", dim = 8)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+        .orderBy("doc_id", "dim")
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s5, s7, st1, st2, mm1, mm2)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The decode step itself is a STUB — media codecs are not available
+  * in this environment — but everything Spark-side is real: schema,
+  * batch iteration, partitioning, feature shapes. A real deployment
+  * swaps `decodeStub` for a codec call with the same signature; the
+  * plan shape (scan → mapPartitions batch → columnar features) is
+  * unchanged.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column + typed metadata struct (here the
+    * payload is the utf-8 text itself — a deterministic stand-in for
+    * image/audio bytes). */
+  def withBlob(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("blob", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        octet_length(col("blob")).as("n_bytes"),
+        lit("application/octet-stream").as("mime"),
+        md5(col(textCol)).as("checksum")))
+
+  /** STUB "decode + feature extract": per-record fixed-width feature
+    * vector = mean byte value of `dim` equal chunks (a deterministic
+    * fake for an image embedding). Runs via mapPartitions in record
+    * batches — the Scala analog of `mapInPandas` batch plumbing: a
+    * real decoder would process `batch` with a codec here.
+    */
+  def decodeFeaturesStub(df: DataFrame, idCol: String, blobCol: String,
+                         dim: Int = 8, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType), col(blobCol))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>   // batch boundary = codec call site
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val feats = Array.tabulate(dim) { i =>
+              val lo = i * bytes.length / dim
+              val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)
+              var s = 0.0
+              var j = lo
+              while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
+              s / (hi - lo)
+            }
+            Row(id, feats)
+          }
+        }
+      }(encoder)
+  }
+
+  /** STUB frame sampling: every `every`-th fixed-size chunk of the
+    * payload (video keyframe-sampling shape; one output row per
+    * sampled "frame"). Pure column expressions — no UDF. */
+  def frameSampleStub(df: DataFrame, idCol: String, blobCol: String,
+                      frameBytes: Int = 32, every: Int = 4): DataFrame = {
+    val nFrames = floor((octet_length(col(blobCol)) - 1) / frameBytes) + 1
+    df.select(col(idCol), col(blobCol), posexplode(
+        filter(sequence(lit(0), nFrames.cast(IntegerType) - 1), i => i % every === 0))
+        .as(Seq("_i", "frame_no")))
+      .select(col(idCol), col("frame_no"),
+        col(blobCol).substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
+}
