@@ -141,7 +141,7 @@ object QueriesAgg {
           round(percentile(col("v"), lit(0.5)), 6).as("med"),
           round(percentile(col("v"), lit(0.75)) - percentile(col("v"), lit(0.25)), 6).as("iqr")))
         .select(col("l_orderkey"), col("l_linenumber"), col("bin"),
-          (abs(col("v") - col("med")) / col("iqr")).as("norm_dist"))
+          try_divide(abs(col("v") - col("med")), col("iqr")).as("norm_dist"))
         .orderBy("l_orderkey", "l_linenumber")
     })
 

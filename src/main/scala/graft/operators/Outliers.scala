@@ -54,9 +54,12 @@ object Outliers {
       round(percentile(col("mag_diff"), lit(0.75)) -
         percentile(col("mag_diff"), lit(0.25)), 6).as("_iqr"))
 
+    // try_divide: a zero-IQR bin yields null (numpy's inf in the
+    // reference; both land on the outlier side of the cut) and
+    // matches DuckDB's x/0 -> NULL under Spark's ANSI default
     val norm = binned.join(broadcast(stats), Seq("bin"))
       .select(col(clusterKey),
-        (abs(col("mag_diff") - col("_med")) / col("_iqr")).as("norm_mag_dist"))
+        try_divide(abs(col("mag_diff") - col("_med")), col("_iqr")).as("norm_mag_dist"))
 
     // cluster-level side scales with #clusters — no broadcast hint;
     // AQE picks broadcast when it fits

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** M1 correctness: DBSCAN vs a brute-force single-node reference. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force DBSCAN (same semantics as Clustering.dbscan: core =
+    * ≥ minSamples points within eps incl. self; clusters = CCs of the
+    * core ε-graph; borders -> min core-neighbor label; label = min
+    * member id). */
+  private def bruteDbscan(pts: Seq[(Long, Double, Double)], eps: Double,
+                          minSamples: Int): Map[Long, Long] = {
+    val n = pts.length
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val neigh = pts.map(p => p._1 ->
+      pts.filter(q => q._1 != p._1 && d2(p, q) <= eps * eps).map(_._1).toSet).toMap
+    val core = pts.map(_._1).filter(id => neigh(id).size + 1 >= minSamples).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- core; b <- neigh(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val coreLabel = core.map(c => c -> find(c)).toMap
+    // min label per component
+    val compMin = coreLabel.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    val coreOut = core.map(c => c -> compMin(coreLabel(c))).toMap
+    val borderOut = pts.map(_._1).filterNot(core)
+      .flatMap { id =>
+        val cs = neigh(id).filter(core)
+        if (cs.isEmpty) None else Some(id -> cs.map(coreOut).min)
+      }.toMap
+    coreOut ++ borderOut
+  }
+
+  private def check(pts: Seq[(Long, Double, Double)], eps: Double, minSamples: Int): Unit = {
+    val df = pts.toDF("id", "x", "y")
+    val got = Clustering.dbscan(df, "id", "x", "y", eps, minSamples)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = bruteDbscan(pts, eps, minSamples)
+    assert(got == exp)
+  }
+
+  test("three well-separated clusters + noise") {
+    val pts = Seq[(Long, Double, Double)](
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.5, 0.8),
+      (10L, 100.0, 100.0), (11L, 101.0, 100.5),
+      (20L, 200.0, 0.0), (21L, 200.5, 0.5), (22L, 201.0, 0.0),
+      (99L, 500.0, 500.0)) // noise
+    check(pts, eps = 2.0, minSamples = 2)
+  }
+
+  test("chain cluster spanning many cells merges into one component") {
+    val pts = (0L until 40L).map(i => (i, i * 1.5, 0.0)) :+ ((999L, 1000.0, 1000.0))
+    check(pts, eps = 2.0, minSamples = 2)
+  }
+
+  test("minSamples filters sparse bridges") {
+    // two dense blobs connected by a lone bridge point: with
+    // minSamples=4 the bridge is not core, so blobs stay separate
+    val blobA = Seq[(Long, Double, Double)](
+      (1L, 0, 0), (2L, 1, 0), (3L, 0, 1), (4L, 1, 1))
+    val blobB = Seq[(Long, Double, Double)](
+      (11L, 10, 0), (12L, 11, 0), (13L, 10, 1), (14L, 11, 1))
+    val bridge = Seq[(Long, Double, Double)]((6L, 5.0, 0.0))
+    check(blobA ++ blobB ++ bridge, eps = 6.0, minSamples = 4)
+  }
+
+  test("minSamples=1: every point is its own core") {
+    val pts = Seq[(Long, Double, Double)]((1L, 0, 0), (2L, 50, 50), (3L, 50.5, 50.5))
+    check(pts, eps = 1.0, minSamples = 1)
+  }
+
+  test("500-point random field matches brute force") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 500L).map(i =>
+      (i, rnd.nextDouble() * 300, rnd.nextDouble() * 300))
+    check(pts, eps = 10.0, minSamples = 3)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Text, Vectors}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per content") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "hello world"), (3L, "other doc"),
+      (4L, "HELLO WORLD")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("kept_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("kept_id") == 1L && out(0).getAs[Long]("n_copies") == 3L)
+    assert(out(1).getAs[Long]("kept_id") == 3L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashVerifiedPairs(df, "doc_id", "text",
+      threshold = 0.5, shingleSize = 5, numHashes = 8, bandSize = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-duplicates are close in hamming distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sig = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(ham(sig(1L), sig(2L)) <= 16)
+  }
+
+  test("jaccard of identical and disjoint sets") {
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("t1", "t2")
+    val j = df.select(Text.jaccard(Text.tokens(col("t1")), Text.tokens(col("t2"))).as("j"))
+      .as[Double].collect()
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+}
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal
+      (Array(1.0f, 1.0f), Array(2.0f, 2.0f)),   // parallel
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))   // opposite
+    ).toDF("a", "b")
+    val c = df.select(Vectors.cosine(Vectors.toDoubles(col("a")),
+      Vectors.toDoubles(col("b"))).as("c")).as[Double].collect()
+    assert(math.abs(c(0)) < 1e-12)
+    assert(math.abs(c(1) - 1.0) < 1e-12)
+    assert(math.abs(c(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns true nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Vectors.bruteForceTopK(q, "qid", "qv", vecs, "vec_id", "embedding", k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == Set(1L, 4L))
+  }
+
+  test("LSH top-k recall vs brute force on real embeddings") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Vectors.lshTopK(e, "vec_id", "embedding", dim = 64, planes = 2, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 2 planes -> 4 buckets: candidates shrink ~4x; recall must beat
+    // the random-candidate baseline (~25%). These embeddings are
+    // near-isotropic (max pairwise cosine ~0.5), the hard case for
+    // hyperplane LSH — clustered corpora recall far higher.
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("lsh buckets are deterministic") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
+    val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
+    val b2 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
+    assert(b1.sameElements(b2))
+  }
+}

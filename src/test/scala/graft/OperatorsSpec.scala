@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Coords, Photometry}
+import graft.operators.{GroupOps, Multimodal, Outliers, Spatial}
+
+class PhotometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calmag with zero color coefficient reduces to mag + zp") {
+    val df = Seq((17.0, 2.5, 0.0, 1.1, 0.9)).toDF("mag", "zp", "cc", "c1", "c2")
+    val out = df.select(
+      Photometry.calMag(col("mag"), col("zp"), Some(col("cc")), Some(col("c1")),
+        Some(col("c2"))).as("cal")).as[Double].head()
+    assert(out == 19.5)
+  }
+
+  test("error propagation closed form") {
+    val df = Seq((0.1, 0.02, 0.5, 0.01, 1.2, 0.8, 0.03, 0.04))
+      .toDF("em", "ez", "cc", "ecc", "c1", "c2", "e1", "e2")
+    val got = df.select(Photometry.calMagErr(col("em"), col("ez"), col("cc"),
+      col("ecc"), col("c1"), col("c2"), col("e1"), col("e2")).as("e")).as[Double].head()
+    val exp = math.sqrt(0.1 * 0.1 + 0.02 * 0.02 +
+      math.pow(0.01 * (1.2 - 0.8), 2) +
+      math.pow(0.5 * math.sqrt(0.03 * 0.03 + 0.04 * 0.04), 2))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("haversine: known distances") {
+    val df = Seq((0.0, 0.0, 90.0, 0.0), (0.0, 0.0, 0.0, 90.0), (10.0, 20.0, 10.0, 20.0))
+      .toDF("ra1", "dec1", "ra2", "dec2")
+    val d = df.select(Photometry.haversineDeg(col("ra1"), col("dec1"), col("ra2"),
+      col("dec2")).as("d")).as[Double].collect()
+    assert(math.abs(d(0) - 90.0) < 1e-9)
+    assert(math.abs(d(1) - 90.0) < 1e-9)
+    assert(d(2) == 0.0)
+  }
+
+  test("composite key is string concat, not bit pack") {
+    val df = Seq((12L, 3)).toDF("a", "b")
+    val k = df.select(Photometry.compositeKey(col("a"), col("b")).as("k")).as[Long].head()
+    assert(k == 123L)
+  }
+
+  test("camera coord quadrant layout: 16 CCDs x 4 quadrants tile without overlap") {
+    val rcs = (0 until 64).map(rc => (rc.toLong, 1.0, 1.0)).toDF("rcid", "x", "y")
+    val (xc, yc) = Coords.cameraCoord(col("rcid"), col("x"), col("y"))
+    val pts = rcs.select(xc.as("xc"), yc.as("yc")).as[(Double, Double)].collect().toSet
+    assert(pts.size == 64) // every readout channel lands in a distinct tile
+  }
+
+  test("trim edges: kept and rejected partition the input") {
+    val df = graft.core.Tables.load(spark, sf001, "part")
+      .select(col("p_partkey"), (col("p_partkey") % 3072).as("x"),
+        ((col("p_partkey") * 7) % 3080).as("y"))
+    val (keep, rej) = Coords.trimEdges(df, "x", "y", 100, 100)
+    assert(keep.count() + rej.count() == df.count())
+    assert(keep.where(col("x") <= 100 || col("x") >= 2972).count() == 0)
+  }
+}
+
+class GroupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectGroups drops whole groups on any violation") {
+    val df = Seq((1L, 10.0), (1L, 60.0), (2L, 5.0), (2L, 7.0), (3L, 100.0))
+      .toDF("g", "v")
+    val (keep, drop) = GroupOps.selectGroups(df, "g", col("v") < 50)
+    assert(keep.select("g").distinct().as[Long].collect().toSet == Set(2L))
+    assert(drop.select("g").distinct().as[Long].collect().toSet == Set(1L, 3L))
+    assert(keep.count() + drop.count() == df.count())
+  }
+
+  test("thresholdSplit keeps nulls on the outlier side (pandas NaN rule)") {
+    val df = Seq(Some(1.0), Some(10.0), None).toDF("v")
+    val (clean, out) = GroupOps.thresholdSplit(df, col("v"), 5.0)
+    assert(clean.count() == 1 && out.count() == 2)
+  }
+
+  test("weighted centroid matches closed form") {
+    val df = Seq((1L, 0.0, 0.0, 1.0), (1L, 10.0, 10.0, 2.0)).toDF("g", "x", "y", "e")
+    val r = GroupOps.centroids(df, "g", "x", "y", weightErr = Some("e")).collect()(0)
+    // weights 1/e^2: 1 and 0.25 -> x = 10*0.25/1.25 = 2
+    assert(math.abs(r.getAs[Double]("x_centroid") - 2.0) < 1e-12)
+  }
+
+  test("outlier removal drops the planted outlier cluster") {
+    // 40 well-behaved clusters (diffs spread over ~0.12 mag in every
+    // bin) + one with a wild cal-ref offset
+    val rows = (1 to 40).flatMap { g =>
+      val diff = ((g * 7) % 13) * 0.01
+      (1 to 5).map(i => (g.toLong, 10.0 + g * 0.1, 10.0 + g * 0.1 + diff + 0.001 * i))
+    } ++ (1 to 5).map(i => (99L, 12.0, 17.0 + i))
+    val df = rows.toDF("cluster", "cal", "ref")
+    val (clean, outliers) = Outliers.iqrOutlierRemoval(
+      df, "cluster", col("cal"), col("ref"), cut = 3.0, nBins = 4)
+    assert(outliers.select("cluster").distinct().as[Long].collect().toSet == Set(99L))
+    assert(clean.count() == 200)
+  }
+
+  test("outlier removal with jenks binning runs and partitions input") {
+    val df = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_tax"), col("l_discount"))
+    val (clean, out) = Outliers.iqrOutlierRemoval(
+      df, "l_partkey",
+      col("l_quantity") + lit(10) * col("l_tax"),
+      col("l_quantity") + lit(10) * col("l_discount"),
+      cut = 2.0, nBins = 5, useJenks = true)
+    assert(clean.count() + out.count() == df.count())
+    assert(clean.count() > 0 && out.count() > 0)
+  }
+}
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nn join finds the true nearest inside the radius, nulls beyond") {
+    val left = Seq((1L, 0.0, 0.0), (2L, 500.0, 500.0)).toDF("lid", "lx", "ly")
+    val right = Seq((10L, 3.0, 4.0), (11L, 1.0, 1.0), (12L, 30.0, 0.0))
+      .toDF("rid", "rx", "ry")
+    val out = Spatial.nnJoinWithin(left, "lid", "lx", "ly", right, "rid", "rx", "ry",
+      radius = 10.0).orderBy("lid").collect()
+    assert(out(0).getAs[Long]("rid") == 11L)         // dist2 2 < 25
+    assert(out(1).isNullAt(out(1).fieldIndex("rid"))) // nothing within 10
+  }
+
+  test("nn join tie breaks by right id deterministically") {
+    val left = Seq((1L, 0.0, 0.0)).toDF("lid", "lx", "ly")
+    val right = Seq((20L, 5.0, 0.0), (10L, -5.0, 0.0)).toDF("rid", "rx", "ry")
+    val out = Spatial.nnJoinWithin(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 10.0)
+      .collect()(0)
+    assert(out.getAs[Long]("rid") == 10L)
+  }
+
+  test("theta circle join: largest grain wins, clean rows null") {
+    val src = Seq((1L, 0.0, 0.0), (2L, 100.0, 100.0)).toDF("sid", "sx", "sy")
+    val grains = Seq((50L, 1.0, 0.0, 5.0), (51L, 0.0, 1.0, 8.0)).toDF("gid", "gx", "gy", "gr")
+    val out = Spatial.thetaCircleJoin(src, "sid", "sx", "sy", grains, "gid", "gx", "gy", "gr")
+      .orderBy("sid").collect()
+    assert(out(0).getAs[Long]("gid") == 51L)  // larger radius wins
+    assert(out(1).isNullAt(out(1).fieldIndex("gid")))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decode stub: deterministic features with the right shape") {
+    val docs = Tables.load(spark, sf001, "documents").limit(20)
+    val blobbed = Multimodal.withBlob(docs, "text")
+    val f = Multimodal.decodeFeaturesStub(blobbed, "doc_id", "blob", dim = 8)
+    val rows = f.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Seq[Double]]("features").length == 8))
+    // ascii text -> every chunk mean within byte range
+    assert(rows.forall(_.getAs[Seq[Double]]("features").forall(v => v >= 32 && v < 127)))
+  }
+
+  test("frame sampling stub: every 4th 32-byte chunk") {
+    val docs = Tables.load(spark, sf001, "documents").limit(5)
+    val blobbed = Multimodal.withBlob(docs, "text")
+    val frames = Multimodal.frameSampleStub(blobbed, "doc_id", "blob", 32, 4)
+    import spark.implicits._
+    val byDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val lens = blobbed.select(col("doc_id"), octet_length(col("blob")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, cnt) =>
+      val nFrames = (lens(id) - 1) / 32 + 1
+      val expected = (0 until nFrames).count(_ % 4 == 0)
+      assert(cnt == expected, s"doc $id")
+    }
+  }
+}

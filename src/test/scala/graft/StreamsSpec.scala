@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.streaming.Streams
+
+/** The real Structured Streaming path: the same transform that the
+  * driver oracle checks in batch runs under readStream with the
+  * parquet source and a memory sink, and must produce identical rows.
+  */
+class StreamsSpec extends SparkSpec {
+
+  test("streaming hourly counts == batch hourly counts") {
+    val batch = Streams.hourlyTypeCounts(Tables.load(spark, sf001, "events"))
+      .orderBy("bucket", "event_type").collect()
+
+    // file streaming source wants a directory; stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Streams.eventsStream(spark, dir.toString)
+    val q = Streams.hourlyTypeCountsStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_out")
+      .orderBy("bucket", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session windows: gap merging semantics") {
+    import spark.implicits._
+    val ts = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:20:00", 2.0),   // same session (< 30 min)
+      (1L, "2024-01-01 11:30:00", 3.0),   // new session
+      (2L, "2024-01-01 10:00:00", 4.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Streams.userSessions(ts).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n") == 2 && out(0).getAs[Double]("v_sum") == 3.0)
+    assert(out(1).getAs[Long]("n") == 1)
+    assert(out(2).getAs[Long]("n") == 1 && out(2).getAs[Double]("v_sum") == 4.0)
+  }
+}
