@@ -47,9 +47,12 @@ object QueriesSources {
     "s1_file_scan",
     Some("""SELECT 'lineitem.parquet' AS file, count(*) AS n FROM lineitem"""),
     (s, dir) =>
+      // group on the raw path, strip to basename after the aggregate:
+      // one regexp per file instead of one per row
       t(s, dir, "lineitem")
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(count(lit(1)).as("n")))
+        .groupBy(input_file_name().as("path"))
+        .agg(count(lit(1)).as("n"))
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"), col("n")))
 
   /** S3+S7+EP1: per-file metadata (cache-or-reload) + metadata-pruned
     * source read + J1 metadata merge-back — the dataset.load()

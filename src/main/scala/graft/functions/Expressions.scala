@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Custom Catalyst expressions for the hot per-row kernels.
+  *
+  * The composable `transform`/`aggregate` higher-order forms of these
+  * (Text/Dedup/Vectors) are evaluated interpretively per *element* —
+  * orders of magnitude slower than a compiled loop. Each expression
+  * here makes ONE eval call per row and runs plain JVM code inside,
+  * while computing bit-identical results to the SQL the DuckDB oracle
+  * runs (md5 hex strings, IEEE double accumulation in index order).
+  */
+object Expressions {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct char k-shingles of the lowercased text; mirrors
+    * Text.charShingles / the oracle's substr-range SQL (a text shorter
+    * than k yields its single truncated shingle). */
+  private def shingleSet(text: String, k: Int): java.util.HashSet[String] = {
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    val set = new java.util.HashSet[String]()
+    if (lc.length <= k) { set.add(lc); return set }
+    var i = 0
+    val n = lc.length - k + 1
+    while (i < n) { set.add(lc.substring(i, i + k)); i += 1 }
+    set
+  }
+
+  /** MinHash LSH band keys of a text column, one compiled pass:
+    * shingle → numHashes × md5("j:"+shingle) minima → per-band md5 of
+    * the concatenated signature slice. Result: array of band-key hex
+    * strings (index = band id). */
+  case class MinHashBands(child: Expression, shingleSize: Int,
+                          numHashes: Int, bandSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bandSize == 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val mins = Array.fill[String](numHashes)(null)
+      val it = shingleSet(text, shingleSize).iterator()
+      while (it.hasNext) {
+        val sh = it.next()
+        var j = 0
+        while (j < numHashes) {
+          val h = md5Hex(s"$j:$sh")
+          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          j += 1
+        }
+      }
+      val nBands = numHashes / bandSize
+      val bands = new Array[Any](nBands)
+      var b = 0
+      while (b < nBands) {
+        val sb = new StringBuilder(32 * bandSize)
+        var i = 0
+        while (i < bandSize) { sb.append(mins(b * bandSize + i)); i += 1 }
+        bands(b) = UTF8String.fromString(md5Hex(sb.toString))
+        b += 1
+      }
+      new GenericArrayData(bands)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact Jaccard similarity of the char-k-shingle sets of two
+    * texts: |A∩B| / (|A|+|B|−|A∩B|), int counts, one double divide. */
+  case class ShingleJaccard(left: Expression, right: Expression, shingleSize: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = shingleSet(a.asInstanceOf[UTF8String].toString, shingleSize)
+      val sb = shingleSet(b.asInstanceOf[UTF8String].toString, shingleSize)
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two numeric arrays, accumulated in index
+    * order (bit-identical to the zip_with/aggregate fold and to the
+    * oracle up to the documented round-6). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    @inline private def valAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType   => arr.getLong(i).toDouble
+      case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(aa.numElements(), bb.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = valAt(aa, et1, i); val y = valAt(bb, et2, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // Column-level wrappers (classic-mode Column <-> Expression bridge)
+  def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
+    Bridge.column(
+      MinHashBands(Bridge.expression(c), shingleSize, numHashes, bandSize))
+
+  def shingleJaccard(a: Column, b: Column, shingleSize: Int): Column =
+    Bridge.column(ShingleJaccard(
+      Bridge.expression(a), Bridge.expression(b), shingleSize))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(
+      Bridge.expression(a), Bridge.expression(b)))
+}

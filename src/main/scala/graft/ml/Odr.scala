@@ -30,13 +30,20 @@ object Odr {
   /** Deming fit of z on u. `delta` = ratio of z-error variance to
     * u-error variance (1.0 = orthogonal distances). */
   def demingFit(df: DataFrame, u: Column, z: Column, delta: Double = 1.0): Fit = {
-    val row = df.agg(
+    // spread the moment computation across cores even when the source
+    // is a single parquet split; decimal sums are partition-order-
+    // independent, so the round-robin repartition stays deterministic
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val uu = col("_u"); val zz = col("_z")
+    val row = df.select(u.as("_u"), z.as("_z")).repartition(shufflePartitions)
+      .agg(
       count(lit(1)).as("n"),
-      Det.davg(u, 6).as("ub"),
-      Det.davg(z, 6).as("zb"),
-      Det.davg(u * u, 6).as("uub"),
-      Det.davg(z * z, 6).as("zzb"),
-      Det.davg(u * z, 6).as("uzb")).collect()(0)
+      Det.davg(uu, 6).as("ub"),
+      Det.davg(zz, 6).as("zb"),
+      Det.davg(uu * uu, 6).as("uub"),
+      Det.davg(zz * zz, 6).as("zzb"),
+      Det.davg(uu * zz, 6).as("uzb")).collect()(0)
     val n = row.getAs[Long]("n")
     require(n >= 2, "need at least 2 points to fit")
     val ub = row.getAs[Double]("ub"); val zb = row.getAs[Double]("zb")

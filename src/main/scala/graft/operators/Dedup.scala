@@ -48,10 +48,20 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 5, numHashes: Int = 8,
                             bandSize: Int = 2): DataFrame = {
-    val sig = minhashSignature(Text.charShingles(col(textCol), shingleSize), numHashes)
+    // repartition by id BEFORE the signature math: hashing costs
+    // numHashes·|shingles| md5s per doc — distribute it instead of
+    // computing inside a (possibly single-split) scan stage. The
+    // band keys come from the compiled MinHashBands expression (one
+    // eval per row); the small (id, band, key) projection is then
+    // materialized so the self-join doesn't recompute signatures.
     val banded = df
-      .select(col(idCol).as("_id"), bandKeys(sig, numHashes, bandSize).as("_bands"))
+      .select(col(idCol).as("_id"), col(textCol))
+      .repartition(col(idCol))
+      .select(col("_id"),
+        graft.functions.Expressions.minHashBands(col(textCol), shingleSize, numHashes, bandSize)
+          .as("_bands"))
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
+      .localCheckpoint()
     val a = banded.select(col("_band"), col("_key"), col("_id").as("a"))
     val b = banded.select(col("_band"), col("_key"), col("_id").as("b"))
     a.join(b, Seq("_band", "_key")).where(col("a") < col("b"))
@@ -64,12 +74,15 @@ object Dedup {
                            threshold: Double, shingleSize: Int = 5,
                            numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bandSize)
-    val sh = df.select(col(idCol).as("_sid"),
-      Text.charShingles(col(textCol), shingleSize).as("_sh"))
+    // join the raw texts back (cheaper to move than shingle arrays)
+    // and verify with the compiled shingle-jaccard kernel
+    val txt = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"))
     cands
-      .join(sh.select(col("_sid").as("a"), col("_sh").as("_sha")), Seq("a"))
-      .join(sh.select(col("_sid").as("b"), col("_sh").as("_shb")), Seq("b"))
-      .select(col("a"), col("b"), Text.jaccard(col("_sha"), col("_shb")).as("jaccard"))
+      .join(txt.select(col("_tid").as("a"), col("_txt").as("_ta")), Seq("a"))
+      .join(txt.select(col("_tid").as("b"), col("_txt").as("_tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.Expressions.shingleJaccard(col("_ta"), col("_tb"), shingleSize)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -77,8 +90,9 @@ object Dedup {
     * per-bit ±1 sums → one hash aggregate per document. Uses Spark's
     * native xxhash64 (not oracle-mirrorable; covered by DedupSpec). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("_id"),
-        explode(Text.tokens(col(textCol))).as("_tok"))
+    val tok = df.select(col(idCol).as("_id"), col(textCol))
+      .repartition(col(idCol))
+      .select(col("_id"), explode(Text.tokens(col(textCol))).as("_tok"))
       .withColumn("_h", xxhash64(col("_tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when((shiftright(col("_h"), i).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"_b$i")

@@ -31,8 +31,11 @@ object Vectors {
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
                      candidates: DataFrame, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val cos = round(cosine(toDoubles(col(qVec)), toDoubles(col(cVec))), 6)
-    val scored = candidates.join(broadcast(queries), col(qId) =!= col(cId))
+    val cos = round(graft.functions.Expressions.cosineSim(col(qVec), col(cVec)), 6)
+    // distribute the corpus before the O(|corpus|·|queries|·dim)
+    // math — a single-split scan would score on one core
+    val scored = candidates.repartition(col(cId))
+      .join(broadcast(queries), col(qId) =!= col(cId))
       .select(col(qId), col(cId), cos.as("cosine"))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
@@ -47,18 +50,21 @@ object Vectors {
     val b = df.select(col(blockCol).as("_blk"), col(idCol).as("b"), col(vecCol).as("_vb"))
     a.join(b, Seq("_blk")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(toDoubles(col("_va")), toDoubles(col("_vb"))), 6).as("cosine"))
+        round(graft.functions.Expressions.cosineSim(col("_va"), col("_vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits, each the
-    * sign of a pseudo-random ±1 projection (weights derived from
-    * xxhash64(plane, dim) — deterministic, data-independent). */
+    * sign of a pseudo-random ±1 projection. Weights are deterministic
+    * data-independent constants, materialized driver-side so the
+    * per-row work is one zip_with per plane (no per-element hashing). */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      val weights = Array.tabulate(dim) { d =>
+        if (scala.util.hashing.MurmurHash3.productHash((p, d)) % 2 == 0) 1.0 else -1.0
+      }
       val proj = aggregate(
-        zip_with(toDoubles(vec), sequence(lit(0), lit(dim - 1)),
-          (x, d) => x * (pmod(xxhash64(lit(p), d), lit(2)) * 2 - 1).cast(DoubleType)),
+        zip_with(toDoubles(vec), typedlit(weights), (x, w) => x * w),
         lit(0.0), (a2, x) => a2 + x)
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(0L))
     }
@@ -68,13 +74,15 @@ object Vectors {
     * VectorsSpec. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               dim: Int, planes: Int, k: Int): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, planes).as("_bucket"))
+    val bucketed = df.select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), dim, planes).as("_bucket"))
     val a = bucketed.select(col("_bucket"), col(idCol).as("qid"), col(vecCol).as("_qv"))
     val b = bucketed.select(col("_bucket"), col(idCol).as("cid"), col(vecCol).as("_cv"))
     val scored = a.join(b, Seq("_bucket")).where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(toDoubles(col("_qv")), toDoubles(col("_cv"))), 6).as("cosine"))
+        round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
