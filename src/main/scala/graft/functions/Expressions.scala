@@ -108,6 +108,43 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** 64-bit SimHash of whitespace-tokenized lowercased text in one
+    * compiled pass: token -> md5-derived 64-bit hash -> per-bit ±1
+    * sums -> sign bits. No explode, no shuffle — pure narrow map. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+      val sums = new Array[Int](64)
+      val d = md5Local.get()
+      var start = 0
+      val len = text.length
+      while (start < len) {
+        while (start < len && Character.isWhitespace(text.charAt(start))) start += 1
+        var end = start
+        while (end < len && !Character.isWhitespace(text.charAt(end))) end += 1
+        if (end > start) {
+          d.reset()
+          val h = d.digest(text.substring(start, end).getBytes("UTF-8"))
+          var tokenHash = 0L
+          var i = 0
+          while (i < 8) { tokenHash = (tokenHash << 8) | (h(i) & 0xffL); i += 1 }
+          var bit = 0
+          while (bit < 64) {
+            if (((tokenHash >>> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1
+            bit += 1
+          }
+        }
+        start = end
+      }
+      var sig = 0L
+      var bit = 0
+      while (bit < 64) { if (sums(bit) > 0) sig |= (1L << bit); bit += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in index
     * order (bit-identical to the zip_with/aggregate fold and to the
     * oracle up to the documented round-6). */
@@ -152,4 +189,7 @@ object Expressions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def simHash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
 }

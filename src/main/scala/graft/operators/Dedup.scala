@@ -86,23 +86,14 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from whitespace tokens, built scalably: explode →
-    * per-bit ±1 sums → one hash aggregate per document. Uses Spark's
-    * native xxhash64 (not oracle-mirrorable; covered by DedupSpec). */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("_id"), col(textCol))
+  /** 64-bit SimHash per document (md5-derived token hashes, sign-of-
+    * sum bits) via the compiled SimHash64 expression: one narrow map,
+    * no explode/shuffle. Not oracle-mirrorable; covered by DedupSpec. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
-      .select(col("_id"), explode(Text.tokens(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when((shiftright(col("_h"), i).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"_b$i")
-    }
-    val agg = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L))
-    }
-    agg.select(col("_id").as(idCol), sim.as("simhash"))
-  }
+      .select(col(idCol),
+        graft.functions.Expressions.simHash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
