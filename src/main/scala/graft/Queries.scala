@@ -109,10 +109,19 @@ object Queries {
 
   // ------------------------------------------------------------- registry
 
+  /** EP2: the full notebook pipeline (SURVEY §3) — not
+    * SQL-expressible end-to-end (DBSCAN inside); every stage is
+    * oracle-checked individually and the composition is specced. */
+  private val ep2Flagship = Q(
+    "ep2_flagship",
+    None,
+    (s, dir) => Pipeline.flagship(s, dir))
+
   val all: Seq[Q] = Seq(
     s2ScanPushdown,
     a3GroupStats,
     j1BroadcastJoin,
-    p1ExprFilter) ++ QueriesRelational.all ++ QueriesAgg.all ++
+    p1ExprFilter,
+    ep2Flagship) ++ QueriesRelational.all ++ QueriesAgg.all ++
     QueriesSpatial.all ++ QueriesText.all ++ QueriesSources.all
 }

@@ -2,9 +2,10 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. EP2: the reference's full notebook pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.all.head.fn(spark, "/root/testdata/sf0.001")
+    Pipeline.flagship(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.map(q => q.name -> q.fn).toMap
