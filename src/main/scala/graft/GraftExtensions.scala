@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Expressions
+
+/** SparkSessionExtensions entry point: registers the custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   -- or --
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT graft_cosine(a.embedding, b.embedding) ...
+  *   SELECT graft_minhash_bands(text, 5, 8, 4) ...
+  *   SELECT graft_shingle_jaccard(t1, t2, 5) ...
+  *   SELECT graft_simhash(text) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[Expressions.CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => Expressions.CosineSim(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[Expressions.MinHashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => Expressions.MinHashBands(
+        args(0), intLit(args(1), "shingleSize"),
+        intLit(args(2), "numHashes"), intLit(args(3), "bandSize"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_jaccard"),
+      new ExpressionInfo(classOf[Expressions.ShingleJaccard].getName, "graft_shingle_jaccard"),
+      (args: Seq[Expression]) => Expressions.ShingleJaccard(
+        args(0), args(1), intLit(args(2), "shingleSize"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Expressions.SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => Expressions.SimHash64(args(0))))
+  }
+}

@@ -38,6 +38,37 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Custom streaming state (SURVEY §2.10 extension surface):
+    * per-user running totals with `flatMapGroupsWithState` — emits a
+    * row whenever a user's cumulative value crosses another multiple
+    * of `step`. Works on a static Dataset too (Spark executes the
+    * state function per group in one pass). */
+  def runningTotalAlerts(events: DataFrame, step: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+           state: GroupState[Double]): Iterator[(Long, Double, Long)] = {
+      var total = state.getOption.getOrElse(0.0)
+      val alerts = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+      // deterministic order within the group
+      rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, v) =>
+        val before = (total / step).toLong
+        total += v
+        val after = (total / step).toLong
+        if (after > before) alerts += ((user, total, after))
+      }
+      state.update(total)
+      alerts.iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "running_total", "milestone")
+  }
+
   /** Read the events table as a (bounded) stream: same parquet file,
     * streaming source semantics. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
