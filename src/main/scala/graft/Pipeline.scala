@@ -37,11 +37,14 @@ object Pipeline {
       "l_quantity > 2 and l_returnflag in @flags", Map("flags" -> Seq("A", "N", "R")))
 
     // detections carry per-star sky positions with per-detection jitter
+    // materialized: every downstream stage (centroids, merge-back,
+    // group selection, outlier stats) re-scans this frame
     val withCoords = selected
       .withColumn("x", ((col("l_partkey") * 17) % 2000).cast("double")
         + (col("l_linenumber") % 3) * 0.1)
       .withColumn("y", ((col("l_partkey") * 29) % 2000).cast("double")
         + (col("l_suppkey") % 3) * 0.1)
+      .localCheckpoint()
 
     // A2: per-star centroids, then M1: DBSCAN them into sky clusters
     val centroids = GroupOps.centroids(withCoords, "l_partkey", "x", "y")
@@ -59,6 +62,7 @@ object Pipeline {
     val matched = Spatial.nnJoinWithin(
       withCluster, "l_partkey", "x_centroid", "y_centroid",
       calib, "s_suppkey", "sx", "sy", radius = 200.0)
+      .localCheckpoint()
 
     // J2-style merge-back onto every detection
     val merged = withCoords.join(
@@ -70,7 +74,7 @@ object Pipeline {
     val (kept, _) = GroupOps.selectGroups(merged, "cluster", col("dist2cal") <= 10000)
 
     // C2: calibrated magnitude against the matched calibrator
-    val calibrated = kept.withColumn("cal_mag",
+    val calibrated = kept.localCheckpoint().withColumn("cal_mag",
       graft.functions.Photometry.calMag(
         col("l_quantity"), col("zp_ref"),
         Some(col("l_discount")),

@@ -81,7 +81,7 @@ object QueriesAgg {
              ORDER BY expid, fieldid, rcid"""),
     (s, dir) => {
       val df = t(s, dir, "lineitem").select(
-        year(col("l_shipdate")).as("expid"),
+        year(col("l_shipdate")).cast(LongType).as("expid"),
         col("l_returnflag").as("fieldid"),
         col("l_linenumber").as("rcid"),
         (abs(lit(10) * (col("l_tax") - col("l_discount"))) * 1000).as("mmd"))

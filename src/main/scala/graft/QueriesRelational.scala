@@ -293,7 +293,7 @@ object QueriesRelational {
     (s, dir) =>
       t(s, dir, "lineitem")
         .select(
-          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).as("srcid"),
+          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast(LongType).as("srcid"),
           col("l_orderkey"), col("l_linenumber"))
         .orderBy("srcid"))
 

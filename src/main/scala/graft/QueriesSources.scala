@@ -76,7 +76,7 @@ object QueriesSources {
         selectCols = Seq("o_orderkey", "o_totalprice", "mon"),
         rowFilter = Some("o_totalprice > 50000"))
       ds.mergeMetadataToSources(Seq("n_rows"), joinOn = "mon")
-        .select("o_orderkey", "o_totalprice", "mon", "n_rows")
+        .select(col("o_orderkey"), col("o_totalprice"), col("mon").cast(LongType).as("mon"), col("n_rows"))
         .orderBy("o_orderkey")
     })
 
@@ -109,7 +109,7 @@ object QueriesSources {
       val cols = Seq("PATH", "mon2", "n_rows", "sum_price")
       ds.loadMetadata(aggs, cols, forceReload = true)   // build + write snapshot
       ds.loadMetadata(aggs, cols)                       // cache hit
-        .select(col("mon2").as("mon"), col("n_rows"), col("sum_price"))
+        .select(col("mon2").cast(LongType).as("mon"), col("n_rows"), col("sum_price"))
         .orderBy("mon")
     })
 
@@ -153,7 +153,7 @@ object QueriesSources {
             FROM documents ORDER BY doc_id"""),
     (s, dir) =>
       Multimodal.withBlob(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        .select(col("doc_id"), col("media_meta.n_bytes").cast(LongType).as("n_bytes"),
           col("media_meta.checksum").as("checksum"),
           ascii(col("text")).as("first_code"))
         .orderBy("doc_id"))
@@ -177,6 +177,7 @@ object QueriesSources {
       val blobbed = Multimodal.withBlob(t(s, dir, "documents"), "text")
       Multimodal.decodeFeaturesStub(blobbed, "doc_id", "blob", dim = 8)
         .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+        .select(col("doc_id"), col("dim").cast(LongType).as("dim"), col("feature"))
         .orderBy("doc_id", "dim")
     })
 

@@ -29,8 +29,8 @@ object QueriesText {
     (s, dir) =>
       t(s, dir, "documents").select(
           col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
-          length(col("text")).as("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
           Text.bpeTokenEstimate(col("text")).as("n_bpe_est"))
         .orderBy("doc_id"))
 

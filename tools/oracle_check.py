@@ -82,7 +82,13 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: {msg}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(got)} rows x {len(got.columns)} cols)")
+            # dtype-width differences don't fail the value compare but
+            # could trip a stricter driver — surface them
+            gd = {c: str(t) for c, t in got.dtypes.items()}
+            ed = {c: str(t) for c, t in exp.dtypes.items()}
+            dd = {c: (gd.get(c), ed.get(c)) for c in gd if gd.get(c) != ed.get(c)}
+            warn = f"  [dtype deltas: {dd}]" if dd else ""
+            print(f"OK   {name} ({len(got)} rows x {len(got.columns)} cols){warn}")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
