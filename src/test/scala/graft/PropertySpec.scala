@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{QueryDialect, Tables}
+import graft.functions.{Coords, Photometry}
+import graft.operators.GroupOps
+
+/** SURVEY §5.3 property tests. Spark-free properties run per
+  * generated sample; DataFrame properties run on bounded samples.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** Deterministic generator sampling (scalatest/scalacheck bridge is
+    * not on the offline classpath). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("C2: zero color coefficient => cal - mag == zp (closed form)") {
+    val g = for {
+      mag <- Gen.chooseNum(-30.0, 30.0); zp <- Gen.chooseNum(-5.0, 5.0)
+      c1 <- Gen.chooseNum(-2.0, 2.0); c2 <- Gen.chooseNum(-2.0, 2.0)
+    } yield (mag, zp, c1, c2)
+    val rows = samples(g, 50)
+    val df = rows.map { case (m, z, c1, c2) => (m, z, 0.0, c1, c2) }
+      .toDF("m", "z", "cc", "c1", "c2")
+    val out = df.select(col("m"), col("z"), Photometry.calMag(col("m"), col("z"),
+      Some(col("cc")), Some(col("c1")), Some(col("c2"))).as("cal")).collect()
+    out.foreach(r => assert(r.getDouble(2) == r.getDouble(0) + r.getDouble(1)))
+  }
+
+  test("QueryDialect: chained comparison == explicit conjunction on random bounds") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem").cache()
+    samples(Gen.zip(Gen.chooseNum(1, 49), Gen.chooseNum(1, 49)), 8).foreach {
+      case (a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val chained = QueryDialect.query(li, s"$lo <= l_quantity < $hi").count()
+        val explicit = li.where(col("l_quantity") >= lo && col("l_quantity") < hi).count()
+        assert(chained == explicit)
+    }
+  }
+
+  test("P8: trim partitions input; kept box is strictly inside") {
+    val pts = (1L to 500L).map(i => (i, (i * 37) % 3500, (i * 91) % 3500))
+      .toDF("id", "x", "y")
+    samples(Gen.chooseNum(1, 1500), 5).foreach { d =>
+      val (keep, rej) = Coords.trimEdges(pts, "x", "y", d, d)
+      assert(keep.count() + rej.count() == 500)
+      assert(keep.where(col("x") <= d || col("y") <= d).count() == 0)
+    }
+  }
+
+  test("J8: every surviving group satisfies the condition on all members") {
+    val df = (1L to 300L).map(i => (i % 40, (i * 13) % 100)).toDF("g", "v")
+    samples(Gen.chooseNum(5, 95), 5).foreach { cut =>
+      val (kept, dropped) = GroupOps.selectGroups(df, "g", col("v") < cut)
+      assert(kept.where(col("v") >= cut).count() == 0)
+      assert(kept.count() + dropped.count() == 300)
+      // dropped groups each contain at least one violator
+      val badGroups = df.where(col("v") >= cut).select("g").distinct().count()
+      assert(dropped.select("g").distinct().count() == badGroups)
+    }
+  }
+
+  test("U2: subtract(a, a) is empty; subtract(a, empty) == a") {
+    val a = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus")
+    assert(Tables.subtract(a, a).count() == 0)
+    assert(Tables.subtract(a, a.limit(0)).count() == a.count())
+  }
+
+  test("jaccard bounds and identity") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")), 10).foreach {
+      words =>
+        val t = words.mkString(" ")
+        val df = Seq((t, t)).toDF("x", "y")
+        // jaccard is defined on distinct-element sets
+        val j = df.select(graft.operators.Text.jaccard(
+          array_distinct(graft.operators.Text.tokens(col("x"))),
+          array_distinct(graft.operators.Text.tokens(col("y"))))).head().getDouble(0)
+        assert(j == 1.0)
+    }
+  }
+
+  test("composite key: parse(concat(a,b)) round-trips through strings") {
+    val pairs = samples(Gen.zip(Gen.chooseNum(1L, 999999L), Gen.chooseNum(0, 99)), 30)
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Photometry.compositeKey(col("a"), col("b")).as("k"))
+      .collect()
+    out.foreach(r => assert(r.getLong(2).toString == s"${r.getLong(0)}${r.getInt(1)}"))
+  }
+}
