@@ -123,5 +123,6 @@ object Queries {
     j1BroadcastJoin,
     p1ExprFilter,
     ep2Flagship) ++ QueriesRelational.all ++ QueriesAgg.all ++
-    QueriesSpatial.all ++ QueriesText.all ++ QueriesSources.all
+    QueriesSpatial.all ++ QueriesText.all ++ QueriesSources.all ++
+    QueriesAnalytics.all
 }

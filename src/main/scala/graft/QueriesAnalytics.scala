@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Det, Tables}
+
+/** General analytics surface beyond the reference's own operators:
+  * classic multi-join aggregates (join-order/broadcast planning
+  * showcases) and time-series windowing over the events stream.
+  */
+object QueriesAnalytics {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q3-shaped: segment-filtered revenue by order, top-priced spine.
+    * Catalyst broadcast-joins the filtered dimension. */
+  private val q3 = Q(
+    "tpch_q3ish",
+    Some(s"""SELECT l.l_orderkey,
+               ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               o.o_orderpriority
+             FROM customer c
+             JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE c.c_mktsegment = 'BUILDING'
+             GROUP BY l.l_orderkey, o.o_orderpriority
+             ORDER BY l_orderkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(l("l_orderkey"), o("o_orderpriority"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderpriority"))
+        .orderBy("l_orderkey")
+    })
+
+  /** Q5-shaped: regional nation revenue through a 6-table join —
+    * dimension chain broadcasts, one shuffle for the final aggregate. */
+  private val q5 = Q(
+    "tpch_q5ish",
+    Some(s"""SELECT n.n_name,
+               ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+             FROM customer c
+             JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             WHERE r.r_name = 'ASIA'
+             GROUP BY n.n_name ORDER BY n.n_name"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sp = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sp, l("l_suppkey") === sp("s_suppkey") &&
+          c("c_nationkey") === sp("s_nationkey"))
+        .join(n, sp("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    })
+
+  /** JSON property extraction from the events payload column. */
+  private val evJson = Q(
+    "ev_json_extract",
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""),
+    (s, dir) =>
+      t(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id"))
+
+  /** Time-series windows: previous value and 3-row rolling mean per
+    * user (exact decimal window sums keep it deterministic). */
+  private val evRolling = Q(
+    "ev_rolling_mean",
+    Some("""SELECT event_id, user_id, value,
+              lag(value) OVER w AS prev_value,
+              CAST(sum(CAST(value AS DECIMAL(30,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / count(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, ts, event_id"""),
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRoll = wOrd.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(wOrd).as("prev_value"),
+          (sum(col("value").cast(DecimalType(30, 6))).over(wRoll).cast(DoubleType)
+            / count(lit(1)).over(wRoll)).as("rolling_mean"))
+        .orderBy("user_id", "ts", "event_id")
+    })
+
+  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling)
+}
