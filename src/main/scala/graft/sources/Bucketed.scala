@@ -13,12 +13,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Persist `df` as a bucketed managed table (overwrite). */
+  /** Persist `df` as a bucketed table (overwrite). The explicit path
+    * makes the table external: drop the catalog entry AND clear the
+    * directory before rewriting. */
   def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_bucketed", table)
+    if (java.nio.file.Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     df.write.bucketBy(buckets, key).sortBy(key)
-      .option("path", s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+      .option("path", path.toString)
       .saveAsTable(table)
   }
 
