@@ -26,7 +26,11 @@ object Dedup {
   /** MinHash signature of a shingle-set column: for each of
     * `numHashes` hash functions, the minimum md5(seed:shingle).
     * Hex-string min == numeric min of the 128-bit hash — no integer
-    * conversion needed, and the DuckDB oracle can mirror it exactly. */
+    * conversion needed, and the DuckDB oracle can mirror it exactly.
+    * This and [[bandKeys]] are the composable pure-built-ins
+    * reference implementation; the pipeline itself uses the compiled
+    * [[graft.functions.Expressions.MinHashBands]] (same result,
+    * orders of magnitude faster on interpreted lambdas). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingles, x => md5(concat(lit(s"$j:"), x))))

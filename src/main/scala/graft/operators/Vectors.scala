@@ -11,8 +11,12 @@ import org.apache.spark.sql.expressions.Window
   * the candidate corpus — one scan, no shuffle of the big side).
   * Scale path: random-hyperplane LSH bucketing so only same-bucket
   * candidates are compared (bucket id is a high-cardinality shuffle
-  * key). All arithmetic is codegen'd `zip_with`/`aggregate` over the
-  * arrays — floats are widened to double before multiplying.
+  * key). The hot cosine kernel is the compiled
+  * [[graft.functions.Expressions.CosineSim]] expression; the
+  * composable `zip_with`/`aggregate` forms below are kept as the
+  * pure-built-ins reference implementation (identical results,
+  * asserted in VectorsSpec). Floats widen to double before
+  * multiplying.
   */
 object Vectors {
 

@@ -92,6 +92,19 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("compiled CosineSim == composable zip_with/aggregate cosine") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(100)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        col("b") === col("a") + 1)
+    val rows = pairs.select(
+      graft.functions.Expressions.cosineSim(col("va"), col("vb")).as("fast"),
+      Vectors.cosine(Vectors.toDoubles(col("va")), Vectors.toDoubles(col("vb"))).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("lsh buckets are deterministic") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
     val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
