@@ -117,6 +117,49 @@ object QueriesSpatial {
         .orderBy("p_partkey")
     })
 
+  private val sphereVecSql = (ra: String, dec: String, p: String) =>
+    s"""cos(radians($dec)) * cos(radians($ra)) AS ${p}x,
+        cos(radians($dec)) * sin(radians($ra)) AS ${p}y,
+        sin(radians($dec)) AS ${p}z"""
+
+  /** J3 spherical flavor: haversine NN within an angular radius on
+    * (ra, dec) — wrap/pole-safe via 3D unit-vector cells. Supplier
+    * coordinates are offset 0.05° so no cross-pair is coincident
+    * (coincident pairs would round-race libm noise at 1e-6 deg). */
+  private val j3s = Q(
+    "j3s_nn_sphere",
+    Some(s"""WITH p AS (SELECT p_partkey, (p_partkey % 3600) / 10.0 AS ra,
+               ((p_partkey * 7) % 1200) / 10.0 - 60 AS dec FROM part),
+             s AS (SELECT s_suppkey, (s_suppkey * 37) % 3600 / 10.0 + 0.05 AS ra,
+               ((s_suppkey * 91) % 1200) / 10.0 - 60 + 0.05 AS dec FROM supplier),
+             pv AS (SELECT p_partkey, ${sphereVecSql("ra", "dec", "u")} FROM p),
+             sv AS (SELECT s_suppkey, ${sphereVecSql("ra", "dec", "v")} FROM s),
+             cand AS (SELECT pv.p_partkey, sv.s_suppkey,
+               round(degrees(2.0 * asin(sqrt(
+                 (ux - vx) * (ux - vx) + (uy - vy) * (uy - vy)
+                 + (uz - vz) * (uz - vz)) / 2.0)), 6) AS dist_deg
+               FROM pv, sv),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY p_partkey ORDER BY dist_deg, s_suppkey) AS rn
+               FROM cand WHERE dist_deg <= 2.0) WHERE rn = 1)
+             SELECT p.p_partkey, best.s_suppkey, best.dist_deg
+             FROM p LEFT JOIN best ON p.p_partkey = best.p_partkey
+             ORDER BY p.p_partkey"""),
+    (s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_partkey"),
+        ((col("p_partkey") % 3600) / 10.0).as("ra"),
+        (((col("p_partkey") * 7) % 1200) / 10.0 - 60).as("dec"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        ((col("s_suppkey") * 37) % 3600 / 10.0 + 0.05).as("sra"),
+        (((col("s_suppkey") * 91) % 1200) / 10.0 - 60 + 0.05).as("sdec"))
+      Spatial.nnJoinSphere(p, "p_partkey", "ra", "dec",
+          sup, "s_suppkey", "sra", "sdec", radiusDeg = 2.0)
+        .select("p_partkey", "s_suppkey", "dist_deg")
+        .orderBy("p_partkey")
+    })
+
   /** J9: point-in-circle theta join, largest-grain-wins
     * (srcdf.py:616-694 tag_dust). Clean rows keep null grain columns
     * (split on `dust_r IS NULL` = reference's clean/dusty split). */
@@ -257,5 +300,5 @@ object QueriesSpatial {
         lit(fit.b0).as("b0"), lit(fit.b1).as("b1"), lit(fit.n).as("n"))
     })
 
-  val all: Seq[Q] = Seq(j3, j4, j5, j9, m1, m2, m3, m4)
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4)
 }

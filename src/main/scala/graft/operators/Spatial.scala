@@ -70,6 +70,61 @@ object Spatial {
     left.join(best, Seq(leftId), "left")
   }
 
+  /** J3 on the sphere: nearest neighbor within an angular radius for
+    * (ra, dec) degree coordinates — wrap- and pole-safe.
+    *
+    * Positions are embedded on the 3D unit sphere; an angular
+    * separation θ equals a chord length 2·sin(θ/2), so the spherical
+    * range search is an exact euclidean range search in 3D and the
+    * same grid-cell trick applies with a 3×3×3 neighborhood (the
+    * reference's healpix probe, PS1Cal_matching.py:198-200, plays
+    * this role). Ranking uses the angular distance rounded to 1e-6
+    * degrees (libm trig differs across platforms in the last ulp),
+    * ties broken by `rightId`.
+    */
+  def nnJoinSphere(left: DataFrame, leftId: String, lRa: String, lDec: String,
+                   right: DataFrame, rightId: String, rRa: String, rDec: String,
+                   radiusDeg: Double, broadcastRight: Boolean = true): DataFrame = {
+    val chord = 2.0 * math.sin(math.toRadians(radiusDeg) / 2.0)
+    def unitVec(ra: Column, dec: Column): (Column, Column, Column) = (
+      cos(radians(dec)) * cos(radians(ra)),
+      cos(radians(dec)) * sin(radians(ra)),
+      sin(radians(dec)))
+    def cellId(c: Column): Column = floor(c / chord).cast("long")
+
+    val (lx, ly, lz) = unitVec(col(lRa), col(lDec))
+    val leftC = left.withColumn("_ux", lx).withColumn("_uy", ly).withColumn("_uz", lz)
+      .withColumn("_cx", cellId(col("_ux")))
+      .withColumn("_cy", cellId(col("_uy")))
+      .withColumn("_cz", cellId(col("_uz")))
+
+    val (rx, ry, rz) = unitVec(col(rRa), col(rDec))
+    val d = explode(array(lit(-1), lit(0), lit(1)))
+    val rightC = right
+      .withColumn("_vx", rx).withColumn("_vy", ry).withColumn("_vz", rz)
+      .withColumn("_dx", d).withColumn("_dy", d).withColumn("_dz", d)
+      .withColumn("_cx", cellId(col("_vx")) + col("_dx"))
+      .withColumn("_cy", cellId(col("_vy")) + col("_dy"))
+      .withColumn("_cz", cellId(col("_vz")) + col("_dz"))
+      .drop("_dx", "_dy", "_dz")
+    val rightSide = if (broadcastRight) broadcast(rightC) else rightC
+
+    val chord2 = (col("_ux") - col("_vx")) * (col("_ux") - col("_vx")) +
+      (col("_uy") - col("_vy")) * (col("_uy") - col("_vy")) +
+      (col("_uz") - col("_vz")) * (col("_uz") - col("_vz"))
+    val distDeg = round(degrees(lit(2.0) * asin(sqrt(chord2) / 2.0)), 6)
+    val rightCols = right.columns.filter(_ != leftId).toIndexedSeq
+    val cand = leftC.join(rightSide, Seq("_cx", "_cy", "_cz"))
+      .withColumn("dist_deg", distDeg)
+      .where(col("dist_deg") <= radiusDeg)
+      .select((col(leftId) +: rightCols.map(col)) :+ col("dist_deg"): _*)
+    val w = Window.partitionBy(leftId).orderBy(col("dist_deg"), col(rightId))
+    val best = cand.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+    left.join(best, Seq(leftId), "left")
+  }
+
   /** J9: point-in-circle theta join with largest-grain-wins
     * (srcdf.py:616-694 tag_dust: sort-asc-overwrite becomes a
     * rank-desc window). Grains are broadcast (dimension-sized).
