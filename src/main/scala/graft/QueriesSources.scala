@@ -94,6 +94,32 @@ object QueriesSources {
         .orderBy("n_nationkey")
     })
 
+  /** S6 flavor: gzip JSON sink + source round-trip (schema-preserving
+    * reads across text formats). */
+  private val s6json = Q(
+    "s6_json_roundtrip",
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer ORDER BY c_custkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val path = scratch(dir, "customer_json")
+      c.coalesce(1).write.mode("overwrite")
+        .option("compression", "gzip").json(path)
+      s.read.schema(c.schema).json(path).orderBy("c_custkey")
+    })
+
+  /** S6 flavor: ORC sink + source round-trip (columnar alternative). */
+  private val s6orc = Q(
+    "s6_orc_roundtrip",
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM supplier ORDER BY s_suppkey"""),
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val path = scratch(dir, "supplier_orc")
+      sup.coalesce(1).write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("s_suppkey")
+    })
+
   /** S7: cache-or-reload — second load must hit the parquet snapshot
     * (column-compat check, dataset.py:81-89). */
   private val s7 = Q(
@@ -181,5 +207,5 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s7, st1, st2, mm1, mm2)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, mm1, mm2)
 }
