@@ -34,6 +34,28 @@ object QueriesAgg {
       GroupOps.centroids(df, "p_brand", "x", "y").orderBy("p_brand")
     })
 
+  /** A2 weighted variant: inverse-variance-weighted centroid — the
+    * aggregation the reference declares but leaves NotImplemented
+    * (objtable.py:195-196): sum(x/e²)/sum(1/e²), decimal-exact sums
+    * for cross-engine determinism. */
+  private val a2w = Q(
+    "a2_weighted_centroids",
+    Some(s"""WITH t AS (SELECT p_brand, p_partkey % 3072 AS x,
+               1.0 + (p_partkey % 7) / 10.0 AS e FROM part)
+             SELECT p_brand,
+               ${sqlDsum("x / (e * e)", 8)} / ${sqlDsum("1.0 / (e * e)", 8)} AS x_centroid
+             FROM t GROUP BY p_brand ORDER BY p_brand"""),
+    (s, dir) => {
+      val df = t(s, dir, "part").select(
+        col("p_brand"),
+        (col("p_partkey") % 3072).as("x"),
+        (lit(1.0) + (col("p_partkey") % 7) / 10.0).as("e"))
+      df.groupBy("p_brand")
+        .agg((dsum(col("x") / (col("e") * col("e")), 8) /
+          dsum(lit(1.0) / (col("e") * col("e")), 8)).as("x_centroid"))
+        .orderBy("p_brand")
+    })
+
   /** A4: per-group mean magnitudes and their difference
     * (_objtable_methods.py:336-341). */
   private val a4 = Q(
@@ -371,6 +393,6 @@ object QueriesAgg {
         .orderBy("p_partkey")
     })
 
-  val all: Seq[Q] = Seq(a2, a4, a5, a6, a7, a8, a10, a12, a13, a14,
+  val all: Seq[Q] = Seq(a2, a2w, a4, a5, a6, a7, a8, a10, a12, a13, a14,
     w1, w2, w3, c2, c3, c4, c5, c12)
 }
