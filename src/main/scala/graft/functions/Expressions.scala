@@ -147,10 +147,47 @@ object Expressions {
 
   /** Cosine similarity of two numeric arrays, accumulated in index
     * order (bit-identical to the zip_with/aggregate fold and to the
-    * oracle up to the documented round-6). */
+    * oracle up to the documented round-6). Implements doGenCode, so
+    * it fuses into the surrounding whole-stage-codegen span instead
+    * of forcing an interpreted island. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+
+    private def genGetter(arr: String, et: DataType, i: String): String = et match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other       => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = ${genGetter(a, et1, i)};
+          double $y = ${genGetter(b, et2, i)};
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        """
+      })
+    }
     @inline private def valAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
       case FloatType  => arr.getFloat(i).toDouble
       case DoubleType => arr.getDouble(i)
