@@ -218,6 +218,18 @@ object QueriesText {
           dim = 64, planes = 4, k = 3)
         .orderBy(col("qid"), col("cosine").desc, col("cid")))
 
+  /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
+    * lists). Rows-only check; recall vs brute force in VectorsSpec. */
+  private val ssIvf = Q(
+    "ss_topk_ivf",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 3)
+        .orderBy(col("qid"), col("cosine").desc, col("cid"))
+    })
+
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    ddExact, ddMinhash, ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh)
+    ddExact, ddMinhash, ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh, ssIvf)
 }

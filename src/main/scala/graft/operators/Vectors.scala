@@ -73,6 +73,83 @@ object Vectors {
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(0L))
     }
 
+  /** IVF coarse quantizer: k-means centroids trained driver-side on a
+    * bounded sample (deterministic: seeded sample order, fixed
+    * iterations), returned as plain arrays. At 100 TB the sample is
+    * a tiny `TABLESAMPLE`; assignment below stays fully distributed.
+    */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, nCentroids: Int,
+                        iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample = df.select(vecCol).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nCentroids, "not enough vectors to train IVF")
+    val dim = sample.head.length
+    // deterministic init: spread over the sample
+    var centroids = Array.tabulate(nCentroids)(c => sample(c * (sample.length / nCentroids)).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCentroids) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(nCentroids, dim)(0.0)
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        val c = nearest(v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nCentroids) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF-bucketed approximate top-k: assign every vector to its
+    * nearest coarse centroid (distributed argmin over broadcast
+    * centroid literals), probe each query's `nProbe` nearest lists.
+    * The inverted-list id is the shuffle key — the scale path when
+    * hyperplane LSH recall is poor on near-isotropic data. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.Expressions.cosineSim
+    def dist2ToCentroid(c: Array[Double]): Column = {
+      val cl = typedlit(c)
+      aggregate(zip_with(toDoubles(col(vecCol)), cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    // rank centroids per row; cell = argmin, probe list = top nProbe
+    val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2ToCentroid(c).as("d"), lit(i).as("c"))
+    }: _*)
+    val ranked = array_sort(dists)
+    val base = df.select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .withColumn("_ranked", ranked)
+    val candidates = base.select(col(idCol).as("cid"), col(vecCol).as("_cv"),
+      col("_ranked").getItem(0).getField("c").as("_cell"))
+    val queries = base.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+      explode(slice(col("_ranked"), 1, nProbe)).as("_probe"))
+      .select(col("qid"), col("_qv"), col("_probe.c").as("_cell"))
+    val scored = queries.join(candidates, Seq("_cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** LSH-bucketed approximate top-k: compare only within buckets.
     * Same output shape as [[bruteForceTopK]]; recall measured in
     * VectorsSpec. */

@@ -105,6 +105,20 @@ class VectorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("IVF top-k recall beats LSH on these embeddings") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 4)
+    val ivf = Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing half the lists must recover well over half the true
+    // neighbors (near neighbors share coarse cells)
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("lsh buckets are deterministic") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
     val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
