@@ -38,8 +38,11 @@ object Pipeline {
 
     // detections carry per-star sky positions with per-detection jitter
     // materialized: every downstream stage (centroids, merge-back,
-    // group selection, outlier stats) re-scans this frame
+    // group selection, outlier stats) re-scans this frame — projected
+    // down to the columns the pipeline actually uses first
     val withCoords = selected
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_discount", "l_extendedprice", "o_orderstatus")
       .withColumn("x", ((col("l_partkey") * 17) % 2000).cast("double")
         + (col("l_linenumber") % 3) * 0.1)
       .withColumn("y", ((col("l_partkey") * 29) % 2000).cast("double")

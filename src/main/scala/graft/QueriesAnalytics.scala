@@ -112,5 +112,36 @@ object QueriesAnalytics {
         .orderBy("user_id", "ts", "event_id")
     })
 
-  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling)
+  /** ROLLUP hierarchy totals (beyond the reference's flat groupbys —
+    * subtotal rows carry nulls in both engines). */
+  private val aggRollup = Q(
+    "agg_rollup",
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ${sqlDsum("l_quantity")} AS sum_qty
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
+  /** Pivot: per-band columns — the reference's bandwise magnitude
+    * columns (_objtable_methods.py:158-188) are exactly a pivot of
+    * values by filter id. Oracle: explicit CASE aggregation. */
+  private val aggPivot = Q(
+    "agg_pivot_bandwise",
+    Some(s"""SELECT user_id,
+               ${sqlDsum("CASE WHEN event_type = 'click' THEN value END", 6)} AS click,
+               ${sqlDsum("CASE WHEN event_type = 'view' THEN value END", 6)} AS view,
+               ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value END", 6)} AS purchase
+             FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(dsum(col("value"), 6))
+        .orderBy("user_id"))
+
+  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, aggRollup, aggPivot)
 }
