@@ -330,13 +330,14 @@ object QueriesAgg {
             q AS (SELECT p_partkey, rcid, x, y,
               CAST(floor(rcid / 4) AS BIGINT) + 1 AS ccd,
               rcid % 4 + 1 AS quad FROM t),
-            g AS (SELECT *, (ccd - 1) % 4 AS ccdcol,
-              CAST(floor((ccd - 1) / 4) AS BIGINT) AS ccdrow,
-              CASE WHEN quad IN (1, 4) THEN 1 ELSE 0 END AS qcol,
-              CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END AS qrow FROM q)
+            g AS (SELECT *,
+              2 * CAST(floor((ccd - 1) / 4) AS BIGINT)
+                + CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END AS yrc,
+              2 * (4 - (ccd - 1) % 4) - 1
+                - CASE WHEN quad IN (2, 3) THEN 1 ELSE 0 END AS xrc FROM q)
             SELECT p_partkey, rcid,
-              (ccdcol * 2 + qcol) * 3072 + ccdcol * 7 + x AS xcam,
-              (ccdrow * 2 + qrow) * 3080 + ccdrow * 10 + y AS ycam
+              CAST(floor(xrc / 2) AS BIGINT) * 7 + xrc * 3072 + x AS xcam,
+              CAST(floor(yrc / 2) AS BIGINT) * 10 + yrc * 3080 + y AS ycam
             FROM g ORDER BY p_partkey"""),
     (s, dir) => {
       val df = t(s, dir, "part").select(
@@ -354,8 +355,8 @@ object QueriesAgg {
               p_partkey % 3072 AS x, (p_partkey * 7) % 3080 AS y FROM part),
             q AS (SELECT p_partkey, rcid, x, y, rcid % 4 + 1 AS quad FROM t)
             SELECT p_partkey, rcid,
-              CASE WHEN quad IN (1, 4) THEN 1 ELSE 0 END * 3072 + x AS xccd,
-              CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END * 3080 + y AS yccd
+              CASE WHEN quad IN (1, 4) THEN 1 ELSE 0 END * 3072 - x AS xccd,
+              CASE WHEN quad IN (1, 2) THEN 1 ELSE 0 END * 3080 - y AS yccd
             FROM q ORDER BY p_partkey"""),
     (s, dir) => {
       val df = t(s, dir, "part").select(

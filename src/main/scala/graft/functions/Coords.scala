@@ -31,16 +31,20 @@ object Coords {
                   rotate: Boolean = false): (Column, Column) = {
     val ccd = ccdFromRc(rcid)        // 1..16
     val q = quadFromRc(rcid)         // 1..4
-    val ccdCol = pmod(ccd - 1, lit(4))      // 0..3 CCD grid column
-    val ccdRow = floor((ccd - 1) / 4)       // 0..3 CCD grid row
-    // quadrant position inside the CCD: q1 UR, q2 UL, q3 LL, q4 LR
-    val qCol = when(q === 1 || q === 4, 1).otherwise(0)
-    val qRow = when(q === 1 || q === 2, 1).otherwise(0)
-    val xq = when(lit(rotate), lit(XSizePix) - x).otherwise(x)
-    val yq = when(lit(rotate), lit(YSizePix) - y).otherwise(y)
-    val xcam = (ccdCol * 2 + qCol) * XSizePix + ccdCol * xgapPix + xq
-    val ycam = (ccdRow * 2 + qRow) * YSizePix + ccdRow * ygapPix + yq
-    (xcam, ycam)
+    // Zero-indexed RC grid position (0..7 each axis), origin at the
+    // bottom-left corner of the camera so RC 14 -> (0, 0) and
+    // RC 48 -> (7, 7) (srcdf.py:488-490): the CCD grid column counts
+    // DOWN with (ccd-1)%4 — CCD column 0 is rightmost on camera.
+    val yrc = lit(2) * floor((ccd - 1) / 4) +
+      when(q === 1 || q === 2, 1).otherwise(0)
+    val xrc = lit(2) * (lit(4) - pmod(ccd - 1, lit(4))) - 1 -
+      when(q === 2 || q === 3, 1).otherwise(0)
+    // lower-left camera position of each RC incl. inter-CCD gaps
+    // (srcdf.py:494-496), then the in-RC offset: rotate=180deg negates
+    // the local coordinate (xll - x), not XSIZE - x (srcdf.py:499-504).
+    val xll = floor(xrc / 2) * xgapPix + xrc * XSizePix
+    val yll = floor(yrc / 2) * ygapPix + yrc * YSizePix
+    if (rotate) (xll - x, yll - y) else (xll + x, yll + y)
   }
 
   /** CCD-wide coordinates (srcdf.py:509-575 compute_ccd_coord, fixing
@@ -48,11 +52,16 @@ object Coords {
     * a 2-quadrant-by-2-quadrant CCD frame, optional 180° rotation for
     * quadrants 1 and 2.
     */
-  def ccdCoord(rcid: Column, x: Column, y: Column): (Column, Column) = {
+  def ccdCoord(rcid: Column, x: Column, y: Column,
+               rotate: Boolean = true): (Column, Column) = {
     val q = quadFromRc(rcid)
     val qCol = when(q === 1 || q === 4, 1).otherwise(0)
     val qRow = when(q === 1 || q === 2, 1).otherwise(0)
-    (qCol * XSizePix + x, qRow * YSizePix + y)
+    // rotate=true (the reference default, srcdf.py:560-563) negates the
+    // local coordinates before adding the quadrant corner offset.
+    val xr = if (rotate) -x else x
+    val yr = if (rotate) -y else y
+    (qCol * XSizePix + xr, qRow * YSizePix + yr)
   }
 
   /** P8: edge trim (srcdf.py:578-613 trim_edges). Keeps sources at

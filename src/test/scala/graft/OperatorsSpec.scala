@@ -51,6 +51,38 @@ class PhotometrySpec extends SparkSpec {
     assert(pts.size == 64) // every readout channel lands in a distinct tile
   }
 
+  test("camera coord pins the reference grid: RC14 at (0,0), RC48 at (7,7)") {
+    // srcdf.py:488-490: zero-indexed grid from the bottom-left corner,
+    // RC 14 at position (0, 0) and RC 48 at (7, 7).
+    val df = Seq((14L, 0.0, 0.0), (48L, 0.0, 0.0)).toDF("rcid", "x", "y")
+    val (xc, yc) = Coords.cameraCoord(col("rcid"), col("x"), col("y"))
+    val m = df.select(col("rcid"), xc.as("xc"), yc.as("yc"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(14L) == ((0.0, 0.0)))
+    // grid (7,7): xll = 3*7 + 7*3072, yll = 3*10 + 7*3080
+    assert(m(48L) == ((21525.0, 21590.0)))
+  }
+
+  test("camera coord rotate subtracts the local coordinate (xll - x)") {
+    val df = Seq((14L, 5.0, 6.0)).toDF("rcid", "x", "y")
+    val (xc, yc) = Coords.cameraCoord(col("rcid"), col("x"), col("y"), rotate = true)
+    val (px, py) = df.select(xc, yc).as[(Double, Double)].head()
+    assert(px == -5.0 && py == -6.0)
+  }
+
+  test("ccd coord rotate default negates local x,y (srcdf.py:560-563)") {
+    val df = Seq((0L, 10.0, 20.0), (2L, 10.0, 20.0)).toDF("rcid", "x", "y")
+    val (xr, yr) = Coords.ccdCoord(col("rcid"), col("x"), col("y"))
+    val rot = df.select(col("rcid"), xr.as("x"), yr.as("y"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rot(0L) == ((3072.0 - 10.0, 3080.0 - 20.0))) // q=1: corner minus local
+    assert(rot(2L) == ((-10.0, -20.0)))                 // q=3: origin minus local
+    val (xn, yn) = Coords.ccdCoord(col("rcid"), col("x"), col("y"), rotate = false)
+    val plain = df.where(col("rcid") === 0)
+      .select(xn, yn).as[(Double, Double)].head()
+    assert(plain == ((3082.0, 3100.0)))
+  }
+
   test("trim edges: kept and rejected partition the input") {
     val df = graft.core.Tables.load(spark, sf001, "part")
       .select(col("p_partkey"), (col("p_partkey") % 3072).as("x"),
