@@ -12,33 +12,57 @@ import org.apache.spark.sql.types._
   * the aggregate bit-deterministic in both engines; derived scalar
   * double math (division, sqrt — IEEE-defined) stays deterministic.
   * The `sql*` twins emit the equivalent DuckDB SQL.
+  *
+  * Error model (two independent bounds; pick `scale` between them):
+  *
+  *  1. Quantization: each element is rounded to 1e-scale before the
+  *     exact decimal sum, so the sum carries absolute error
+  *     < n/2 * 1e-scale. Raise `scale` for small-magnitude data —
+  *     at scale 4, squares below 5e-5 quantize to zero (ADVICE r01).
+  *  2. Conversion: the final decimal->double cast is correctly
+  *     rounded in the JVM (BigDecimal.doubleValue) but DuckDB
+  *     converts unscaled-int128 -> double -> /10^scale, a double
+  *     rounding. The two agree iff the unscaled result fits in a
+  *     double's 53-bit mantissa: |sum| * 10^scale < 2^53 ~ 9e15.
+  *     Keep log10|sum| + scale <= 15 or the last ulp can differ
+  *     across engines (observed empirically on group sums ~1e17
+  *     unscaled).
+  *
+  * Tie-points of k-decimal rounding are not binary-representable for
+  * k >= 1, so the element-level double->decimal cast itself cannot
+  * disagree across engines. Default scale 6 suits sums up to ~1e9;
+  * pass a higher scale for small-magnitude data, lower for huge sums.
+  * (Oracle-parity mode only — at production scale use plain `sum`.)
   */
 object Det {
-  def dsum(c: Column, scale: Int = 4): Column =
+  def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
 
-  def davg(c: Column, scale: Int = 4): Column =
+  def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(lit(1))
 
   /** Sample standard deviation from exact sums (ddof=1, matching
-    * pandas `std` — SURVEY §2.4 A3). */
-  def dstd(c: Column, scale: Int = 4): Column = {
+    * pandas `std` — SURVEY §2.4 A3). `scale2` controls the
+    * squared-sum term separately (squares of small values need more
+    * places; squares of large values hit conversion bound #2
+    * sooner); < 0 means "same as scale". */
+  def dstd(c: Column, scale: Int = 6, scale2: Int = -1): Column = {
     val n = count(lit(1)).cast(DoubleType)
     val s1 = dsum(c, scale)
-    val s2 = dsum(c * c, scale)
+    val s2 = dsum(c * c, if (scale2 < 0) scale else scale2)
     when(n > 1, sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - lit(1.0)))))
   }
 
-  def sqlDsum(x: String, scale: Int = 4): String =
+  def sqlDsum(x: String, scale: Int = 6): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(30,$scale))) AS DOUBLE)"
 
-  def sqlDavg(x: String, scale: Int = 4): String =
+  def sqlDavg(x: String, scale: Int = 6): String =
     s"${sqlDsum(x, scale)} / count(*)"
 
-  def sqlDstd(x: String, scale: Int = 4): String = {
+  def sqlDstd(x: String, scale: Int = 6, scale2: Int = -1): String = {
     val n = "CAST(count(*) AS DOUBLE)"
     val s1 = sqlDsum(x, scale)
-    val s2 = sqlDsum(s"($x)*($x)", scale)
+    val s2 = sqlDsum(s"($x)*($x)", if (scale2 < 0) scale else scale2)
     s"CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0, ($s2 - $s1*$s1/$n) / ($n - 1.0))) END"
   }
 }

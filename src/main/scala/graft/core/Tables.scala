@@ -75,13 +75,32 @@ object Tables {
     * RAM. On Spark, Parquet encodings + Tungsten make this mostly
     * unnecessary; provided as an explicit utility. Spark has no
     * unsigned types, so ints stay signed (next-wider as needed).
+    *
+    * Value-safe, like pandas' `pd.to_numeric(downcast=...)`: a long
+    * column is only narrowed after a single min/max aggregate pass
+    * proves every value fits in Int range (string-concat composite
+    * keys routinely exceed it; under Spark 4's ANSI default a blind
+    * cast would throw). Columns that don't fit keep their wider type.
+    * Costs one action over the long columns; call on cached or
+    * pre-aggregated data, not mid-lineage.
     */
   def downcast(df: DataFrame, floats: Boolean = true, ints: Boolean = true): DataFrame = {
+    val longCols = df.schema.fields.collect { case f if f.dataType == LongType => f.name }
+    val fits: Set[String] =
+      if (!ints || longCols.isEmpty) Set.empty
+      else {
+        val aggs = longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+        longCols.zipWithIndex.collect {
+          case (c, i) if row.isNullAt(2 * i) || // all-null column: narrow freely
+            (row.getLong(2 * i) >= Int.MinValue && row.getLong(2 * i + 1) <= Int.MaxValue) => c
+        }.toSet
+      }
     val cols = df.schema.fields.map { f =>
       f.dataType match {
-        case DoubleType if floats => col(f.name).cast(FloatType).as(f.name)
-        case LongType if ints     => col(f.name).cast(IntegerType).as(f.name)
-        case _                    => col(f.name)
+        case DoubleType if floats              => col(f.name).cast(FloatType).as(f.name)
+        case LongType if fits.contains(f.name) => col(f.name).cast(IntegerType).as(f.name)
+        case _                                 => col(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)
