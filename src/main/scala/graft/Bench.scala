@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query, median-of-3 timings
+  * (single-run numbers at sf0.1 vary ±20%+ with machine load and GC —
+  * the r01 bench attributed a 42s outlier to a 0.4s-warm query), one
+  * JSON line with per-query medians and an explicit `errors` map. A
+  * failing query can only make the bench WORSE (rc=1 + error entry),
+  * never faster.
+  */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,15 +24,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first timed query isn't inflated
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).replaceAll("\\s+", " ").take(200)
+            errors(name) = msg
+            System.err.println(s"[bench] $name FAILED: $msg")
+            None
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

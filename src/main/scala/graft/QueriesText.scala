@@ -120,6 +120,47 @@ object QueriesText {
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4)
         .orderBy("a", "b"))
 
+  /** MinHash + LSH near-dedup, polynomial/LCG hash family — the
+    * ENGINE path for scale (VERDICT r01 #1): Horner shingle codes +
+    * per-hash LCG replace 8 md5 compress calls per shingle with a few
+    * multiplies, and the family is still exactly SQL-mirrorable (all
+    * arithmetic < 2^63), so this keeps the full hash-match gate
+    * rather than dropping to a rows-only check. */
+  private val ddMinhashPoly = Q(
+    "dd_minhash_lsh_poly",
+    Some {
+      val coeffs = graft.functions.Expressions.polyCoeffs(8)
+      val code = """CASE WHEN length(x) = 0 THEN 0
+        ELSE list_reduce(list_transform(range(1, length(x) + 1),
+          i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
+          (a, b) -> (a * 31 + b) % 1000000007) END"""
+      val sigs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min(list_transform(codes, c -> ($a * c + $b) % 1000000007)) AS s$j"
+      }.mkString(", ")
+      def band(b: Int) =
+        (0 until 4).map(i => s"CAST(s${4 * b + i} AS VARCHAR)").mkString(" || ':' || ")
+      s"""WITH d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+          dc AS (SELECT doc_id, sh,
+            list_transform(sh, x -> $code) AS codes FROM d),
+          sig AS (SELECT doc_id, sh, $sigs FROM dc),
+          bands AS (
+            SELECT doc_id, 0 AS band, ${band(0)} AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, ${band(1)} AS key FROM sig),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id < y.doc_id),
+          v AS (SELECT cand.a, cand.b,
+            len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+            FROM cand JOIN d da ON cand.a = da.doc_id JOIN d db ON cand.b = db.doc_id)
+          SELECT a, b, jaccard FROM v WHERE jaccard >= 0.25 ORDER BY a, b"""
+    },
+    (s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
+        .orderBy("a", "b"))
+
   /** N-gram Jaccard similarity on a deterministic pair set (word
     * 3-grams; the pairwise kernel of near-dedup). */
   private val ddNgram = Q(
@@ -208,14 +249,16 @@ object QueriesText {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     })
 
-  /** LSH-bucketed ANN (the scale path; recall vs brute force in
-    * VectorsSpec). Rows-only driver check — Spark-native hashes. */
+  /** LSH-bucketed ANN: multi-table OR-banding with corpus-scaled
+    * planes, so within-bucket candidates per doc stay O(1) in corpus
+    * size (VERDICT r01 #3). Recall vs brute force in VectorsSpec;
+    * occupancy scaling in ScaleSpec. Rows-only driver check. */
   private val ssLsh = Q(
     "ss_topk_lsh",
     None,
     (s, dir) =>
       Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, planes = 4, k = 3)
+          dim = 64, k = 3)
         .orderBy(col("qid"), col("cosine").desc, col("cid")))
 
   /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
@@ -231,5 +274,6 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    ddExact, ddMinhash, ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh, ssIvf)
+    ddExact, ddMinhash, ddMinhashPoly, ddNgram, ddSimhash, ddEmbcos,
+    ssTopk, ssLsh, ssIvf)
 }

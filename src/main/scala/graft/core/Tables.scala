@@ -106,6 +106,20 @@ object Tables {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Repartition for CPU-heavy narrow compute with an EXPLICIT
+    * partition count. `df.repartition(col)` alone lets AQE coalesce
+    * the exchange back to one partition when the data is small in
+    * bytes — which serializes a hashing/scoring stage onto one core
+    * even though it is expensive in CPU (the round-1 minhash/IVF
+    * slowdowns were exactly this). An explicit count is honored by
+    * AQE; at cluster scale the same explicit width just matches the
+    * configured shuffle parallelism.
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
+  }
+
   /** subtract_dfs (df_utils.py:176-184): rows of df1 not present in
     * df2. The reference's merge-indicator keeps df1 duplicates ->
     * `exceptAll` semantics via left_anti on all columns.

@@ -145,6 +145,246 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Polynomial shingle codes + LCG minhash — the engine-path hash
+    * family for near-dedup at scale (VERDICT r01 #1). Each k-char
+    * window of the lowercased text gets a Horner-rule code
+    * c = fold(c*31 + char) mod P (P = 1e9+7); the j-th minhash is
+    * min over shingles of (a_j*c + b_j) mod P. All arithmetic stays
+    * below 2^63, so the DuckDB oracle mirrors it EXACTLY with
+    * list_reduce/list_transform SQL — unlike an xxhash64 family this
+    * keeps the full hash-match gate, while replacing 8 md5 compress
+    * calls per shingle with a handful of multiplies. Band key =
+    * ':'-joined decimal minima of the band's signature slice.
+    * Coefficients come from [[polyCoeffs]] (deterministic, public
+    * MurmurHash3 seeding) so the SQL twin interpolates the same
+    * literals.
+    */
+  val PolyP = 1000000007L
+
+  def polyCoeffs(numHashes: Int): Array[(Long, Long)] =
+    Array.tabulate(numHashes) { j =>
+      val a = 1L + (scala.util.hashing.MurmurHash3.productHash((j, "a")).toLong.abs % 999983L)
+      val b = scala.util.hashing.MurmurHash3.productHash((j, "b")).toLong.abs % PolyP
+      (a, b)
+    }
+
+  case class MinHashBandsPoly(child: Expression, shingleSize: Int,
+                              numHashes: Int, bandSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bandSize == 0)
+    private val coeffs = polyCoeffs(numHashes)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT)
+      val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+      val len = text.length
+      // min over the shingle multiset == min over the set: no dedup
+      // pass needed. A text shorter than k contributes its single
+      // truncated shingle (mirrors shingleSet / the substr SQL).
+      val n = if (len <= shingleSize) 1 else len - shingleSize + 1
+      val k = math.min(shingleSize, len)
+      var i = 0
+      while (i < n) {
+        var c = 0L
+        var j = 0
+        while (j < k) { c = (c * 31 + text.charAt(i + j)) % PolyP; j += 1 }
+        var h = 0
+        while (h < numHashes) {
+          val v = (coeffs(h)._1 * c + coeffs(h)._2) % PolyP
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      val nBands = numHashes / bandSize
+      val bands = new Array[Any](nBands)
+      var b = 0
+      while (b < nBands) {
+        val sb = new java.lang.StringBuilder(12 * bandSize)
+        var m = 0
+        while (m < bandSize) {
+          if (m > 0) sb.append(':')
+          sb.append(mins(b * bandSize + m))
+          m += 1
+        }
+        bands(b) = UTF8String.fromString(sb.toString)
+        b += 1
+      }
+      new GenericArrayData(bands)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Squared-L2 nearest coarse centroids: one compiled pass computes
+    * the distance from the row's vector to every centroid (broadcast
+    * as a constant reference object) and returns the `take` nearest
+    * centroid indices ranked by (distance, index). Replaces the
+    * r01 interpreted aggregate(zip_with(...)) per centroid per row —
+    * the ss_topk_ivf hot loop (VERDICT r01 #1). Generates code into
+    * the surrounding whole-stage-codegen span.
+    */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]], take: Int)
+      extends UnaryExpression {
+    require(centroids.nonEmpty && take >= 1 && take <= centroids.length)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = elemType
+      val k = centroids.length
+      val ds = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        val dim = math.min(cent.length, arr.numElements())
+        var d = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = et match {
+            case FloatType  => arr.getFloat(i).toDouble
+            case DoubleType => arr.getDouble(i)
+            case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+          }
+          val t = x - cent(i)
+          d += t * t
+          i += 1
+        }
+        ds(c) = d
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(selectTop(ds, take))
+    }
+
+    /** indices of the `take` smallest distances, ties by index asc */
+    private def selectTop(ds: Array[Double], take: Int): Array[Int] = {
+      val k = ds.length
+      val used = new Array[Boolean](k)
+      val out = new Array[Int](take)
+      var t = 0
+      while (t < take) {
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          if (!used(c) && ds(c) < bestD) { bestD = ds(c); best = c }
+          c += 1
+        }
+        used(best) = true
+        out(t) = best
+        t += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val getter = elemType match {
+        case FloatType  => "getFloat"
+        case DoubleType => "getDouble"
+        case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+      nullSafeCodeGen(ctx, ev, a => {
+        val cents = ctx.freshName("cents")
+        val ds = ctx.freshName("ds")
+        val used = ctx.freshName("used")
+        val out = ctx.freshName("out")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val t = ctx.freshName("t")
+        val d = ctx.freshName("d")
+        val dim = ctx.freshName("dim")
+        val diff = ctx.freshName("diff")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        s"""
+        double[][] $cents = $centsRef;
+        double[] $ds = new double[$cents.length];
+        for (int $c = 0; $c < $cents.length; $c++) {
+          int $dim = java.lang.Math.min($cents[$c].length, $a.numElements());
+          double $d = 0.0;
+          for (int $i = 0; $i < $dim; $i++) {
+            double $diff = ((double) $a.$getter($i)) - $cents[$c][$i];
+            $d += $diff * $diff;
+          }
+          $ds[$c] = $d;
+        }
+        boolean[] $used = new boolean[$cents.length];
+        int[] $out = new int[$take];
+        for (int $t = 0; $t < $take; $t++) {
+          int $best = -1; double $bestD = Double.POSITIVE_INFINITY;
+          for (int $c = 0; $c < $cents.length; $c++) {
+            if (!$used[$c] && $ds[$c] < $bestD) { $bestD = $ds[$c]; $best = $c; }
+          }
+          $used[$best] = true;
+          $out[$t] = $best;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Multi-table random-hyperplane LSH keys in one compiled pass:
+    * for each of `tables` hash tables, `planes` sign bits of ±1
+    * projections (weights derived from public MurmurHash3 of
+    * (table, plane, dim-index)). Returns one long key per table;
+    * callers posexplode so (table-index, key) is the join key.
+    * Replaces `planes` interpreted zip_with folds per row.
+    */
+  case class LshTableKeys(child: Expression, dim: Int, planes: Int, tables: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes >= 1 && planes <= 63 && tables >= 1)
+    // weights[t*planes + p][d] : ±1
+    private val weights: Array[Array[Double]] =
+      Array.tabulate(tables * planes) { tp =>
+        val t = tp / planes; val p = tp % planes
+        Array.tabulate(dim) { d =>
+          if (scala.util.hashing.MurmurHash3.productHash((t, p, d)) % 2 == 0) 1.0 else -1.0
+        }
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(dim, arr.numElements())
+      val keys = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var p = 0
+        while (p < planes) {
+          val w = weights(t * planes + p)
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            val x = et match {
+              case FloatType  => arr.getFloat(i).toDouble
+              case DoubleType => arr.getDouble(i)
+              case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+            }
+            proj += x * w(i)
+            i += 1
+          }
+          if (proj > 0) key |= (1L << p)
+          p += 1
+        }
+        keys(t) = key
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in index
     * order (bit-identical to the zip_with/aggregate fold and to the
     * oracle up to the documented round-6). Implements doGenCode, so
@@ -218,6 +458,16 @@ object Expressions {
   def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
     Bridge.column(
       MinHashBands(Bridge.expression(c), shingleSize, numHashes, bandSize))
+
+  def minHashBandsPoly(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
+    Bridge.column(
+      MinHashBandsPoly(Bridge.expression(c), shingleSize, numHashes, bandSize))
+
+  def nearestCells(c: Column, centroids: Array[Array[Double]], take: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(c), centroids, take))
+
+  def lshTableKeys(c: Column, dim: Int, planes: Int, tables: Int): Column =
+    Bridge.column(LshTableKeys(Bridge.expression(c), dim, planes, tables))
 
   def shingleJaccard(a: Column, b: Column, shingleSize: Int): Column =
     Bridge.column(ShingleJaccard(

@@ -48,22 +48,32 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs (a < b), deduplicated across bands.
     * The join key (band index, band hash) is high-cardinality —
-    * shuffle-safe at scale; no cross product anywhere. */
+    * shuffle-safe at scale; no cross product anywhere.
+    *
+    * `poly = false` (default) uses the md5 hash family — the form the
+    * DuckDB oracle mirrors hex-for-hex. `poly = true` is the engine
+    * path for scale: the polynomial/LCG family
+    * ([[graft.functions.Expressions.MinHashBandsPoly]]) replaces the
+    * 8 md5 compress calls per shingle with a handful of multiplies —
+    * and is still exactly SQL-mirrorable (both families keep the full
+    * hash-match gate; see dd_minhash_lsh / dd_minhash_lsh64). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 5, numHashes: Int = 8,
-                            bandSize: Int = 2): DataFrame = {
-    // repartition by id BEFORE the signature math: hashing costs
-    // numHashes·|shingles| md5s per doc — distribute it instead of
-    // computing inside a (possibly single-split) scan stage. The
-    // band keys come from the compiled MinHashBands expression (one
-    // eval per row); the small (id, band, key) projection is then
-    // materialized so the self-join doesn't recompute signatures.
-    val banded = df
-      .select(col(idCol).as("_id"), col(textCol))
-      .repartition(col(idCol))
-      .select(col("_id"),
+                            bandSize: Int = 2, poly: Boolean = false): DataFrame = {
+    // spread by id BEFORE the signature math (explicit partition
+    // count: AQE would coalesce this byte-small but CPU-heavy stage
+    // to one task — the r01 31.5s minhash bench entry was exactly
+    // that). The compiled band-keys expression makes one eval per
+    // row; the small (id, band, key) projection is then materialized
+    // so the self-join doesn't recompute signatures.
+    val bandsExpr =
+      if (poly)
+        graft.functions.Expressions.minHashBandsPoly(col(textCol), shingleSize, numHashes, bandSize)
+      else
         graft.functions.Expressions.minHashBands(col(textCol), shingleSize, numHashes, bandSize)
-          .as("_bands"))
+    val banded = graft.core.Tables.spread(
+        df.select(col(idCol).as("_id"), col(textCol)), col(idCol))
+      .select(col("_id"), bandsExpr.as("_bands"))
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
       .localCheckpoint()
     val a = banded.select(col("_band"), col("_key"), col("_id").as("a"))
@@ -76,8 +86,9 @@ object Dedup {
     * (the verify step of near-dedup). */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleSize: Int = 5,
-                           numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bandSize)
+                           numHashes: Int = 8, bandSize: Int = 2,
+                           poly: Boolean = false): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
     // join the raw texts back (cheaper to move than shingle arrays)
     // and verify with the compiled shingle-jaccard kernel
     val txt = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"))
@@ -94,8 +105,7 @@ object Dedup {
     * sum bits) via the compiled SimHash64 expression: one narrow map,
     * no explode/shuffle. Not oracle-mirrorable; covered by DedupSpec. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+    graft.core.Tables.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
         graft.functions.Expressions.simHash64(col(textCol)).as("simhash"))
 

@@ -38,7 +38,7 @@ object Vectors {
     val cos = round(graft.functions.Expressions.cosineSim(col(qVec), col(cVec)), 6)
     // distribute the corpus before the O(|corpus|·|queries|·dim)
     // math — a single-split scan would score on one core
-    val scored = candidates.repartition(col(cId))
+    val scored = graft.core.Tables.spread(candidates, col(cId))
       .join(broadcast(queries), col(qId) =!= col(cId))
       .select(col(qId), col(cId), cos.as("cosine"))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId))
@@ -117,31 +117,21 @@ object Vectors {
   }
 
   /** IVF-bucketed approximate top-k: assign every vector to its
-    * nearest coarse centroid (distributed argmin over broadcast
-    * centroid literals), probe each query's `nProbe` nearest lists.
-    * The inverted-list id is the shuffle key — the scale path when
-    * hyperplane LSH recall is poor on near-isotropic data. */
+    * nearest coarse centroid via the compiled
+    * [[graft.functions.Expressions.NearestCells]] kernel (one codegen
+    * pass per row — the r01 interpreted aggregate/zip_with per
+    * centroid was the ss_topk_ivf hot loop), probe each query's
+    * `nProbe` nearest lists. The inverted-list id is the shuffle key —
+    * the scale path when hyperplane LSH recall is poor on
+    * near-isotropic data. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
-    import graft.functions.Expressions.cosineSim
-    def dist2ToCentroid(c: Array[Double]): Column = {
-      val cl = typedlit(c)
-      aggregate(zip_with(toDoubles(col(vecCol)), cl, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    // rank centroids per row; cell = argmin, probe list = top nProbe
-    val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2ToCentroid(c).as("d"), lit(i).as("c"))
-    }: _*)
-    val ranked = array_sort(dists)
-    val base = df.select(col(idCol), col(vecCol))
-      .repartition(col(idCol))
-      .withColumn("_ranked", ranked)
+    import graft.functions.Expressions.{cosineSim, nearestCells}
+    val base = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
     val candidates = base.select(col(idCol).as("cid"), col(vecCol).as("_cv"),
-      col("_ranked").getItem(0).getField("c").as("_cell"))
+      nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"))
     val queries = base.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
-      explode(slice(col("_ranked"), 1, nProbe)).as("_probe"))
-      .select(col("qid"), col("_qv"), col("_probe.c").as("_cell"))
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("_cell"))
     val scored = queries.join(candidates, Seq("_cell"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -150,20 +140,39 @@ object Vectors {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
-  /** LSH-bucketed approximate top-k: compare only within buckets.
-    * Same output shape as [[bruteForceTopK]]; recall measured in
-    * VectorsSpec. */
+  /** Auto-scaled planes per table: the bucket count tracks corpus
+    * size (2^planes ≈ n / bucketTarget) so expected bucket occupancy
+    * — and with it the within-bucket self-join cost per document —
+    * stays O(1) as the corpus grows. Fixed-plane LSH is quadratic in
+    * n at any fixed parameterization (VERDICT r01 #3). */
+  def planesFor(n: Long, bucketTarget: Int): Int = {
+    val p = math.ceil(math.log(math.max(n, 2).toDouble / bucketTarget) / math.log(2)).toInt
+    math.min(63, math.max(1, p))
+  }
+
+  /** LSH-bucketed approximate top-k with multi-table OR-banding:
+    * `tables` independent hyperplane tables, each keyed by all of its
+    * `planes` sign bits; a pair is a candidate if it collides in ANY
+    * table (recall is recovered across tables while buckets stay
+    * fine-grained). planes auto-scales with corpus size unless
+    * overridden. Same output shape as [[bruteForceTopK]]; recall
+    * measured in VectorsSpec, occupancy scaling in ScaleSpec. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              dim: Int, planes: Int, k: Int): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol))
-      .repartition(col(idCol))
+              dim: Int, k: Int, tables: Int = 8, bucketTarget: Int = 16,
+              planesOverride: Int = -1): DataFrame = {
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else planesFor(df.count(), bucketTarget)
+    val keyed = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
       .select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), dim, planes).as("_bucket"))
-    val a = bucketed.select(col("_bucket"), col(idCol).as("qid"), col(vecCol).as("_qv"))
-    val b = bucketed.select(col("_bucket"), col(idCol).as("cid"), col(vecCol).as("_cv"))
-    val scored = a.join(b, Seq("_bucket")).where(col("qid") =!= col("cid"))
+        posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val a = keyed.select(col("_tbl"), col("_key"), col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val b = keyed.select(col("_tbl"), col("_key"), col(idCol).as("cid"), col(vecCol).as("_cv"))
+    val scored = a.join(b, Seq("_tbl", "_key")).where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
+      .distinct() // a pair may collide in several tables
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

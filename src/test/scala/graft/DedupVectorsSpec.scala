@@ -82,14 +82,43 @@ class VectorsSpec extends SparkSpec {
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
-    val lsh = Vectors.lshTopK(e, "vec_id", "embedding", dim = 64, planes = 2, k = 5)
+    val lsh = Vectors.lshTopK(e, "vec_id", "embedding", dim = 64, k = 5)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    // 2 planes -> 4 buckets: candidates shrink ~4x; recall must beat
-    // the random-candidate baseline (~25%). These embeddings are
-    // near-isotropic (max pairwise cosine ~0.5), the hard case for
-    // hyperplane LSH — clustered corpora recall far higher.
+    // multi-table OR-banding (8 tables, corpus-scaled planes) on
+    // near-isotropic embeddings (max pairwise cosine ~0.5 — the hard
+    // case for hyperplane LSH); must beat the r01 single-table bar.
     assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("minhash poly family finds the same near-dup as md5 family") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashVerifiedPairs(df, "doc_id", "text",
+      threshold = 0.5, shingleSize = 5, numHashes = 8, bandSize = 2, poly = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("NearestCells compiled kernel matches a plain Scala argmin") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(100)
+    val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 4)
+    val got = e.select(col("vec_id"),
+      graft.functions.Expressions.nearestCells(col("embedding"), cents, 2).as("cells"))
+      .as[(Long, Seq[Int])].collect()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, cells) =>
+      val v = vecs(id)
+      val ds = cents.map { c =>
+        c.zip(v.map(_.toDouble)).map { case (ci, xi) => (xi - ci) * (xi - ci) }.sum
+      }
+      val expected = ds.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(2).map(_._2).toSeq
+      assert(cells == expected, s"id=$id got=$cells expected=$expected")
+    }
   }
 
   test("compiled CosineSim == composable zip_with/aggregate cosine") {
