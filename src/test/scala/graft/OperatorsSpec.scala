@@ -174,6 +174,29 @@ class SpatialSpec extends SparkSpec {
     assert(out(0).getAs[Long]("gid") == 51L)  // larger radius wins
     assert(out(1).isNullAt(out(1).fieldIndex("gid")))
   }
+
+  test("theta circle join: boundary containment survives cell bucketing") {
+    // point exactly at distance r*multiplier, and one just past it,
+    // across cell boundaries — the residual predicate must keep
+    // exactly the contained one (no false negatives from bucketing)
+    val src = Seq((1L, 10.0, 0.0), (2L, 10.000001, 0.0), (3L, -7.07, 7.08))
+      .toDF("sid", "sx", "sy")
+    val grains = Seq((50L, 0.0, 0.0, 5.0)).toDF("gid", "gx", "gy", "gr")
+    val out = Spatial.thetaCircleJoin(src, "sid", "sx", "sy",
+        grains, "gid", "gx", "gy", "gr", radiusMultiplier = 2.0)
+      .orderBy("sid").collect()
+    assert(out(0).getAs[Long]("gid") == 50L)          // dist == 10 == r*m
+    assert(out(1).isNullAt(out(1).fieldIndex("gid"))) // just outside
+    assert(out(2).isNullAt(out(2).fieldIndex("gid"))) // corner-diagonal outside
+  }
+
+  test("theta circle join plans as a hash join, not a nested loop") {
+    val src = Seq((1L, 0.0, 0.0)).toDF("sid", "sx", "sy")
+    val grains = Seq((50L, 1.0, 0.0, 5.0)).toDF("gid", "gx", "gy", "gr")
+    val plan = Spatial.thetaCircleJoin(src, "sid", "sx", "sy",
+      grains, "gid", "gx", "gy", "gr").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
