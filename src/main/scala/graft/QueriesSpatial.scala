@@ -297,7 +297,8 @@ object QueriesSpatial {
         col("l_quantity"),
         (col("l_quantity") * 2) + (col("l_discount") * 3))
       t(s, dir, "lineitem").limit(1).select(
-        lit(fit.b0).as("b0"), lit(fit.b1).as("b1"), lit(fit.n).as("n"))
+        lit(fit.b0).as("b0"), lit(fit.b1).as("b1"),
+        lit(fit.sb0).as("sig_b0"), lit(fit.sb1).as("sig_b1"), lit(fit.n).as("n"))
     })
 
   val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4)

@@ -25,7 +25,21 @@ import graft.core.Det
   */
 object Odr {
 
-  final case class Fit(b0: Double, b1: Double, n: Long)
+  /** Fit parameters AND their standard errors — the reference appends
+    * both (srcdf.py:350-359 `output.beta`, `output.sd_beta`).
+    * Closed-form from the same second-moment pass (no extra scan):
+    *
+    *   SE(b1)² = b1²/(n−2) · (suu·szz/suz² − 1)          (Linnet 1990,
+    *     the asymptotic Deming slope variance; 0 for exact lines)
+    *   SE(b0)² = s_rr/(n−2) + ū²·SE(b1)²                 with
+    *     s_rr = szz − 2·b1·suz + b1²·suu (the 1/n residual moment) —
+    *     the Var(z̄ − b1·ū) error-propagation term plus the slope term.
+    *
+    * Verified against empirical sampling spread in OdrSpec (no scipy
+    * in this environment; the Monte-Carlo spread plays the fixture
+    * role).
+    */
+  final case class Fit(b0: Double, b1: Double, sb0: Double, sb1: Double, n: Long)
 
   /** Deming fit of z on u. `delta` = ratio of z-error variance to
     * u-error variance (1.0 = orthogonal distances). */
@@ -54,11 +68,20 @@ object Odr {
       if (suz == 0.0) 0.0
       else (szz - delta * suu + math.sqrt(
         (szz - delta * suu) * (szz - delta * suu) + 4 * delta * suz * suz)) / (2 * suz)
-    Fit(zb - b1 * ub, b1, n)
+    val sb1 =
+      if (suz == 0.0 || n <= 2) 0.0
+      else math.sqrt(math.max(0.0,
+        b1 * b1 / (n - 2) * (suu * szz / (suz * suz) - 1.0)))
+    val srr = szz - 2 * b1 * suz + b1 * b1 * suu // 1/n residual moment
+    val sb0 =
+      if (n <= 2) 0.0
+      else math.sqrt(math.max(0.0, srr / (n - 2) + ub * ub * sb1 * sb1))
+    Fit(zb - b1 * ub, b1, sb0, sb1, n)
   }
 
   /** SQL twin of [[demingFit]] for the DuckDB oracle: single-row
-    * SELECT with the same expression tree (bit-deterministic). */
+    * SELECT with the same expression tree (bit-deterministic),
+    * including the σ columns. */
   def demingSql(table: String, uExpr: String, zExpr: String, delta: Double = 1.0): String = {
     val d = delta.toString
     s"""WITH m AS (SELECT count(*) AS n,
@@ -69,11 +92,21 @@ object Odr {
        FROM $table),
        s AS (SELECT n, ub, zb, uub - ub*ub AS suu, zzb - zb*zb AS szz,
          uzb - ub*zb AS suz FROM m),
-       f AS (SELECT n, ub, zb, suz,
+       f AS (SELECT n, ub, zb, suu, szz, suz,
          CASE WHEN suz = 0.0 THEN 0.0
               ELSE (szz - $d*suu + sqrt((szz - $d*suu)*(szz - $d*suu)
                 + 4*$d*suz*suz)) / (2*suz) END AS b1
-       FROM s)
-       SELECT zb - b1*ub AS b0, b1, n FROM f"""
+       FROM s),
+       g AS (SELECT n, ub, zb, b1,
+         CASE WHEN suz = 0.0 OR n <= 2 THEN 0.0
+              ELSE sqrt(greatest(0.0,
+                b1*b1/(n - 2) * (suu*szz/(suz*suz) - 1.0))) END AS sb1,
+         szz - 2*b1*suz + b1*b1*suu AS srr
+       FROM f)
+       SELECT zb - b1*ub AS b0, b1,
+         CASE WHEN n <= 2 THEN 0.0
+              ELSE sqrt(greatest(0.0, srr/(n - 2) + ub*ub*sb1*sb1)) END AS sig_b0,
+         sb1 AS sig_b1, n
+       FROM g"""
   }
 }

