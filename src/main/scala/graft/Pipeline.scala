@@ -8,22 +8,31 @@ import graft.operators.{Clustering, GroupOps, Joins, Outliers, Spatial}
 
 /** EP2 — the reference's flagship notebook pipeline
   * (notebooks/dataslicer_example.ipynb cells 2-10, SURVEY §3), on the
-  * TPC-H-shaped testdata:
+  * TPC-H-shaped testdata — ALL stages, including the notebook tail:
   *
   *   load + metadata join (J1) -> preselect (P1/P2) -> cluster
   *   detections (A2 + M1) -> match clusters to the calibrator catalog
   *   (J5 = A2+J3+J2) -> select well-matched clusters (J8) ->
-  *   calibrate (C2) -> IQR outlier rejection (M3).
+  *   calibrate (C2) -> IQR outlier rejection (M3) ->
+  *   band-wise reference magnitude (C3, _objtable_methods.py:158-188)
+  *   -> second cluster selection on |cal - ref_band| (J8,
+  *   _objtable_methods.py:424-488) -> IRSA-style dedup'd metadata
+  *   join (J6, srcdf.py:108-135 / metadata.py:81-84) -> CSV dump
+  *   (S10, notebook cell 10).
   *
   * One lazy DataFrame lineage end-to-end; the only materialization
-  * barriers are the DBSCAN label-propagation loop and the (tiny)
-  * metadata/aggregate collects — exactly the barriers SURVEY §3
-  * predicts. Detections are lineitem rows; "stars" are partkeys;
-  * "calibrators" are suppliers on a synthetic plane.
+  * barriers are the DBSCAN label-propagation loop, the (tiny)
+  * metadata/aggregate collects, and the final sink — exactly the
+  * barriers SURVEY §3 predicts. Detections are lineitem rows; "stars"
+  * are partkeys; "calibrators" are suppliers on a synthetic plane;
+  * "filter bands" are order statuses.
   */
 object Pipeline {
 
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
+  /** Named intermediate frames, in pipeline order, so PipelineSpec can
+    * assert per-stage row-count waypoints. The last frame is the
+    * flagship result. */
+  def stages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     // EP1: sources + per-exposure metadata (broadcast join on OBSID)
     val sources = Tables.load(spark, dir, "lineitem")
     val meta = Tables.load(spark, dir, "orders")
@@ -89,7 +98,48 @@ object Pipeline {
       col("cal_mag"), col("l_quantity") + col("zp_ref"),
       cut = 3.0, nBins = 8)
 
-    clean.select("l_orderkey", "l_linenumber", "l_partkey", "cluster",
-      "s_suppkey", "cal_mag", "norm_mag_dist", "o_orderstatus")
+    // C3 (notebook tail): band-wise reference magnitude — pick the
+    // band's reference column by filter id, band = order status here
+    // (_objtable_methods.py:183-185's per-band .loc assignment becomes
+    // one chained conditional column)
+    val bandRef = clean.withColumn("ref_mag_band",
+      (col("l_quantity") + col("zp_ref")) +
+        when(col("o_orderstatus") === "O", 0.0)
+          .when(col("o_orderstatus") === "F", 0.1)
+          .otherwise(0.2))
+
+    // J8 #2 (notebook tail): drop every cluster with any member whose
+    // calibrated magnitude strays from its band reference
+    val (wellCal, _) = GroupOps.selectGroups(bandRef, "cluster",
+      abs(col("cal_mag") - col("ref_mag_band")) < 0.5)
+
+    // J6 (notebook tail): IRSA-style remote per-exposure metadata,
+    // dedup'd then inner-joined on the exposure key
+    val irsa = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("OBSID"), col("o_custkey"), col("o_orderpriority"))
+    val withIrsa = Joins.dedupJoin(
+      wellCal.withColumn("OBSID", col("l_orderkey")), irsa, Seq("OBSID"))
+
+    val result = withIrsa.select(
+      "l_orderkey", "l_linenumber", "l_partkey", "cluster", "s_suppkey",
+      "cal_mag", "ref_mag_band", "norm_mag_dist", "o_orderstatus",
+      "o_custkey", "o_orderpriority")
+
+    Seq(
+      "loaded" -> loaded, "selected" -> selected, "withCoords" -> withCoords,
+      "clustered" -> clustered, "matched" -> matched, "merged" -> merged,
+      "kept" -> kept, "clean" -> clean, "bandRef" -> bandRef,
+      "wellCal" -> wellCal, "result" -> result)
+  }
+
+  /** The full notebook pipeline including the S10 CSV dump (cell 10):
+    * gzip CSV of the final frame, then the frame itself. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val result = stages(spark, dir).last._2
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
+    result.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true").csv(out)
+    result
   }
 }

@@ -2,10 +2,31 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** EP2 flagship pipeline invariants at sf0.001. */
+/** EP2 flagship pipeline invariants at sf0.001, including the
+  * notebook-tail stages (band-wise reference, second cluster
+  * selection, IRSA-style join, CSV dump). */
 class PipelineSpec extends SparkSpec {
 
+  lazy val stages: Map[String, Long] =
+    Pipeline.stages(spark, sf001).map { case (n, df) => n -> df.count() }.toMap
   lazy val out = Pipeline.flagship(spark, sf001).cache()
+
+  test("every stage produces rows (waypoints)") {
+    val order = Seq("loaded", "selected", "withCoords", "clustered", "matched",
+      "merged", "kept", "clean", "bandRef", "wellCal", "result")
+    order.foreach(n => assert(stages(n) > 0, s"stage $n is empty"))
+  }
+
+  test("filter stages only ever shrink their input") {
+    assert(stages("selected") <= stages("loaded"))
+    assert(stages("kept") <= stages("merged"))
+    assert(stages("clean") <= stages("kept"))
+    assert(stages("bandRef") == stages("clean"))   // adds a column only
+    assert(stages("wellCal") <= stages("bandRef")) // second J8 drops clusters
+    assert(stages("wellCal") < stages("clean"),
+      "second select_clusters should reject at least one cluster here")
+    assert(stages("result") == stages("wellCal"))  // dedup'd inner join keeps rows
+  }
 
   test("produces calibrated rows") {
     assert(out.count() > 0)
@@ -19,10 +40,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.where(col("norm_mag_dist") >= 3.0).count() == 0)
   }
 
+  test("tail: every surviving member is within the band threshold") {
+    assert(out.where(abs(col("cal_mag") - col("ref_mag_band")) >= 0.5).count() == 0)
+  }
+
+  test("tail: IRSA metadata columns are attached non-null") {
+    assert(out.where(col("o_custkey").isNull || col("o_orderpriority").isNull).count() == 0)
+  }
+
   test("cluster labels are min member part keys") {
     import spark.implicits._
     val bad = out.groupBy("cluster").agg(min("l_partkey").as("m"))
       .where(col("cluster") > col("m")).count()
     assert(bad == 0)
+  }
+
+  test("tail: CSV dump (S10) roundtrips the result row count") {
+    val n = out.count()
+    val dumped = spark.read.option("header", "true")
+      .csv(new java.io.File(sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath)
+    assert(dumped.count() == n)
   }
 }
