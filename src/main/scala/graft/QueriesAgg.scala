@@ -367,6 +367,23 @@ object QueriesAgg {
         .orderBy("p_partkey")
     })
 
+  /** §2.11: group_stats THROUGH the generic cluster_op surface
+    * (df_utils.py:191-231) — an Aggregator with decimal-exact sums,
+    * so the generic path itself is oracle-checkable. */
+  private val a3g = Q(
+    "a3_cluster_op_generic",
+    Some(s"""SELECT l_returnflag,
+              min(CAST(l_quantity AS DOUBLE)) AS min,
+              max(CAST(l_quantity AS DOUBLE)) AS max,
+              CAST(count(*) AS DOUBLE) AS count,
+              ${sqlDavg("l_quantity", 6)} AS mean,
+              ${sqlDstd("l_quantity", 6)} AS std
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) =>
+      graft.operators.GroupApply.clusterOp(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "group_stats")
+        .orderBy("l_returnflag"))
+
   /** C12: haversine great-circle distance column expression
     * (objtable.py:152-156). Rounded: libm sin/cos differ across
     * engines in the last ulp. */
@@ -394,6 +411,6 @@ object QueriesAgg {
         .orderBy("p_partkey")
     })
 
-  val all: Seq[Q] = Seq(a2, a2w, a4, a5, a6, a7, a8, a10, a12, a13, a14,
+  val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
     w1, w2, w3, c2, c3, c4, c5, c12)
 }

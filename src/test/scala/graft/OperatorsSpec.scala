@@ -145,6 +145,68 @@ class GroupOpsSpec extends SparkSpec {
   }
 }
 
+class GroupApplySpec extends SparkSpec {
+  import graft.core.Det
+  import graft.operators.GroupApply
+
+  test("generic cluster_op reproduces group_stats bit-identically") {
+    val df = Tables.load(spark, sf001, "lineitem")
+    val generic = GroupApply.clusterOp(df, "l_returnflag", "l_quantity", "group_stats")
+      .orderBy("l_returnflag").collect()
+    // the decimal-exact reference formulation (same Det quantization)
+    val expected = df.groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity").cast("double")).as("min"),
+        max(col("l_quantity").cast("double")).as("max"),
+        count(lit(1)).cast("double").as("count"),
+        Det.davg(col("l_quantity"), 6).as("mean"),
+        Det.dstd(col("l_quantity"), 6).as("std"))
+      .orderBy("l_returnflag").collect()
+    assert(generic.length == expected.length && generic.nonEmpty)
+    generic.zip(expected).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      (1 to 5).foreach(i => assert(g.getDouble(i) == e.getDouble(i),
+        s"col $i: ${g.getDouble(i)} != ${e.getDouble(i)}"))
+    }
+  }
+
+  test("user-supplied aggregator through the same surface") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
+    implicit val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Double)]()
+    val rangeAgg = GroupApply.aggregator[(Double, Double)](
+      (Double.PositiveInfinity, Double.NegativeInfinity),
+      (b, x) => (math.min(b._1, x), math.max(b._2, x)),
+      (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)),
+      b => Map("range" -> (b._2 - b._1)))
+    val out = GroupApply.clusterOp(df, "k", "v", rangeAgg, Seq("range"))
+      .orderBy("k").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("a", 4.0), ("b", 0.0)))
+  }
+
+  test("registered aggregator is callable from SQL") {
+    import spark.implicits._
+    GroupApply.register(spark, "gstats", GroupApply.groupStatsAgg)
+    Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v").createOrReplaceTempView("gat")
+    val r = spark.sql("SELECT k, gstats(v)['mean'] AS m FROM gat GROUP BY k")
+      .as[(String, Double)].collect()
+    assert(r.toSeq == Seq(("a", 2.0)))
+  }
+
+  test("groupApplyExact runs a non-decomposable whole-group function") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 9.0), ("a", 2.0), ("b", 7.0)).toDF("k", "v")
+    val out = GroupApply.groupApplyExact(df, "k", "v",
+      xs => {
+        val s = xs.sorted
+        Map("median" -> s(s.length / 2), "n" -> s.length.toDouble)
+      }, Seq("median", "n"))
+      .orderBy("k").as[(String, Double, Double)].collect()
+    assert(out.toSeq == Seq(("a", 2.0, 3.0), ("b", 7.0, 1.0)))
+  }
+}
+
 class SpatialSpec extends SparkSpec {
   import spark.implicits._
 
