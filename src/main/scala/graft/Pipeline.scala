@@ -49,31 +49,59 @@ object Pipeline {
     // materialized: every downstream stage (centroids, merge-back,
     // group selection, outlier stats) re-scans this frame — projected
     // down to the columns the pipeline actually uses first
+    // star positions from Murmur3 (Spark's hash()) — NOT a linear
+    // congruential map. (pk*k) % 2000 collapses partkeys into
+    // mod-2000 classes (stars stack on identical points);
+    // (pk*bigC) % 4e6 puts them on LCG hyperplane lines (chains of
+    // eps-close stars). Either degeneracy fuses stars into clusters
+    // an all-members cut always rejects. Proper avalanche mixing
+    // gives a uniform synthetic sky at every scale factor.
     val withCoords = selected
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_discount", "l_extendedprice", "o_orderstatus")
-      .withColumn("x", ((col("l_partkey") * 17) % 2000).cast("double")
-        + (col("l_linenumber") % 3) * 0.1)
-      .withColumn("y", ((col("l_partkey") * 29) % 2000).cast("double")
-        + (col("l_suppkey") % 3) * 0.1)
+      .withColumn("x", pmod(hash(col("l_partkey")), lit(2000000)) / 1000.0
+        + (col("l_linenumber") % 3) * 0.01)
+      .withColumn("y", pmod(hash(col("l_partkey"), lit(7)), lit(2000000)) / 1000.0
+        + (col("l_suppkey") % 3) * 0.01)
       .localCheckpoint()
 
-    // A2: per-star centroids, then M1: DBSCAN them into sky clusters
+    // A2: per-star centroids, then M1: DBSCAN them into sky clusters.
+    // eps adapts to star density: the synthetic sky keeps a fixed
+    // 2000x2000 area while the star count grows with sf. A fixed eps
+    // (or any eps with mean ε-ball degree near 1) sits at random-
+    // geometric-graph percolation and chains stars into giant
+    // clusters that an all-members cut always rejects. Picking eps
+    // from a target mean degree well below critical
+    // (π·eps²·n/area = 0.2) keeps clusters at mostly-singletons-
+    // some-pairs at EVERY scale factor — the regime the reference's
+    // 3-arcsec choice encodes for real star densities.
     val centroids = GroupOps.centroids(withCoords, "l_partkey", "x", "y")
+      .localCheckpoint()
+    val nStars = centroids.count()
+    val skyArea = 2000.0 * 2000.0
+    val eps = math.sqrt(0.2 * skyArea / (math.Pi * math.max(nStars, 1L).toDouble))
     val clustered = Clustering.dbscan(
       centroids.select(col("l_partkey"), col("x_centroid"), col("y_centroid")),
-      "l_partkey", "x_centroid", "y_centroid", eps = 25.0, minSamples = 1)
+      "l_partkey", "x_centroid", "y_centroid", eps = eps, minSamples = 1)
 
-    // J5: match cluster centroids to the calibrator catalog (J3 NN join)
+    // J5: match cluster centroids to the calibrator catalog (J3 NN
+    // join). The match radius adapts to calibrator density the same
+    // way eps does: r = sqrt(1.5·area/(π·nCalib)) keeps the covered
+    // sky fraction (1 − e^-1.5 ≈ 78%) constant as the supplier count
+    // scales 10 → 2000 across sf — a fixed radius either matches
+    // nothing at low density or everything at high density.
     val calib = Tables.load(spark, dir, "supplier").select(
       col("s_suppkey"),
-      ((col("s_suppkey") * 37) % 2000).as("sx"),
-      ((col("s_suppkey") * 91) % 2000).as("sy"),
+      pmod(hash(col("s_suppkey"), lit(3)), lit(2000000)).cast("double")./(1000.0).as("sx"),
+      pmod(hash(col("s_suppkey"), lit(5)), lit(2000000)).cast("double")./(1000.0).as("sy"),
       (col("s_acctbal") / 1000).as("zp_ref"))
+      .localCheckpoint()
+    val nCalib = calib.count()
+    val rMatch = math.sqrt(1.5 * skyArea / (math.Pi * math.max(nCalib, 1L).toDouble))
     val withCluster = centroids.join(clustered, Seq("l_partkey"))
     val matched = Spatial.nnJoinWithin(
       withCluster, "l_partkey", "x_centroid", "y_centroid",
-      calib, "s_suppkey", "sx", "sy", radius = 200.0)
+      calib, "s_suppkey", "sx", "sy", radius = rMatch)
       .localCheckpoint()
 
     // J2-style merge-back onto every detection
@@ -83,7 +111,8 @@ object Pipeline {
       Seq("l_partkey"), "left")
 
     // J8: keep only clusters whose every member matched within radius
-    val (kept, _) = GroupOps.selectGroups(merged, "cluster", col("dist2cal") <= 10000)
+    val (kept, _) = GroupOps.selectGroups(merged, "cluster",
+      col("dist2cal") <= rMatch * rMatch)
 
     // C2: calibrated magnitude against the matched calibrator
     val calibrated = kept.localCheckpoint().withColumn("cal_mag",
@@ -92,11 +121,15 @@ object Pipeline {
         Some(col("l_discount")),
         Some(col("l_extendedprice") / 10000), Some(col("l_quantity") / 7)))
 
-    // M3: per-cluster IQR outlier rejection on cal vs reference
-    val (clean, _) = Outliers.iqrOutlierRemoval(
+    // M3: per-cluster IQR outlier rejection on cal vs reference.
+    // Checkpointed: the tail's group selection anti-joins scan it
+    // twice, and M3's window/percentile lineage is the most expensive
+    // stretch to recompute.
+    val (clean0, _) = Outliers.iqrOutlierRemoval(
       calibrated, "cluster",
       col("cal_mag"), col("l_quantity") + col("zp_ref"),
       cut = 3.0, nBins = 8)
+    val clean = clean0.localCheckpoint()
 
     // C3 (notebook tail): band-wise reference magnitude — pick the
     // band's reference column by filter id, band = order status here
@@ -118,7 +151,8 @@ object Pipeline {
     val irsa = Tables.load(spark, dir, "orders").select(
       col("o_orderkey").as("OBSID"), col("o_custkey"), col("o_orderpriority"))
     val withIrsa = Joins.dedupJoin(
-      wellCal.withColumn("OBSID", col("l_orderkey")), irsa, Seq("OBSID"))
+      wellCal.withColumn("OBSID", col("l_orderkey")), irsa, Seq("OBSID"),
+      broadcastSide = false) // per-exposure side is fact-sized here
 
     val result = withIrsa.select(
       "l_orderkey", "l_linenumber", "l_partkey", "cluster", "s_suppkey",

@@ -38,7 +38,14 @@ object Joins {
 
   /** J6: IRSA-style side-table join (metadata.py:81-84): dedup the
     * remote table first to avoid row blowup, then inner equi-join.
+    * `broadcastSide = true` suits the reference's case (metadata
+    * fetched only for the EXPIDs in the query — always small); pass
+    * false for fact-sized side tables and let AQE pick the shuffle
+    * strategy.
     */
-  def dedupJoin(df: DataFrame, side: DataFrame, on: Seq[String]): DataFrame =
-    df.join(broadcast(side.dropDuplicates()), on)
+  def dedupJoin(df: DataFrame, side: DataFrame, on: Seq[String],
+                broadcastSide: Boolean = true): DataFrame = {
+    val deduped = side.dropDuplicates()
+    df.join(if (broadcastSide) broadcast(deduped) else deduped, on)
+  }
 }
