@@ -385,6 +385,37 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** HEALPix NESTED cell id of (ra, dec) degrees (SURVEY §4 item 2) —
+    * the codegen'd spherical cell id for bucketed spatial joins.
+    * Generates a static call into [[Healpix.ang2pixNest]], fusing
+    * into the surrounding whole-stage-codegen span. */
+  case class HealpixCell(left: Expression, right: Expression, nside: Int)
+      extends BinaryExpression {
+    require(nside >= 1 && (nside & (nside - 1)) == 0 && nside <= 8192,
+      "nside must be a power of two in [1, 8192]")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(ra: Any, dec: Any): Any = {
+      def d(v: Any): Double = v match {
+        case x: Double => x
+        case x: Float  => x.toDouble
+        case x: Int    => x.toDouble
+        case x: Long   => x.toDouble
+        case other     => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      java.lang.Long.valueOf(Healpix.ang2pixNest(nside, d(ra), d(dec)))
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (ra, dec) => s"""
+        ${ev.value} = graft.functions.Healpix.ang2pixNest(
+          $nside, (double) $ra, (double) $dec);
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in index
     * order (bit-identical to the zip_with/aggregate fold and to the
     * oracle up to the documented round-6). Implements doGenCode, so
@@ -468,6 +499,9 @@ object Expressions {
 
   def lshTableKeys(c: Column, dim: Int, planes: Int, tables: Int): Column =
     Bridge.column(LshTableKeys(Bridge.expression(c), dim, planes, tables))
+
+  def healpixCell(ra: Column, dec: Column, nside: Int): Column =
+    Bridge.column(HealpixCell(Bridge.expression(ra), Bridge.expression(dec), nside))
 
   def shingleJaccard(a: Column, b: Column, shingleSize: Int): Column =
     Bridge.column(ShingleJaccard(

@@ -73,18 +73,86 @@ object Spatial {
   /** J3 on the sphere: nearest neighbor within an angular radius for
     * (ra, dec) degree coordinates — wrap- and pole-safe.
     *
-    * Positions are embedded on the 3D unit sphere; an angular
-    * separation θ equals a chord length 2·sin(θ/2), so the spherical
-    * range search is an exact euclidean range search in 3D and the
-    * same grid-cell trick applies with a 3×3×3 neighborhood (the
-    * reference's healpix probe, PS1Cal_matching.py:198-200, plays
-    * this role). Ranking uses the angular distance rounded to 1e-6
-    * degrees (libm trig differs across platforms in the last ulp),
-    * ties broken by `rightId`.
+    * Two interchangeable cell schemes generate candidates (identical
+    * results — the residual distance predicate and ranking are
+    * shared; HealpixSpec asserts equality):
+    *
+    *  - "healpix" (default): the codegen'd HEALPix NESTED cell id
+    *    (the reference's own index structure,
+    *    PS1Cal_matching.py:198-200) on the left side, and the disk
+    *    cover of each right row's pixel as the neighbor set. Equal-
+    *    area cells — no pole-cap skew in the shuffle key. Falls back
+    *    to the grid when the radius exceeds half a base-face scale.
+    *  - "grid": 3D unit-vector embedding; angular separation θ =
+    *    chord 2·sin(θ/2), so a 3×3×3 chord-grid neighborhood is an
+    *    exact euclidean range search.
+    *
+    * Ranking uses the angular distance rounded to 1e-6 degrees (libm
+    * trig differs across platforms in the last ulp), ties broken by
+    * `rightId`.
     */
   def nnJoinSphere(left: DataFrame, leftId: String, lRa: String, lDec: String,
                    right: DataFrame, rightId: String, rRa: String, rDec: String,
-                   radiusDeg: Double, broadcastRight: Boolean = true): DataFrame = {
+                   radiusDeg: Double, broadcastRight: Boolean = true,
+                   scheme: String = "healpix"): DataFrame = {
+    val radiusRad = math.toRadians(radiusDeg)
+    if (scheme == "healpix" &&
+        radiusRad <= 0.5 * graft.functions.Healpix.pixelScaleRad(1))
+      nnJoinSphereHealpix(left, leftId, lRa, lDec, right, rightId, rRa, rDec,
+        radiusDeg, broadcastRight)
+    else
+      nnJoinSphereGrid(left, leftId, lRa, lDec, right, rightId, rRa, rDec,
+        radiusDeg, broadcastRight)
+  }
+
+  /** Angular distance in degrees between two unit vectors, rounded to
+    * 1e-6 (shared by both cell schemes so results are identical). */
+  private def unitVec(ra: Column, dec: Column): (Column, Column, Column) = (
+    cos(radians(dec)) * cos(radians(ra)),
+    cos(radians(dec)) * sin(radians(ra)),
+    sin(radians(dec)))
+
+  /** HEALPix-bucketed flavor: left side keyed by its pixel (compiled
+    * expression in the scan stage), right side exploded to the disk
+    * cover of its pixel — dimension-sized by contract. */
+  def nnJoinSphereHealpix(left: DataFrame, leftId: String, lRa: String, lDec: String,
+                          right: DataFrame, rightId: String, rRa: String, rDec: String,
+                          radiusDeg: Double, broadcastRight: Boolean = true): DataFrame = {
+    import graft.functions.{Expressions, Healpix}
+    val radiusRad = math.toRadians(radiusDeg)
+    val nside = Healpix.nsideFor(radiusRad)
+    val (lx, ly, lz) = unitVec(col(lRa), col(lDec))
+    val leftC = left
+      .withColumn("_ux", lx).withColumn("_uy", ly).withColumn("_uz", lz)
+      .withColumn("_hpx", Expressions.healpixCell(
+        col(lRa).cast("double"), col(lDec).cast("double"), nside))
+    val cover = udf((ra: Double, dec: Double) =>
+      Healpix.coverDisk(nside, Healpix.ang2pixNest(nside, ra, dec), radiusRad))
+    val (rx, ry, rz) = unitVec(col(rRa), col(rDec))
+    val rightC = right
+      .withColumn("_vx", rx).withColumn("_vy", ry).withColumn("_vz", rz)
+      .withColumn("_hpx", explode(cover(col(rRa).cast("double"), col(rDec).cast("double"))))
+    val rightSide = if (broadcastRight) broadcast(rightC) else rightC
+    val chord2 = (col("_ux") - col("_vx")) * (col("_ux") - col("_vx")) +
+      (col("_uy") - col("_vy")) * (col("_uy") - col("_vy")) +
+      (col("_uz") - col("_vz")) * (col("_uz") - col("_vz"))
+    val distDeg = round(degrees(lit(2.0) * asin(sqrt(chord2) / 2.0)), 6)
+    val rightCols = right.columns.filter(_ != leftId).toIndexedSeq
+    val cand = leftC.join(rightSide, Seq("_hpx"))
+      .withColumn("dist_deg", distDeg)
+      .where(col("dist_deg") <= radiusDeg)
+      .select((col(leftId) +: rightCols.map(col)) :+ col("dist_deg"): _*)
+    val w = Window.partitionBy(leftId).orderBy(col("dist_deg"), col(rightId))
+    val best = cand.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+    left.join(best, Seq(leftId), "left")
+  }
+
+  /** 3D chord-grid flavor (r01 implementation). */
+  def nnJoinSphereGrid(left: DataFrame, leftId: String, lRa: String, lDec: String,
+                       right: DataFrame, rightId: String, rRa: String, rDec: String,
+                       radiusDeg: Double, broadcastRight: Boolean = true): DataFrame = {
     val chord = 2.0 * math.sin(math.toRadians(radiusDeg) / 2.0)
     def unitVec(ra: Column, dec: Column): (Column, Column, Column) = (
       cos(radians(dec)) * cos(radians(ra)),
