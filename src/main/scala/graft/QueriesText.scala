@@ -126,40 +126,70 @@ object QueriesText {
     * multiplies, and the family is still exactly SQL-mirrorable (all
     * arithmetic < 2^63), so this keeps the full hash-match gate
     * rather than dropping to a rows-only check. */
+  /** Shared poly-family CTE chain: documents -> shingles -> Horner
+    * codes -> 8 LCG minima -> 2 band keys -> candidate pairs ->
+    * Jaccard-verified pairs (`v`). Used by dd_minhash_lsh_poly and
+    * dd_dup_groups. */
+  private lazy val polyPairCtes: String = {
+    val coeffs = graft.functions.Expressions.polyCoeffs(8)
+    val code = """CASE WHEN length(x) = 0 THEN 0
+      ELSE list_reduce(list_transform(range(1, length(x) + 1),
+        i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
+        (a, b) -> (a * 31 + b) % 1000000007) END"""
+    val sigs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(codes, c -> ($a * c + $b) % 1000000007)) AS s$j"
+    }.mkString(", ")
+    def band(b: Int) =
+      (0 until 4).map(i => s"CAST(s${4 * b + i} AS VARCHAR)").mkString(" || ':' || ")
+    s"""d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+        dc AS (SELECT doc_id, sh,
+          list_transform(sh, x -> $code) AS codes FROM d),
+        sig AS (SELECT doc_id, sh, $sigs FROM dc),
+        bands AS (
+          SELECT doc_id, 0 AS band, ${band(0)} AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, ${band(1)} AS key FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          WHERE x.doc_id < y.doc_id),
+        v AS (SELECT cand.a, cand.b,
+          len(list_intersect(da.sh, db.sh))
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+          FROM cand JOIN d da ON cand.a = da.doc_id JOIN d db ON cand.b = db.doc_id)"""
+  }
+
   private val ddMinhashPoly = Q(
     "dd_minhash_lsh_poly",
-    Some {
-      val coeffs = graft.functions.Expressions.polyCoeffs(8)
-      val code = """CASE WHEN length(x) = 0 THEN 0
-        ELSE list_reduce(list_transform(range(1, length(x) + 1),
-          i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
-          (a, b) -> (a * 31 + b) % 1000000007) END"""
-      val sigs = coeffs.zipWithIndex.map { case ((a, b), j) =>
-        s"list_min(list_transform(codes, c -> ($a * c + $b) % 1000000007)) AS s$j"
-      }.mkString(", ")
-      def band(b: Int) =
-        (0 until 4).map(i => s"CAST(s${4 * b + i} AS VARCHAR)").mkString(" || ':' || ")
-      s"""WITH d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
-          dc AS (SELECT doc_id, sh,
-            list_transform(sh, x -> $code) AS codes FROM d),
-          sig AS (SELECT doc_id, sh, $sigs FROM dc),
-          bands AS (
-            SELECT doc_id, 0 AS band, ${band(0)} AS key FROM sig
-            UNION ALL
-            SELECT doc_id, 1 AS band, ${band(1)} AS key FROM sig),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-            WHERE x.doc_id < y.doc_id),
-          v AS (SELECT cand.a, cand.b,
-            len(list_intersect(da.sh, db.sh))
-              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
-            FROM cand JOIN d da ON cand.a = da.doc_id JOIN d db ON cand.b = db.doc_id)
-          SELECT a, b, jaccard FROM v WHERE jaccard >= 0.25 ORDER BY a, b"""
-    },
+    Some(s"""WITH $polyPairCtes
+          SELECT a, b, jaccard FROM v WHERE jaccard >= 0.25 ORDER BY a, b"""),
     (s, dir) =>
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
         .orderBy("a", "b"))
+
+  /** Duplicate-group canonicalization: connected components over the
+    * verified near-dup pair graph (the step that turns pair lists
+    * into a keep/drop decision). Oracle: recursive-CTE transitive
+    * closure + min-label, same pattern as the m1 DBSCAN oracle. */
+  private val ddDupGroups = Q(
+    "dd_dup_groups",
+    Some(s"""WITH RECURSIVE $polyPairCtes,
+          p2 AS (SELECT a, b FROM v WHERE jaccard >= 0.25),
+          edges AS (SELECT a AS x, b AS y FROM p2
+            UNION ALL SELECT b AS x, a AS y FROM p2),
+          nodes AS (SELECT DISTINCT x AS id FROM edges),
+          r(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.y, r.label FROM r JOIN edges e ON r.id = e.x),
+          cc AS (SELECT id, min(label) AS canonical FROM r GROUP BY id)
+          SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical_id,
+            (d.doc_id != coalesce(cc.canonical, d.doc_id)) AS is_dup
+          FROM d LEFT JOIN cc ON d.doc_id = cc.id ORDER BY d.doc_id"""),
+    (s, dir) =>
+      Dedup.duplicateGroups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
+        .orderBy("doc_id"))
 
   /** N-gram Jaccard similarity on a deterministic pair set (word
     * 3-grams; the pairwise kernel of near-dedup). */
@@ -274,6 +304,6 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    ddExact, ddMinhash, ddMinhashPoly, ddNgram, ddSimhash, ddEmbcos,
-    ssTopk, ssLsh, ssIvf)
+    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddNgram, ddSimhash,
+    ddEmbcos, ssTopk, ssLsh, ssIvf)
 }

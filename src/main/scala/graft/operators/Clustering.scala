@@ -38,6 +38,40 @@ import org.apache.spark.sql.types._
   */
 object Clustering {
 
+  /** Connected components by iterative smallest-label propagation
+    * with pointer jumping (labels converge in O(log diameter)
+    * rounds; lineage cut each round; decreasing-checksum fixpoint
+    * test). `nodes`: one column `_id`; `edges`: directed pairs
+    * (`_a`, `_b`) — pass both directions for an undirected graph.
+    * Returns (_id, _label) with _label = min node id of the
+    * component. Shared by DBSCAN (core-graph clusters) and
+    * near-dedup (duplicate groups).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = nodes.select(col("_id"), col("_id").as("_label"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val msgs = edges.join(labels, col("_a") === col("_id"))
+        .groupBy(col("_b").as("_id2")).agg(min("_label").as("_nlabel"))
+      val prop = labels.join(msgs, col("_id") === col("_id2"), "left")
+        .select(col("_id"), least(col("_label"), coalesce(col("_nlabel"), col("_label"))).as("_label"))
+      // pointer jumping (label <- label's label): O(log diameter)
+      // rounds instead of O(diameter)
+      val relabel = prop.select(col("_id").as("_lid"), col("_label").as("_llabel"))
+      val next = prop.join(relabel, col("_label") === col("_lid"), "left")
+        .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
+        .localCheckpoint()
+      // labels decrease monotonically: equal checksum => fixpoint
+      val sumOf = (df: DataFrame) =>
+        df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
+      converged = sumOf(next) == sumOf(labels)
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   /** Returns (idCol, cluster) for every non-noise point. */
   def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
              eps: Double, minSamples: Int): DataFrame = {
@@ -75,27 +109,7 @@ object Clustering {
       .localCheckpoint()
 
     // smallest-label propagation over the core-core graph
-    var labels = core.withColumn("_label", col("_id"))
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val msgs = coreEdges.join(labels, col("_a") === col("_id"))
-        .groupBy(col("_b").as("_id2")).agg(min("_label").as("_nlabel"))
-      val prop = labels.join(msgs, col("_id") === col("_id2"), "left")
-        .select(col("_id"), least(col("_label"), coalesce(col("_nlabel"), col("_label"))).as("_label"))
-      // pointer jumping (label <- label's label): O(log diameter)
-      // rounds instead of O(diameter)
-      val relabel = prop.select(col("_id").as("_lid"), col("_label").as("_llabel"))
-      val next = prop.join(relabel, col("_label") === col("_lid"), "left")
-        .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
-        .localCheckpoint()
-      // labels decrease monotonically: equal checksum => fixpoint
-      val sumOf = (df: DataFrame) =>
-        df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
-      converged = sumOf(next) == sumOf(labels)
-      labels = next
-      rounds += 1
-    }
+    val labels = connectedComponents(core, coreEdges)
 
     // border points: non-core with >=1 core neighbor -> min core label
     val borderAssign = pairs

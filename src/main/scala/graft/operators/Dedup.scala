@@ -101,6 +101,33 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Duplicate groups — the step that makes near-dedup actionable:
+    * connected components over the verified near-dup pair graph
+    * assign every document a canonical id (the min doc id of its
+    * duplicate group; docs with no near-dup are their own canonical).
+    * "Keep one per group" is then `where(NOT is_dup)`. Transitivity
+    * is deliberate (a~b, b~c ⇒ one group), matching how large-corpus
+    * dedup is actually run. CC reuses the DBSCAN label-propagation
+    * kernel — O(log diameter) rounds, shuffle key = doc id.
+    */
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleSize: Int = 5,
+                      numHashes: Int = 8, bandSize: Int = 2,
+                      poly: Boolean = false): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, idCol, textCol, threshold,
+        shingleSize, numHashes, bandSize, poly)
+      .select(col("a"), col("b")).localCheckpoint()
+    val edges = pairs.select(col("a").as("_a"), col("b").as("_b"))
+      .unionByName(pairs.select(col("b").as("_a"), col("a").as("_b")))
+    val nodes = edges.select(col("_a").as("_id")).distinct()
+    val cc = Clustering.connectedComponents(nodes, edges)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_label"), col(idCol)).as("canonical_id"))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
   /** 64-bit SimHash per document (md5-derived token hashes, sign-of-
     * sum bits) via the compiled SimHash64 expression: one narrow map,
     * no explode/shuffle. Not oracle-mirrorable; covered by DedupSpec. */

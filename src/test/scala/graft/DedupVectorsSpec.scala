@@ -30,6 +30,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicate groups are transitive with min-id canonicals") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val df = Seq(
+      (5L, base),
+      (2L, base.replace("lazy", "sleepy")),   // ~ base
+      (9L, base.replace("quick", "speedy")),  // ~ base, maybe not ~ 2
+      (7L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateGroups(df, "doc_id", "text", threshold = 0.5,
+        shingleSize = 5, numHashes = 8, bandSize = 2, poly = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 4)
+    // 2, 5, 9 form one group through the shared neighbor 5 -> canonical 2
+    assert(out(5L) == ((2L, true)) && out(9L) == ((2L, true)))
+    assert(out(2L) == ((2L, false)))          // canonical is not a dup
+    assert(out(7L) == ((7L, false)))          // unrelated doc is its own group
+  }
+
   test("simhash: near-duplicates are close in hamming distance") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = base.replace("mu", "nu")
