@@ -170,6 +170,25 @@ object QueriesSources {
       Streams.userSessions(t(s, dir, "events"))
         .orderBy("user_id", "session_start"))
 
+  /** Streaming surface, dedup: first event per (hour, user, type) +
+    * duplicate count, as an order-independent min-by aggregate (the
+    * deterministic form of streaming dropDuplicates). */
+  private val st3 = Q(
+    "st_dedup_first",
+    Some("""WITH r AS (SELECT date_trunc('hour', ts) AS bucket, user_id, event_type,
+              ts, event_id,
+              row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id, event_type
+                ORDER BY ts, event_id) AS rn,
+              count(*) OVER (PARTITION BY date_trunc('hour', ts), user_id, event_type)
+                AS n_events
+            FROM events)
+            SELECT bucket, user_id, event_type, ts AS first_ts,
+              event_id AS first_id, n_events
+            FROM r WHERE rn = 1 ORDER BY bucket, user_id, event_type"""),
+    (s, dir) =>
+      graft.streaming.Streams.dedupFirstPerKey(t(s, dir, "events"))
+        .orderBy("bucket", "user_id", "event_type"))
+
   /** Multimodal: opaque binary payload + typed metadata struct
     * (flattened scalars for the hash compare). */
   private val mm1 = Q(
@@ -207,5 +226,5 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, mm1, mm2)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, st3, mm1, mm2)
 }

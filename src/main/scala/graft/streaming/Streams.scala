@@ -38,6 +38,25 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming-shaped dedup: first event per (hour, user, type) plus
+    * the duplicate count. "First" = min (ts, event_id) — an
+    * order-independent aggregate, so batch, streaming replay and the
+    * SQL oracle agree bit-for-bit (streaming dropDuplicates keeps
+    * first-ARRIVED, which is nondeterministic under parallel replay —
+    * min-by is the deterministic formulation of the same intent). */
+  def dedupFirstPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("_first"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("user_id"), col("event_type"),
+        col("_first.ts").as("first_ts"), col("_first.event_id").as("first_id"),
+        col("n_events"))
+
+  /** Watermarked streaming flavor of [[dedupFirstPerKey]]. */
+  def dedupFirstPerKeyStream(events: DataFrame): DataFrame =
+    dedupFirstPerKey(events.withWatermark("ts", "2 hours"))
+
   /** Custom streaming state (SURVEY §2.10 extension surface):
     * per-user running totals with `flatMapGroupsWithState` — emits a
     * row whenever a user's cumulative value crosses another multiple
