@@ -70,6 +70,51 @@ object QueriesText {
           col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"))
 
+  /** Deterministic train/val/test split + per-split corpus stats in
+    * one pass — the canonical pre-training split report. */
+  private val txSplit = Q(
+    "tx_hash_split",
+    Some(s"""WITH s AS (SELECT doc_id, ${Text.hashSplitSql("doc_id")} AS split,
+               len($toksSql) AS n_toks FROM documents)
+             SELECT split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+             FROM s GROUP BY split ORDER BY split"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.hashSplit(col("doc_id")).as("split"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split"))
+
+  /** Per-language corpus report: doc counts, token mass, exact median
+    * doc length, mean quality — the rollup a curation run reads. */
+  private val txCorpus = Q(
+    "tx_corpus_stats",
+    Some(s"""WITH s AS (SELECT doc_id, lang, len($toksSql) AS n_toks,
+               0.5 * (len(list_filter($toksSql, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+                 / len($toksSql))
+               + 0.3 * least(1.0, len($toksSql) / 100.0)
+               + 0.2 * least(1.0,
+                   (length(regexp_replace(text, '\\s+', '', 'g')) / len($toksSql)) / 5.0)
+                 AS quality
+             FROM documents)
+             SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               round(quantile_cont(n_toks, 0.5), 6) AS median_tokens,
+               round(${graft.core.Det.sqlDavg("quality", 8)}, 6) AS mean_quality
+             FROM s GROUP BY lang ORDER BY lang"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"),
+          Text.qualityScore(col("text")).as("quality"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"),
+          round(expr("percentile(n_toks, 0.5)"), 6).as("median_tokens"),
+          round(graft.core.Det.davg(col("quality"), 8), 6).as("mean_quality"))
+        .orderBy("lang"))
+
   /** Document fingerprint: md5 over the sorted distinct token set. */
   private val txFingerprint = Q(
     "tx_fingerprint",
@@ -304,6 +349,6 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddNgram, ddSimhash,
-    ddEmbcos, ssTopk, ssLsh, ssIvf)
+    txSplit, txCorpus, ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
+    ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh, ssIvf)
 }

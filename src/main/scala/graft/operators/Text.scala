@@ -89,4 +89,31 @@ object Text {
     val inter = size(array_intersect(a, b))
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Deterministic train/val/test assignment by id: an LCG over the
+    * id picks a bucket in [0, 1000); split boundaries are per-mille.
+    * How production pipelines split — stable under reshuffles,
+    * reproducible across engines (pure integer arithmetic < 2^63,
+    * same family as the poly minhash), no RNG state. Default
+    * 800/100/100.
+    */
+  def hashSplit(id: Column, trainPerMille: Int = 800,
+                valPerMille: Int = 100): Column = {
+    // reduce mod 1e9+7 first so the LCG product stays < 2^63 for
+    // arbitrarily large (nonnegative) ids — no ANSI overflow at scale
+    val bucket = pmod(
+      pmod(id.cast(LongType), lit(1000000007L)) * 1103515245L + 12345L, lit(1000L))
+    when(bucket < trainPerMille, "train")
+      .when(bucket < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
+  /** SQL twin of [[hashSplit]] for the DuckDB oracle. */
+  def hashSplitSql(idExpr: String, trainPerMille: Int = 800,
+                   valPerMille: Int = 100): String = {
+    val b = s"((($idExpr) % 1000000007) * 1103515245 + 12345) % 1000"
+    s"""CASE WHEN $b < $trainPerMille THEN 'train'
+             WHEN $b < ${trainPerMille + valPerMille} THEN 'val'
+             ELSE 'test' END"""
+  }
 }
