@@ -48,7 +48,13 @@ object Clustering {
     * near-dedup (duplicate groups).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    var labels = nodes.select(col("_id"), col("_id").as("_label"))
+    // labels decrease monotonically: equal checksum => fixpoint. The
+    // previous round's checksum is carried forward — one aggregate
+    // job per round, not two.
+    def sumOf(df: DataFrame): Any =
+      df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
+    var labels = nodes.select(col("_id"), col("_id").as("_label")).localCheckpoint()
+    var prevSum = sumOf(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -62,10 +68,9 @@ object Clustering {
       val next = prop.join(relabel, col("_label") === col("_lid"), "left")
         .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
         .localCheckpoint()
-      // labels decrease monotonically: equal checksum => fixpoint
-      val sumOf = (df: DataFrame) =>
-        df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
-      converged = sumOf(next) == sumOf(labels)
+      val nextSum = sumOf(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
