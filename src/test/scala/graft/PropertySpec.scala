@@ -88,6 +88,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hashSplit: proportions track per-mille targets and are id-deterministic") {
+    import graft.operators.Text
+    val ids = (0L until 20000L).toDF("id")
+    val counts = ids.select(Text.hashSplit(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 16000L) < 800, counts.toString) // ±5%
+    assert(math.abs(counts("val") - 2000L) < 400)
+    assert(math.abs(counts("test") - 2000L) < 400)
+    // stable under reshuffling: split depends on the id alone
+    val a = ids.select(col("id"), Text.hashSplit(col("id")).as("s"))
+    val b = ids.orderBy(col("id").desc).repartition(7)
+      .select(col("id"), Text.hashSplit(col("id")).as("s2"))
+    assert(a.join(b, "id").where(col("s") =!= col("s2")).count() == 0)
+  }
+
+  test("healpix pixels are equal-area: uniform sky gives near-uniform occupancy") {
+    import graft.functions.Healpix
+    val rnd = new scala.util.Random(6)
+    val nside = 8
+    val n = 60000
+    val occ = new scala.collection.mutable.HashMap[Long, Int]().withDefaultValue(0)
+    (0 until n).foreach { _ =>
+      val ra = rnd.nextDouble() * 360
+      val dec = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      occ(Healpix.ang2pixNest(nside, ra, dec)) += 1
+    }
+    val npix = 12 * nside * nside
+    assert(occ.size == npix, s"only ${occ.size} of $npix pixels hit")
+    val mean = n.toDouble / npix // ~78 per pixel
+    // equal-area => Poisson spread only: every pixel within ±6 sigma
+    val bound = 6 * math.sqrt(mean)
+    occ.values.foreach(c => assert(math.abs(c - mean) < bound, s"occupancy $c vs $mean"))
+  }
+
   test("composite key: parse(concat(a,b)) round-trips through strings") {
     val pairs = samples(Gen.zip(Gen.chooseNum(1L, 999999L), Gen.chooseNum(0, 99)), 30)
     val out = pairs.toDF("a", "b")
