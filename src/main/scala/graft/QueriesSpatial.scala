@@ -202,10 +202,10 @@ object QueriesSpatial {
   private val m1 = Q(
     "m1_dbscan",
     Some("""WITH RECURSIVE pts AS (SELECT p_partkey AS id,
-              (p_partkey * 17) % 2000 AS x, (p_partkey * 29) % 2000 AS y FROM part),
+              (p_partkey * 17) % 500 AS x, (p_partkey * 29) % 500 AS y FROM part),
             pairs AS (SELECT a.id AS a, b.id AS b FROM pts a, pts b
               WHERE a.id != b.id
-                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625),
+                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25),
             core AS (SELECT a AS id FROM pairs GROUP BY a HAVING count(*) >= 1),
             cedges AS (SELECT a, b FROM pairs
               WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
@@ -221,11 +221,17 @@ object QueriesSpatial {
             UNION ALL SELECT id, cluster FROM border
             ORDER BY p_partkey"""),
     (s, dir) => {
+      // mod-500 positions deliberately stack sf*10 partkeys per
+      // lattice site from sf0.01 up, so the driver's correctness
+      // scale exercises REAL cluster structure (the r01 mapping
+      // produced 0 clusters at every sf — an empty hash-match).
+      // eps=5 keeps the site graph subcritical: components stay
+      // bounded, so the oracle's recursive closure stays small.
       val pts = t(s, dir, "part").select(
         col("p_partkey"),
-        ((col("p_partkey") * 17) % 2000).as("x"),
-        ((col("p_partkey") * 29) % 2000).as("y"))
-      Clustering.dbscan(pts, "p_partkey", "x", "y", eps = 25.0, minSamples = 2)
+        ((col("p_partkey") * 17) % 500).as("x"),
+        ((col("p_partkey") * 29) % 500).as("y"))
+      Clustering.dbscan(pts, "p_partkey", "x", "y", eps = 5.0, minSamples = 2)
         .orderBy("p_partkey")
     })
 
