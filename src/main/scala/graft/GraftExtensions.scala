@@ -48,5 +48,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[Expressions.SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => Expressions.SimHash64(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands_poly"),
+      new ExpressionInfo(classOf[Expressions.MinHashBandsPoly].getName, "graft_minhash_bands_poly"),
+      (args: Seq[Expression]) => Expressions.MinHashBandsPoly(
+        args(0), intLit(args(1), "shingleSize"),
+        intLit(args(2), "numHashes"), intLit(args(3), "bandSize"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_healpix"),
+      new ExpressionInfo(classOf[Expressions.HealpixCell].getName, "graft_healpix"),
+      (args: Seq[Expression]) => Expressions.HealpixCell(
+        args(0), args(1), intLit(args(2), "nside"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_keys"),
+      new ExpressionInfo(classOf[Expressions.LshTableKeys].getName, "graft_lsh_keys"),
+      (args: Seq[Expression]) => Expressions.LshTableKeys(
+        args(0), intLit(args(1), "dim"),
+        intLit(args(2), "planes"), intLit(args(3), "tables"))))
   }
 }

@@ -42,4 +42,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_minhash_bands('some text here', 5, 8, 4) AS b").head()
     assert(r.getSeq[String](0).length == 2)
   }
+
+  test("graft_minhash_bands_poly, graft_healpix and graft_lsh_keys from SQL") {
+    val row = spark.sql(
+      """SELECT graft_minhash_bands_poly('some text here', 5, 8, 4) AS b,
+         graft_healpix(0.0D, 90.0D, 64) AS pix,
+         graft_lsh_keys(array(1.0D, -1.0D, 0.5D, 2.0D), 4, 6, 3) AS keys""").head()
+    assert(row.getSeq[String](0).length == 2)
+    assert(row.getLong(1) == graft.functions.Healpix.ang2pixNest(64, 0.0, 90.0))
+    assert(row.getSeq[Long](2).length == 3)
+  }
 }
