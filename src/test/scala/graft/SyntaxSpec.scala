@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+
+/** The fluent extension-method surface: the reference's EP3 direct-
+  * srcdf path (SURVEY §3) as one method chain, plus the training-
+  * pipeline methods. */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EP3 chain: read -> match -> solution -> calmag -> coords -> trim -> dust") {
+    // a small synthetic catalog: sources on RC 14 with sky positions
+    val src = (1 to 400).map { i =>
+      val ra = (i % 50) * 0.01
+      val dec = (i / 50) * 0.01
+      (i.toLong, 14L, (i % 3000).toDouble, (i % 3000).toDouble,
+        ra, dec, 15.0 + i % 10, 0.02 * (i % 5))
+    }.toDF("srcid", "RCID", "xpos", "ypos", "ra", "dec", "mag", "clr")
+    val cal = (0 to 60).map { j =>
+      (1000L + j, (j % 8) * 0.05, (j / 8) * 0.05, 26.0 + (j % 3) * 0.1)
+    }.toDF("calid", "cra", "cdec", "zp")
+
+    val out = src
+      .queryDf("mag < 25 and RCID == 14")
+      .matchToCalibrators("srcid", "ra", "dec", cal, "calid", "cra", "cdec",
+        radiusDeg = 0.05)
+      .queryDf("calid is not null")
+      .photometricSolution("g", col("mag"), col("zp") - col("mag") + col("clr"))
+      .calmag("mag", "fit_zp_g", clrcoeff = Some("fit_clrcoeff_g"),
+        color1 = Some("clr"), color2 = Some("clr"))
+      .computeCameraCoord()
+      .trimEdges("xpos", "ypos", 10, 10)
+      .tagDust("srcid", "xpos", "ypos",
+        Seq((1L, 100.0, 100.0, 50.0)).toDF("gid", "gx", "gy", "gr"),
+        "gid", "gx", "gy", "gr")
+
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the chain kept every appended column
+    Seq("cal_mag", "fit_zp_g", "sig_fit_zp_g", "fit_clrcoeff_g",
+      "sig_fit_clrcoeff_g", "cam_xpos", "cam_ypos", "gid").foreach(c =>
+      assert(out.columns.contains(c), s"missing $c"))
+    // RC14 at the camera origin: camera coords == local coords there
+    val r0 = rows.head
+    assert(r0.getAs[Double]("cam_xpos") == r0.getAs[Double]("xpos"))
+    // trim really trimmed
+    assert(rows.forall(r => r.getAs[Double]("xpos") > 10))
+  }
+
+  test("cluster -> select chain mirrors the notebook idiom") {
+    val src = Seq(
+      (1L, 0.0, 0.0, 1.0), (2L, 0.5, 0.5, 2.0), (3L, 0.4, 0.1, 30.0),
+      (10L, 100.0, 100.0, 3.0), (11L, 100.2, 100.1, 4.0))
+      .toDF("srcid", "x", "y", "v")
+    val kept = src
+      .clusterSources("srcid", "x", "y", eps = 2.0, minSamples = 1)
+      .selectClusters(col("v") < 10.0)
+    // cluster {1,2,3} has a violating member (v=30) -> all dropped
+    assert(kept.select("srcid").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
+  test("training-pipeline chain: dedup groups + split") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about spark catalyst optimizer"))
+      .toDF("doc_id", "text")
+    val out = docs.duplicateGroups("doc_id", "text", threshold = 0.5)
+      .withHashSplit("doc_id")
+    assert(out.columns.toSet == Set("doc_id", "canonical_id", "is_dup", "split"))
+    assert(out.where(col("is_dup")).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(out.select("split").distinct().count() >= 1)
+  }
+}
