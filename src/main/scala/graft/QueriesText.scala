@@ -324,16 +324,61 @@ object QueriesText {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     })
 
+  /** Cosine-similarity SQL snippet shared by the ANN oracles. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+         list_sum(list_transform(range(1, 65),
+           i -> CAST($a[CAST(i AS INT)] AS DOUBLE)
+              * CAST($b[CAST(i AS INT)] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST($a[CAST(i AS INT)] AS DOUBLE)
+                * CAST($a[CAST(i AS INT)] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST($b[CAST(i AS INT)] AS DOUBLE)
+                * CAST($b[CAST(i AS INT)] AS DOUBLE)))))
+       , 6)"""
+
   /** LSH-bucketed ANN: multi-table OR-banding with corpus-scaled
     * planes, so within-bucket candidates per doc stay O(1) in corpus
-    * size (VERDICT r01 #3). Recall vs brute force in VectorsSpec;
-    * occupancy scaling in ScaleSpec. Rows-only driver check. */
+    * size (VERDICT r01 #3; auto-scaling covered by lshTopK defaults +
+    * LshScalingSpec). The registered query pins (planes=6, tables=8)
+    * so the ENTIRE pipeline is oracle-checkable: the ±1 hyperplane
+    * weights are deterministic constants, inlined into the SQL as
+    * literal arrays — bucketing, OR-dedup, scoring and ranking all
+    * hash-match DuckDB (r01 left this rows-only). */
   private val ssLsh = Q(
     "ss_topk_lsh",
-    None,
+    Some {
+      val planes = 6; val tables = 8; val dim = 64
+      // the same weights LshTableKeys derives (MurmurHash3 of (t,p,d))
+      def w(tb: Int, p: Int, d: Int): String =
+        if (scala.util.hashing.MurmurHash3.productHash((tb, p, d)) % 2 == 0) "1.0" else "-1.0"
+      def keyExpr(tb: Int): String =
+        (0 until planes).map { p =>
+          val arr = (0 until dim).map(d => w(tb, p, d)).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+              d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE)
+                 * ($arr)[CAST(d AS INT)])) > 0
+              THEN ${1L << p} ELSE 0 END)"""
+        }.mkString(" + ")
+      val tableRows = (0 until tables)
+        .map(tb => s"SELECT vec_id, embedding, $tb AS tbl, ${keyExpr(tb)} AS key FROM embeddings")
+        .mkString("\nUNION ALL\n")
+      s"""WITH keyed AS ($tableRows),
+          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+              a.embedding AS qv, b.embedding AS cv
+            FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
+            WHERE a.vec_id != b.vec_id),
+          scored AS (SELECT DISTINCT qid, cid,
+              ${cosSql("qv", "cv")} AS cosine FROM cand),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, cid) AS rn FROM scored)
+          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+          ORDER BY qid, cosine DESC, cid"""
+    },
     (s, dir) =>
       Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, k = 3)
+          dim = 64, k = 3, tables = 8, planesOverride = 6)
         .orderBy(col("qid"), col("cosine").desc, col("cid")))
 
   /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
