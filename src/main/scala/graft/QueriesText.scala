@@ -259,11 +259,29 @@ object QueriesText {
         .orderBy("a")
     })
 
-  /** SimHash signatures (xxhash64-based, not oracle-mirrorable;
-    * DedupSpec checks hamming locality). Rows-only driver check. */
+  /** SimHash signatures. The token hash is md5_number_lower's 64
+    * bits, so the full signature — per-bit ±1 sums over the token
+    * multiset, sign bits, two's-complement bit 63 — is reproduced
+    * exactly in SQL (was rows-only in r01). DedupSpec keeps the
+    * hamming-locality check. */
   private val ddSimhash = Q(
     "dd_simhash",
-    None,
+    Some {
+      def bitSum(b: Int) =
+        s"""list_sum(list_transform(hs, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END))"""
+      val lowBits = (0 until 63)
+        .map(b => s"(CASE WHEN ${bitSum(b)} > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> length(x) > 0) AS toks FROM documents),
+          h AS (SELECT doc_id,
+            list_transform(toks, x -> md5_number_lower(x)) AS hs FROM t)
+          SELECT doc_id,
+            (CASE WHEN ${bitSum(63)} > 0 THEN -9223372036854775808 ELSE 0 END)
+              + $lowBits AS simhash
+          FROM h ORDER BY doc_id"""
+    },
     (s, dir) =>
       Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))

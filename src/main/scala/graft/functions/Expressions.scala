@@ -110,7 +110,10 @@ object Expressions {
 
   /** 64-bit SimHash of whitespace-tokenized lowercased text in one
     * compiled pass: token -> md5-derived 64-bit hash -> per-bit ±1
-    * sums -> sign bits. No explode, no shuffle — pure narrow map. */
+    * sums -> sign bits. No explode, no shuffle — pure narrow map.
+    * The token hash is the LAST 8 digest bytes little-endian — the
+    * same 64 bits DuckDB's `md5_number_lower` exposes, so the
+    * dd_simhash oracle mirrors the whole signature exactly. */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any = {
@@ -127,8 +130,8 @@ object Expressions {
           d.reset()
           val h = d.digest(text.substring(start, end).getBytes("UTF-8"))
           var tokenHash = 0L
-          var i = 0
-          while (i < 8) { tokenHash = (tokenHash << 8) | (h(i) & 0xffL); i += 1 }
+          var i = 7
+          while (i >= 0) { tokenHash = (tokenHash << 8) | (h(8 + i) & 0xffL); i -= 1 }
           var bit = 0
           while (bit < 64) {
             if (((tokenHash >>> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1
