@@ -50,10 +50,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver captures a bounded log TAIL, so a
+    // truncated line loses the FRONT — r02's parse lost metric/value that way
+    println(s"""{"queries":$qs,"errors":$errJson,"runs":$Runs,"stat":"median","sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

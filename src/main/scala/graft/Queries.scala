@@ -124,5 +124,5 @@ object Queries {
     p1ExprFilter,
     ep2Flagship) ++ QueriesRelational.all ++ QueriesAgg.all ++
     QueriesSpatial.all ++ QueriesText.all ++ QueriesSources.all ++
-    QueriesAnalytics.all
+    QueriesAnalytics.all ++ QueriesTemporal.all
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Temporal
+
+/** Temporal operators over the `events` stream table: as-of join,
+  * interval (range) containment join, top-k per group, sliding
+  * (hopping) window counts. All four are large-scale pipeline
+  * staples Spark has no single-call operator for; each is built as
+  * the shuffle-minimal composition (union+window, bucketed
+  * equi-join, one window pass) and carries an exact DuckDB oracle.
+  */
+object QueriesTemporal {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** J11: as-of join — each click picks up the latest preceding
+    * purchase of the same user (ties: same-ts purchase counts, max
+    * event_id wins). The union+running-last plan shuffles once on
+    * user_id; no per-row range scan at any scale. */
+  private val j11Asof = Q(
+    "j11_asof_join",
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            r AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            j AS (SELECT l.event_id, l.user_id, l.ts,
+                r.ts AS purchase_ts, r.event_id AS purchase_id,
+                r.value AS purchase_value,
+                ROW_NUMBER() OVER (PARTITION BY l.event_id
+                  ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM l LEFT JOIN r
+                ON l.user_id = r.user_id AND r.ts <= l.ts)
+            SELECT event_id, user_id, ts, purchase_ts, purchase_id,
+              purchase_value
+            FROM j WHERE rn = 1 ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Temporal.asofJoin(clicks, purchases, key = "user_id", ts = "ts",
+          payload = Seq("event_id", "value"), tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts_r").as("purchase_ts"), col("event_id_r").as("purchase_id"),
+          col("value_r").as("purchase_value"))
+        .orderBy("event_id")
+    })
+
+  /** J12: interval containment join — clicks landing inside the
+    * 30-minute window after any high-severity error. Both sides are
+    * fact-sized event scans; the cell-bucketed equi-join keeps
+    * candidates proportional to true matches (no BNLJ). */
+  private val j12Range = Q(
+    "j12_range_join",
+    Some("""WITH w AS (SELECT event_id AS err_id, value AS err_value,
+              ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+              FROM events WHERE event_type = 'error' AND value > 90),
+            c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts, w.err_id, w.err_value,
+              w.w_start
+            FROM c JOIN w ON c.ts >= w.w_start AND c.ts < w.w_end
+            ORDER BY c.event_id, w.err_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val windows = ev.where(col("event_type") === "error" && col("value") > 90)
+        .select(col("event_id").as("err_id"), col("value").as("err_value"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      Temporal.rangeJoin(clicks, "ts", windows, "w_start", "w_end",
+          bucketSeconds = 1800L)
+        .select("event_id", "user_id", "ts", "err_id", "err_value", "w_start")
+        .orderBy("event_id", "err_id")
+    })
+
+  /** W4: top-k per group — the 3 highest-price lineitems per
+    * supplier, deterministic tie-break. One window pass, shuffle on
+    * the (high-cardinality) group key. */
+  private val w4TopK = Q(
+    "w4_topk_group",
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+              rank_in_group
+            FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                l_extendedprice,
+                ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                  AS rank_in_group
+              FROM lineitem)
+            WHERE rank_in_group <= 3
+            ORDER BY l_suppkey, rank_in_group"""),
+    (s, dir) =>
+      Temporal.topKPerGroup(
+          t(s, dir, "lineitem")
+            .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          keys = Seq("l_suppkey"),
+          order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          k = 3)
+        .orderBy("l_suppkey", "rank_in_group"))
+
+  /** ST4 (batch twin): sliding/hopping-window counts — 1-hour
+    * windows every 15 minutes, so each event lands in 4 windows.
+    * Streams.slidingCounts runs the same plan on readStream;
+    * StreamingSpec asserts streaming == batch. */
+  private val stSliding = Q(
+    "st_sliding_counts",
+    Some("""WITH s AS (SELECT ts, event_type, unnest([0, 1, 2, 3]) AS i
+              FROM events),
+            w AS (SELECT make_timestamp(
+                (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900)
+                  * 1000000) AS window_start, event_type FROM s)
+            SELECT window_start, event_type, count(*) AS n
+            FROM w GROUP BY window_start, event_type
+            ORDER BY window_start, event_type"""),
+    (s, dir) =>
+      graft.streaming.Streams.slidingTypeCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type"))
+
+  val all: Seq[Q] = Seq(j11Asof, j12Range, w4TopK, stSliding)
+}

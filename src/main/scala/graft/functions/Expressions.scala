@@ -63,27 +63,54 @@ object Expressions {
       extends UnaryExpression with CodegenFallback {
     require(numHashes % bandSize == 0)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // "j:" prefix bytes per hash index — hashing md5(prefix ++ shingleBytes)
+    // byte-for-byte equals md5Hex(s"$j:$sh") without building the string
+    private val prefixes: Array[Array[Byte]] =
+      Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
+    /** unsigned-lex byte compare — identical ordering to comparing the
+      * lowercase-hex encodings as strings (each byte maps to two hex
+      * chars monotonically), so the min digest IS the min hex. */
+    private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < 16) {
+        val ai = a(i) & 0xff; val bi = b(i) & 0xff
+        if (ai != bi) return ai < bi
+        i += 1
+      }
+      false
+    }
+    private def toHex(d: Array[Byte], out: Array[Char], off: Int): Unit = {
+      var i = 0
+      while (i < 16) {
+        out(off + 2 * i) = hexDigits((d(i) >> 4) & 0xf)
+        out(off + 2 * i + 1) = hexDigits(d(i) & 0xf)
+        i += 1
+      }
+    }
     override protected def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val mins = Array.fill[String](numHashes)(null)
+      val mins = Array.fill[Array[Byte]](numHashes)(null)
+      val md = md5Local.get()
       val it = shingleSet(text, shingleSize).iterator()
       while (it.hasNext) {
-        val sh = it.next()
+        val shBytes = it.next().getBytes("UTF-8")
         var j = 0
         while (j < numHashes) {
-          val h = md5Hex(s"$j:$sh")
-          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          md.reset()
+          md.update(prefixes(j))
+          val h = md.digest(shBytes)
+          if (mins(j) == null || lessThan(h, mins(j))) mins(j) = h
           j += 1
         }
       }
       val nBands = numHashes / bandSize
       val bands = new Array[Any](nBands)
+      val hexBuf = new Array[Char](32 * bandSize)
       var b = 0
       while (b < nBands) {
-        val sb = new StringBuilder(32 * bandSize)
         var i = 0
-        while (i < bandSize) { sb.append(mins(b * bandSize + i)); i += 1 }
-        bands(b) = UTF8String.fromString(md5Hex(sb.toString))
+        while (i < bandSize) { toHex(mins(b * bandSize + i), hexBuf, 32 * i); i += 1 }
+        bands(b) = UTF8String.fromString(md5Hex(new String(hexBuf)))
         b += 1
       }
       new GenericArrayData(bands)

@@ -38,6 +38,20 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Sliding (hopping) window counts: 1-hour windows every 15
+    * minutes — each event lands in 4 overlapping windows. Same code
+    * path batch and streaming (st_sliding_counts is the batch twin
+    * with the DuckDB oracle). */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked streaming flavor of [[slidingTypeCounts]]. */
+  def slidingTypeCountsStream(events: DataFrame): DataFrame =
+    slidingTypeCounts(events.withWatermark("ts", "2 hours"))
+
   /** Streaming-shaped dedup: first event per (hour, user, type) plus
     * the duplicate count. "First" = min (ts, event_id) — an
     * order-independent aggregate, so batch, streaming replay and the

@@ -34,6 +34,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    val batch = Streams.slidingTypeCounts(Tables.load(spark, sf001, "events"))
+      .orderBy("window_start", "event_type").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.slidingTypeCountsStream(Streams.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup-first == batch dedup-first") {
     val batch = Streams.dedupFirstPerKey(Tables.load(spark, sf001, "events"))
       .orderBy("bucket", "user_id", "event_type").collect()

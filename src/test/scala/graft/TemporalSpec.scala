@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** As-of join, range join, top-k per group: fixture semantics +
+  * scale-shape (no BroadcastNestedLoopJoin) assertions. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  test("asofJoin: latest right at-or-before, per key, inclusive ties") {
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00", 100L),
+      (1L, "2024-01-01 12:00:00", 101L),
+      (2L, "2024-01-01 09:00:00", 102L), // before any right row
+      (3L, "2024-01-01 10:30:00", 103L)) // key with no right rows
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq(
+      (1L, "2024-01-01 09:30:00", 200L, 1.0),
+      (1L, "2024-01-01 12:00:00", 201L, 2.0), // equal-ts: counts (<=)
+      (1L, "2024-01-01 12:00:00", 202L, 3.0), // tie: max event_id wins
+      (2L, "2024-01-01 09:30:00", 203L, 4.0)) // after left's 09:00
+      .toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+    val out = Temporal.asofJoin(left, right, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieBreak = "event_id")
+      .orderBy("event_id")
+      .select("event_id", "event_id_r", "value_r").as[(Long, Option[Long], Option[Double])]
+      .collect()
+    assert(out.toSeq == Seq(
+      (100L, Some(200L), Some(1.0)),   // 09:30 is latest <= 10:00
+      (101L, Some(202L), Some(3.0)),   // equal ts included, max id
+      (102L, None, None),              // nothing at or before
+      (103L, None, None)))             // no right rows for key
+  }
+
+  test("rangeJoin: exact containment, end-exclusive, bucket-spanning") {
+    val points = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 10:29:59"),
+      (3L, "2024-01-01 10:30:00"),  // end-exclusive: not in [10:00,10:30)
+      (4L, "2024-01-01 11:45:00"))
+      .toDF("pid", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val ivs = Seq(
+      (10L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+      (11L, "2024-01-01 10:15:00", "2024-01-01 12:00:00")) // spans buckets
+      .toDF("iid", "s_s", "e_s")
+      .withColumn("w_start", to_timestamp(col("s_s")))
+      .withColumn("w_end", to_timestamp(col("e_s"))).drop("s_s", "e_s")
+
+    val out = Temporal.rangeJoin(points, "ts", ivs, "w_start", "w_end", 1800L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
+  test("rangeJoin plan: bucketed equi-join, no BroadcastNestedLoopJoin") {
+    val ev = core.Tables.load(spark, sf001, "events")
+    val clicks = ev.where(col("event_type") === "click").select("event_id", "ts")
+    val windows = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    val plan = Temporal.rangeJoin(clicks, "ts", windows, "w_start", "w_end", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("asofJoin plan: single shuffle on the key, no join operator") {
+    val ev = core.Tables.load(spark, sf001, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val plan = Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("event_id", "value"), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union+window formulation joins nothing
+  }
+
+  test("topKPerGroup: k best with deterministic ties") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)).toDF("g", "id", "v")
+    val out = Temporal.topKPerGroup(df, Seq("g"),
+        Seq(col("v").desc, col("id").asc), 2)
+      .select("g", "id", "rank_in_group").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out == Set(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 1L)))
+  }
+}
