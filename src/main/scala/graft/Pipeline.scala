@@ -28,6 +28,19 @@ import graft.operators.{Clustering, GroupOps, Joins, Outliers, Spatial}
   * "filter bands" are order statuses.
   */
 object Pipeline {
+  /** Eager-barrier wrapper: localCheckpoint, timed when
+    * GRAFT_EP2_PROF is set (dev profiling only). */
+  private def cp(name: String, df: DataFrame): DataFrame =
+    timed(name)(df.localCheckpoint())
+
+  private def timed[T](name: String)(f: => T): T = {
+    if (sys.env.contains("GRAFT_EP2_PROF")) {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[ep2] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      out
+    } else f
+  }
 
   /** Named intermediate frames, in pipeline order, so PipelineSpec can
     * assert per-stage row-count waypoints. The last frame is the
@@ -56,14 +69,14 @@ object Pipeline {
     // eps-close stars). Either degeneracy fuses stars into clusters
     // an all-members cut always rejects. Proper avalanche mixing
     // gives a uniform synthetic sky at every scale factor.
-    val withCoords = selected
+    val withCoordsPre = selected
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_discount", "l_extendedprice", "o_orderstatus")
       .withColumn("x", pmod(hash(col("l_partkey")), lit(2000000)) / 1000.0
         + (col("l_linenumber") % 3) * 0.01)
       .withColumn("y", pmod(hash(col("l_partkey"), lit(7)), lit(2000000)) / 1000.0
         + (col("l_suppkey") % 3) * 0.01)
-      .localCheckpoint()
+    val withCoords = cp("withCoords", withCoordsPre)
 
     // A2: per-star centroids, then M1: DBSCAN them into sky clusters.
     // eps adapts to star density: the synthetic sky keeps a fixed
@@ -75,14 +88,13 @@ object Pipeline {
     // (π·eps²·n/area = 0.2) keeps clusters at mostly-singletons-
     // some-pairs at EVERY scale factor — the regime the reference's
     // 3-arcsec choice encodes for real star densities.
-    val centroids = GroupOps.centroids(withCoords, "l_partkey", "x", "y")
-      .localCheckpoint()
-    val nStars = centroids.count()
+    val centroids = cp("centroids", GroupOps.centroids(withCoords, "l_partkey", "x", "y"))
+    val nStars = timed("nStars.count")(centroids.count())
     val skyArea = 2000.0 * 2000.0
     val eps = math.sqrt(0.2 * skyArea / (math.Pi * math.max(nStars, 1L).toDouble))
-    val clustered = Clustering.dbscan(
+    val clustered = timed("dbscan")(Clustering.dbscan(
       centroids.select(col("l_partkey"), col("x_centroid"), col("y_centroid")),
-      "l_partkey", "x_centroid", "y_centroid", eps = eps, minSamples = 1)
+      "l_partkey", "x_centroid", "y_centroid", eps = eps, minSamples = 1))
 
     // J5: match cluster centroids to the calibrator catalog (J3 NN
     // join). The match radius adapts to calibrator density the same
@@ -96,13 +108,12 @@ object Pipeline {
       pmod(hash(col("s_suppkey"), lit(5)), lit(2000000)).cast("double")./(1000.0).as("sy"),
       (col("s_acctbal") / 1000).as("zp_ref"))
       .localCheckpoint()
-    val nCalib = calib.count()
+    val nCalib = timed("nCalib.count")(calib.count())
     val rMatch = math.sqrt(1.5 * skyArea / (math.Pi * math.max(nCalib, 1L).toDouble))
     val withCluster = centroids.join(clustered, Seq("l_partkey"))
-    val matched = Spatial.nnJoinWithin(
+    val matched = cp("matched", Spatial.nnJoinWithin(
       withCluster, "l_partkey", "x_centroid", "y_centroid",
-      calib, "s_suppkey", "sx", "sy", radius = rMatch)
-      .localCheckpoint()
+      calib, "s_suppkey", "sx", "sy", radius = rMatch))
 
     // J2-style merge-back onto every detection
     val merged = withCoords.join(
@@ -115,7 +126,7 @@ object Pipeline {
       col("dist2cal") <= rMatch * rMatch)
 
     // C2: calibrated magnitude against the matched calibrator
-    val calibrated = kept.localCheckpoint().withColumn("cal_mag",
+    val calibrated = cp("kept", kept).withColumn("cal_mag",
       graft.functions.Photometry.calMag(
         col("l_quantity"), col("zp_ref"),
         Some(col("l_discount")),
@@ -129,7 +140,7 @@ object Pipeline {
       calibrated, "cluster",
       col("cal_mag"), col("l_quantity") + col("zp_ref"),
       cut = 3.0, nBins = 8)
-    val clean = clean0.localCheckpoint()
+    val clean = cp("clean", clean0)
 
     // C3 (notebook tail): band-wise reference magnitude — pick the
     // band's reference column by filter id, band = order status here
@@ -172,8 +183,12 @@ object Pipeline {
     val result = stages(spark, dir).last._2
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
-    result.coalesce(1).write.mode("overwrite")
-      .option("compression", "gzip").option("header", "true").csv(out)
+    // repartition(1), NOT coalesce(1): coalesce would collapse the
+    // whole tail (two group-selection joins + metadata join) into a
+    // single task; repartition keeps them parallel and only the final
+    // gzip write runs single-task (one output file, as the notebook's)
+    timed("csv_dump")(result.repartition(1).write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true").csv(out))
     result
   }
 }

@@ -126,6 +126,82 @@ object QueriesText {
           col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"))
 
+  /** Shared (doc, term, tf) CTE chain for the relevance queries. */
+  private val termCountCtes =
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tc AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE length(term) > 0 GROUP BY doc_id, term)"""
+
+  /** TF-IDF top-3 terms per document, ranked by the round-6 score so
+    * a last-ulp ln() difference can't flip the ranking. */
+  private val txTfidf = Q(
+    "tx_tfidf",
+    Some(s"""WITH $termCountCtes,
+          st AS (SELECT doc_id, term, tf,
+              sum(tf) OVER (PARTITION BY doc_id) AS dl,
+              count(*) OVER (PARTITION BY term) AS dfq FROM tc),
+          sc AS (SELECT doc_id, term,
+              round((tf / dl) * ln((SELECT count(DISTINCT doc_id) FROM documents)
+                / dfq), 6) AS tfidf FROM st),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rank_in_group FROM sc)
+          SELECT doc_id, term, tfidf, rank_in_group FROM r
+          WHERE rank_in_group <= 3 ORDER BY doc_id, rank_in_group"""),
+    (s, dir) =>
+      Text.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank_in_group"))
+
+  /** BM25 top-10 documents for a fixed query-term bag (k1 = 1.2,
+    * b = 0.75); per-term contributions summed decimal-exact. */
+  private val txBm25 = Q(
+    "tx_bm25",
+    Some(s"""WITH $termCountCtes,
+          q AS (SELECT doc_id, term, tf FROM tc
+            WHERE term IN ('join', 'data', 'spark')),
+          dl AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+          dfq AS (SELECT term, count(*) AS dfq FROM q GROUP BY term),
+          c AS (SELECT count(*) AS n, CAST(sum(len($toksSql)) AS BIGINT) AS sumdl
+            FROM documents),
+          contrib AS (SELECT q.doc_id,
+              ln(1.0 + (c.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5))
+                * (q.tf * (1.2 + 1.0))
+                / (q.tf + 1.2 * ((1.0 - 0.75)
+                    + ((0.75 * dl.dl) / (c.sumdl / c.n)))) AS contrib
+            FROM q JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c)
+          SELECT doc_id, round(${graft.core.Det.sqlDsum("contrib", 8)}, 6) AS bm25
+          FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"""),
+    (s, dir) =>
+      Text.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "data", "spark"), k = 10))
+
+  /** Global vocabulary report: top-20 terms by corpus frequency. */
+  private val txVocab = Q(
+    "tx_vocab_topk",
+    Some(s"""WITH $termCountCtes
+          SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+            count(*) AS n_docs
+          FROM tc GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 20"""),
+    (s, dir) =>
+      Text.vocabTopK(t(s, dir, "documents"), "doc_id", "text", k = 20))
+
+  /** Stratified deterministic sampling: per-language per-mille rates
+    * over an LCG id bucket — reproducible row-for-row across engines,
+    * reruns and partitionings (no RNG). */
+  private val p12Stratified = Q(
+    "p12_stratified_sample",
+    Some(s"""WITH s AS (SELECT doc_id, lang,
+              ${Text.sampleBucketSql("doc_id")} AS sample_bucket FROM documents)
+          SELECT doc_id, lang, sample_bucket FROM s
+          WHERE sample_bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250
+            WHEN 'es' THEN 400 WHEN 'fr' THEN 550 WHEN 'zh' THEN 700 ELSE 0 END
+          ORDER BY doc_id"""),
+    (s, dir) =>
+      Text.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+          ratesPerMille = Seq("en" -> 100, "de" -> 250, "es" -> 400,
+            "fr" -> 550, "zh" -> 700))
+        .orderBy("doc_id"))
+
   /** Exact dedup: hash-groupBy on normalized content, min-id kept. */
   private val ddExact = Q(
     "dd_exact",
@@ -412,6 +488,7 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txSplit, txCorpus, ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
+    txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
+    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
     ddNgram, ddSimhash, ddEmbcos, ssTopk, ssLsh, ssIvf)
 }

@@ -48,12 +48,22 @@ object Clustering {
     * near-dedup (duplicate groups).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // Only nodes with at least one edge participate in the rounds —
+    // an isolated node IS its own converged component (label = id).
+    // In sparse regimes (near-dedup graphs, sub-percolation ε-graphs)
+    // that excludes the vast majority of nodes from every round's
+    // shuffle; the isolated remainder is appended lazily at the end.
+    val active = nodes
+      .join(edges.select(col("_a").as("_id")).distinct(), Seq("_id"), "left_semi")
+      .localCheckpoint()
+    val isolated = nodes.join(active, Seq("_id"), "left_anti")
+      .select(col("_id"), col("_id").as("_label"))
     // labels decrease monotonically: equal checksum => fixpoint. The
     // previous round's checksum is carried forward — one aggregate
     // job per round, not two.
     def sumOf(df: DataFrame): Any =
       df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
-    var labels = nodes.select(col("_id"), col("_id").as("_label")).localCheckpoint()
+    var labels = active.select(col("_id"), col("_id").as("_label")).localCheckpoint()
     var prevSum = sumOf(labels)
     var converged = false
     var rounds = 0
@@ -74,7 +84,8 @@ object Clustering {
       labels = next
       rounds += 1
     }
-    labels
+    if (sys.env.contains("GRAFT_EP2_PROF")) println(s"[cc] rounds=$rounds")
+    labels.unionByName(isolated)
   }
 
   /** Returns (idCol, cluster) for every non-noise point. */
@@ -100,11 +111,18 @@ object Clustering {
       .select(col("_id").as("_a"), col("_bid").as("_b"))
       .localCheckpoint()
 
-    val degrees = pairs.groupBy("_a").agg(count(lit(1)).as("_deg"))
     // the point itself counts toward minSamples (sklearn); isolated
-    // points have no pair rows, so minSamples<=1 -> everything core
-    val core = (if (minSamples <= 1) pts.select("_id")
-                else degrees.where(col("_deg") >= minSamples - 1).select(col("_a").as("_id")))
+    // points have no pair rows, so minSamples<=1 -> everything core,
+    // every edge core-core, and the border set is empty by
+    // construction — skip the core/border machinery entirely.
+    if (minSamples <= 1) {
+      val labels = connectedComponents(pts.select("_id"), pairs)
+      return labels.select(col("_id").as(idCol), col("_label").as("cluster"))
+    }
+
+    val degrees = pairs.groupBy("_a").agg(count(lit(1)).as("_deg"))
+    val core = degrees.where(col("_deg") >= minSamples - 1)
+      .select(col("_a").as("_id"))
       .localCheckpoint()
 
     val coreEdges = pairs

@@ -116,4 +116,103 @@ object Text {
              WHEN $b < ${trainPerMille + valPerMille} THEN 'val'
              ELSE 'test' END"""
   }
+
+  /** Per-mille sampling bucket of an id — the same LCG family as
+    * [[hashSplit]]; deterministic, engine-independent, stable under
+    * reshuffles. */
+  def sampleBucket(id: Column): Column = pmod(
+    pmod(id.cast(LongType), lit(1000000007L)) * 1103515245L + 12345L, lit(1000L))
+
+  /** SQL twin of [[sampleBucket]]. */
+  def sampleBucketSql(idExpr: String): String =
+    s"((($idExpr) % 1000000007) * 1103515245 + 12345) % 1000"
+
+  /** Stratified deterministic sampling: keep a row iff its id bucket
+    * falls under its stratum's per-mille rate. No RNG, no
+    * `sample()` nondeterminism — the keep-set is a pure function of
+    * (id, stratum), so reruns, retries and other engines agree
+    * row-for-row. Runs entirely in the scan stage (no shuffle). */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       stratumCol: String,
+                       ratesPerMille: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+    val bucket = sampleBucket(col(idCol))
+    val rate = ratesPerMille.tail.foldLeft(
+        when(col(stratumCol) === ratesPerMille.head._1, lit(ratesPerMille.head._2))) {
+      case (acc, (s, r)) => acc.when(col(stratumCol) === s, lit(r))
+    }.otherwise(lit(0))
+    df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < rate)
+  }
+
+  // ------------------------------------------------ relevance / vocab
+
+  /** Exploded per-(doc, term) counts — the base frame for TF-IDF,
+    * BM25 and vocabulary stats. Shuffle key (doc, term) is
+    * high-cardinality; partial aggregation runs map-side. */
+  def termCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF top-k terms per document: tf/dl · ln(N/df), ranked by the
+    * round-6 score (so cross-engine last-ulp noise cannot flip the
+    * ranking), ties by term. dl and df come from windows over the
+    * term-count frame — no second explode, no driver collect; N rides
+    * in on a broadcast single-row aggregate. */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = termCounts(df, idCol, textCol)
+    val withStats = tc
+      .withColumn("_dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(df.agg(count_distinct(col(idCol)).as("_n"))))
+    val scored = withStats.withColumn("tfidf",
+      round((col("tf") / col("_dl")) * log(col("_n") / col("_df")), 6))
+    Temporal.topKPerGroup(
+        scored.select(col(idCol), col("term"), col("tfidf")),
+        keys = Seq(idCol),
+        order = Seq(col("tfidf").desc, col("term").asc), k = k)
+  }
+
+  /** BM25 document ranking for a bag of query terms (k1 = 1.2,
+    * b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½))). Per-term
+    * contributions are summed decimal-exact (order-independent, the
+    * [[graft.core.Det]] scheme) so the score is bit-stable; top-k by
+    * the round-6 score. Doc length = whitespace token count (one scan,
+    * no window); df/avgdl/N are broadcast-sized aggregates. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val withDl = df.select(col(idCol), tokenCount(col(textCol)).cast(LongType).as("_dl"),
+      col(textCol))
+    val tc = termCounts(withDl, idCol, textCol)
+      .where(col("term").isInCollection(queryTerms))
+    val dfreq = tc.groupBy("term").agg(count(lit(1)).as("_df"))
+    val corpus = broadcast(withDl.agg(count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sumdl")))
+    val contrib = tc
+      .join(broadcast(dfreq), Seq("term"))
+      .join(withDl.select(col(idCol), col("_dl")), Seq(idCol))
+      .crossJoin(corpus)
+      .withColumn("_idf", log(lit(1.0) +
+        (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_contrib", col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          (lit(b) * col("_dl")) / (col("_sumdl") / col("_n")))))
+    contrib.groupBy(col(idCol))
+      .agg(round(graft.core.Det.dsum(col("_contrib"), 8), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Global vocabulary report: top-k terms by corpus frequency with
+    * document frequency; one shuffle on term. */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    termCounts(df, idCol, textCol)
+      .groupBy("term")
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
 }

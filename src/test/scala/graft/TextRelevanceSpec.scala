@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Text
+
+/** TF-IDF / BM25 / vocabulary / stratified-sampling semantics. */
+class TextRelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple", "en"),
+    (2L, "banana cherry", "en"),
+    (3L, "cherry cherry cherry date", "de"),
+    (4L, "apple banana cherry", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("tfIdfTopK: corpus-unique term outranks ubiquitous terms") {
+    val out = Text.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank_in_group").collect()
+    // doc 3: 'date' appears only there -> max idf, rank 1
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.head.getString(1) == "cherry" || d3.head.getString(1) == "date")
+    // 'date' tf=1/4, idf=ln(4); 'cherry' tf=3/4, idf=ln(4/3)
+    val date = d3.find(_.getString(1) == "date").get
+    val cherry = d3.find(_.getString(1) == "cherry").get
+    assert(date.getDouble(2) > cherry.getDouble(2))
+  }
+
+  test("bm25TopK: doc with more query-term mass ranks first") {
+    val out = Text.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("cherry"), k = 4).collect()
+    assert(out.head.getLong(0) == 3L) // tf=3 beats tf=1 at similar dl
+    assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("vocabTopK: exact corpus and document frequencies") {
+    val out = Text.vocabTopK(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect()
+    // cherry: 5 occurrences in 3 docs; apple/banana: 3 occurrences each
+    assert(out(0) == ("cherry", 5L, 3L))
+    assert(out(1)._2 == 3L)
+  }
+
+  test("stratifiedSample: deterministic, respects per-stratum rates") {
+    val n = 2000
+    val big = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val out = Text.stratifiedSample(big, "doc_id", "lang",
+      Seq("en" -> 100, "de" -> 500)).cache()
+    val en = out.where(col("lang") === "en").count()
+    val de = out.where(col("lang") === "de").count()
+    // LCG buckets are near-uniform: expect ~100/1000 and ~500/1000
+    assert(math.abs(en / (n / 2.0) - 0.1) < 0.05, s"en rate ${en / (n / 2.0)}")
+    assert(math.abs(de / (n / 2.0) - 0.5) < 0.05, s"de rate ${de / (n / 2.0)}")
+    // deterministic: same rows on rerun
+    val again = Text.stratifiedSample(big, "doc_id", "lang",
+      Seq("en" -> 100, "de" -> 500))
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
+}
