@@ -47,7 +47,18 @@ object Clustering {
     * component. Shared by DBSCAN (core-graph clusters) and
     * near-dedup (duplicate groups).
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  /** Edge-count threshold under which the component labels are
+    * computed with a driver-side union-find instead of distributed
+    * label-propagation rounds. Same adaptive rationale as a
+    * broadcast-hash-join: below the threshold the whole edge list is
+    * dimension-sized (≤ ~64 MB collected), and one O(E α(E)) pass
+    * beats 3-5 rounds of join+checkpoint fixed latency; above it the
+    * shuffle-based rounds are the only shape that scales. Both paths
+    * produce identical labels (min member id per component). */
+  val DriverMaxEdges = 4000000L
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     // Only nodes with at least one edge participate in the rounds —
     // an isolated node IS its own converged component (label = id).
     // In sparse regimes (near-dedup graphs, sub-percolation ε-graphs)
@@ -58,6 +69,22 @@ object Clustering {
       .localCheckpoint()
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
+
+    val idType = nodes.schema.fields.find(_.name == "_id").get.dataType
+    val integralId = idType == LongType || idType == IntegerType ||
+      idType == ShortType || idType == ByteType
+    if (integralId && edges.count() <= driverMaxEdges) {
+      val labeled = driverUnionFind(edges)
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = labeled.toSeq.toDF("_id", "_label")
+        .select(col("_id").cast(idType).as("_id"),
+          col("_label").cast(idType).as("_label"))
+        // keep parity with the distributed path: only endpoints that
+        // are actually in `nodes` get a label row
+        .join(active, Seq("_id"), "left_semi")
+      return labels.unionByName(isolated)
+    }
     // labels decrease monotonically: equal checksum => fixpoint. The
     // previous round's checksum is carried forward — one aggregate
     // job per round, not two.
@@ -86,6 +113,50 @@ object Clustering {
     }
     if (sys.env.contains("GRAFT_EP2_PROF")) println(s"[cc] rounds=$rounds")
     labels.unionByName(isolated)
+  }
+
+  /** Union-find (path compression + union by min) over a collected
+    * edge list; returns label = min node id per component for every
+    * edge endpoint. Only invoked for dimension-sized edge lists —
+    * see [[DriverMaxEdges]]. */
+  private def driverUnionFind(edges: DataFrame): Array[(Long, Long)] = {
+    val es = edges.select(col("_a").cast(LongType), col("_b").cast(LongType))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    var i = 0
+    while (i < es.length) {
+      val r = es(i)
+      val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+      if (ra != rb) { // union under the smaller root: root == min id
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val seen = new java.util.HashSet[Long]()
+    var j = 0
+    while (j < es.length) {
+      val r = es(j)
+      var k = 0
+      while (k < 2) {
+        val id = r.getLong(k)
+        if (seen.add(id)) out += ((id, find(id)))
+        k += 1
+      }
+      j += 1
+    }
+    out.toArray
   }
 
   /** Returns (idCol, cluster) for every non-noise point. */

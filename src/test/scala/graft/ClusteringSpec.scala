@@ -77,6 +77,22 @@ class ClusteringSpec extends SparkSpec {
     check(pts, eps = 1.0, minSamples = 1)
   }
 
+  test("connectedComponents: driver union-find == distributed rounds") {
+    // chain, pair, triangle, isolated node; both directions per edge
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("_a", "_b")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 99L)).toDF("_id")
+    val viaDriver = Clustering.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRounds = Clustering.connectedComponents(nodes, edges, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 99L -> 99L)
+    assert(viaDriver == expected)
+    assert(viaRounds == expected)
+  }
+
   test("500-point random field matches brute force") {
     val rnd = new scala.util.Random(7)
     val pts = (0L until 500L).map(i =>
