@@ -411,6 +411,28 @@ object QueriesAgg {
         .orderBy("p_partkey")
     })
 
+  /** A15 (scale extension): sketch aggregates — HyperLogLog++
+    * distinct counts and a quantile sketch. At 100 TB these replace
+    * their exact counterparts (exact distinct shuffles every key;
+    * exact percentile materializes the group) with bounded-memory,
+    * mergeable, map-side-combining sketches. No SQL oracle — a sketch
+    * estimate is implementation-defined; SketchSpec bounds the error
+    * against the exact values instead. */
+  private val a15 = Q(
+    "a15_approx_sketch",
+    None,
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_partkey_approx"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("_q"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("nd_partkey_approx"),
+          col("_q").getItem(0).as("p50_approx"),
+          col("_q").getItem(1).as("p95_approx"), col("n_rows"))
+        .orderBy("l_returnflag"))
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, w1, w2, w3, c2, c3, c4, c5, c12)
 }

@@ -206,6 +206,28 @@ object QueriesSources {
   /** Multimodal: STUB decode + feature extraction via mapPartitions
     * record batches (the mapInPandas shape); features exploded to
     * scalars so the oracle can mirror the deterministic fake decode. */
+  /** Multimodal: STUB keyframe sampling — every 4th 32-byte chunk of
+    * the payload becomes one output row, pure column expressions (no
+    * UDF, no shuffle). The oracle mirrors the byte slices with
+    * VARCHAR substrings, valid because this corpus is pure ASCII
+    * (byte == char); the engine path itself is binary-only. */
+  private val mm3 = Q(
+    "mm_frame_sample",
+    Some("""WITH f AS (SELECT doc_id, text,
+              unnest(list_filter(range(0, CAST(floor((length(text) - 1) / 32)
+                AS BIGINT) + 1), i -> i % 4 = 0)) AS frame_no
+              FROM documents)
+            SELECT doc_id, frame_no,
+              md5(substring(text, CAST(frame_no * 32 + 1 AS INT), 32)) AS frame_md5
+            FROM f ORDER BY doc_id, frame_no"""),
+    (s, dir) =>
+      Multimodal.frameSampleStub(
+          Multimodal.withBlob(t(s, dir, "documents"), "text"),
+          "doc_id", "blob", frameBytes = 32, every = 4)
+        .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no"))
+
   private val mm2 = Q(
     "mm_decode_features",
     Some("""WITH f AS (SELECT doc_id, length(text) AS n, CAST(i.range AS BIGINT) AS dim
@@ -226,5 +248,5 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, st3, mm1, mm2)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, st3, mm1, mm2, mm3)
 }

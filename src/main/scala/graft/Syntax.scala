@@ -168,5 +168,39 @@ object syntax {
     /** Deterministic train/val/test assignment column. */
     def withHashSplit(idCol: String, out: String = "split"): DataFrame =
       df.withColumn(out, Text.hashSplit(col(idCol)))
+
+    /** Stratified deterministic sampling (per-stratum per-mille rates). */
+    def stratifiedSample(idCol: String, stratumCol: String,
+                         ratesPerMille: Seq[(String, Int)]): DataFrame =
+      Text.stratifiedSample(df, idCol, stratumCol, ratesPerMille)
+
+    /** TF-IDF top-k terms per document. */
+    def tfidfTerms(idCol: String, textCol: String, k: Int): DataFrame =
+      Text.tfIdfTopK(df, idCol, textCol, k)
+
+    /** BM25 top-k documents for a query-term bag. */
+    def bm25Search(idCol: String, textCol: String, terms: Seq[String],
+                   k: Int): DataFrame =
+      Text.bm25TopK(df, idCol, textCol, terms, k)
+
+    /** Top-k corpus vocabulary with document frequencies. */
+    def vocabulary(idCol: String, textCol: String, k: Int): DataFrame =
+      Text.vocabTopK(df, idCol, textCol, k)
+
+    // ---- temporal surface ----
+
+    /** As-of join: latest `right` row at-or-before each row's ts. */
+    def asofJoin(right: DataFrame, key: String, ts: String,
+                 payload: Seq[String], tieBreak: String): DataFrame =
+      Temporal.asofJoin(df, right, key, ts, payload, tieBreak)
+
+    /** Interval containment join against an intervals frame. */
+    def rangeJoin(ptTs: String, intervals: DataFrame, startCol: String,
+                  endCol: String, bucketSeconds: Long): DataFrame =
+      Temporal.rangeJoin(df, ptTs, intervals, startCol, endCol, bucketSeconds)
+
+    /** Top-k rows per group by explicit order columns. */
+    def topkPerGroup(keys: Seq[String], order: Seq[Column], k: Int): DataFrame =
+      Temporal.topKPerGroup(df, keys, order, k)
   }
 }

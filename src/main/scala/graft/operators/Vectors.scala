@@ -84,8 +84,40 @@ object Vectors {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= nCentroids, "not enough vectors to train IVF")
     val dim = sample.head.length
-    // deterministic init: spread over the sample
-    var centroids = Array.tabulate(nCentroids)(c => sample(c * (sample.length / nCentroids)).clone())
+    // deterministic farthest-point (maximin) init — the RNG-free
+    // k-means++ analog: each next seed is the sample point with the
+    // largest distance to its nearest already-chosen seed. Spreads
+    // seeds across the actual data geometry (index-spread init can
+    // land several seeds in one dense blob and leave a region
+    // uncovered), stays reproducible run-to-run.
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    var centroids = {
+      val seeds = new Array[Array[Double]](nCentroids)
+      seeds(0) = sample(0).clone()
+      val minD = sample.map(v => d2(v, seeds(0)))
+      var c = 1
+      while (c < nCentroids) {
+        var best = 0; var bestD = -1.0
+        var i = 0
+        while (i < sample.length) {
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        seeds(c) = sample(best).clone()
+        i = 0
+        while (i < sample.length) {
+          val nd = d2(sample(i), seeds(c))
+          if (nd < minD(i)) minD(i) = nd
+          i += 1
+        }
+        c += 1
+      }
+      seeds
+    }
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
