@@ -206,6 +206,31 @@ object QueriesSources {
   /** Multimodal: STUB decode + feature extraction via mapPartitions
     * record batches (the mapInPandas shape); features exploded to
     * scalars so the oracle can mirror the deterministic fake decode. */
+  /** S12 (scale extension): hive-partitioned parquet layout —
+    * write partitioned by a low-cardinality column, read back with a
+    * partition predicate. At 100 TB this is THE layout lever: the
+    * filtered scan lists only the matching partition directories
+    * (ScaleSpec asserts `inputFiles` stays inside
+    * `event_type=click/`), so a 1-of-5 partition query reads 1/5 of
+    * the bytes before any row-level work. Oracle: same filter+agg
+    * over the original table — the round-trip must be lossless. */
+  private val s12 = Q(
+    "s12_partitioned_roundtrip",
+    Some(s"""SELECT user_id, count(*) AS n,
+             ${Det.sqlDsum("value", 6)} AS v_sum
+             FROM events WHERE event_type = 'click'
+             GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_events_part").getAbsolutePath
+      Tables.load(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out).where(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("v_sum"))
+        .orderBy("user_id")
+    })
+
   /** Multimodal: STUB keyframe sampling — every 4th 32-byte chunk of
     * the payload becomes one output row, pure column expressions (no
     * UDF, no shuffle). The oracle mirrors the byte slices with
@@ -248,5 +273,5 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, st1, st2, st3, mm1, mm2, mm3)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, st1, st2, st3, mm1, mm2, mm3)
 }

@@ -24,7 +24,7 @@ object ProfileMinhash {
     }
 
     time("band keys (compiled expr)") {
-      docs.repartition(col("doc_id"))
+      Tables.spread(docs, col("doc_id"))
         .select(graft.functions.Expressions.minHashBands(col("text"), 5, 8, 4).as("b"))
         .select(sum(size(col("b")))).collect()
     }

@@ -1,0 +1,31 @@
+package graft
+
+/** Whole-registry physical-plan audit: no query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+  * where the build side is dimension-sized by construction. This is
+  * the scale gate that catches a future operator accidentally
+  * regressing to an unbucketed theta join. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose BNLJ is a deliberate dimension/scalar broadcast:
+    * - ss_topk_bruteforce: the declared O(n·q) ANN baseline
+    *   (broadcast query set × corpus);
+    * - tx_tfidf / tx_bm25: a single-row corpus-stats aggregate rides
+    *   in on a broadcast cross join;
+    * - m3_iqr_outlier_clean: the per-bin IQR boundary frame (nBins
+    *   rows) joins on a range predicate. */
+  private val bnljAllowed = Set(
+    "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean")
+
+  test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
