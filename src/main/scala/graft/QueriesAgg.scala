@@ -433,6 +433,25 @@ object QueriesAgg {
           col("_q").getItem(1).as("p95_approx"), col("n_rows"))
         .orderBy("l_returnflag"))
 
+  /** A16 (scale extension): single-pass column profiler — the
+    * ANALYZE-style stats report, one scan for all columns. */
+  private val a16 = Q(
+    "a16_column_profile",
+    Some {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min_val,
+            CAST(max($c) AS DOUBLE) AS max_val FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+        .map(row).mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
+    (s, dir) =>
+      Tables.profile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))
+        .orderBy("column"))
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    a15, w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, a16, w1, w2, w3, c2, c3, c4, c5, c12)
 }

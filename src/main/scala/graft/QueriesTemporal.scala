@@ -124,5 +124,57 @@ object QueriesTemporal {
       graft.streaming.Streams.slidingTypeCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type"))
 
-  val all: Seq[Q] = Seq(j11Asof, j12Range, w4TopK, stSliding)
+  /** W5: time-RANGE window frame — trailing 1-hour per-user count
+    * and exact sum. The frame bound runs on integer epoch
+    * MICROseconds on both engines (a seconds cast would truncate;
+    * a double cast would put the frame boundary at the mercy of
+    * rounding), so frames match row-for-row. */
+  private val w5TimeWindow = Q(
+    "w5_time_range_window",
+    Some(s"""SELECT event_id, user_id,
+            count(*) OVER w AS n_1h,
+            CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS v_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .over(w).cast("double").as("v_1h"))
+        .orderBy("event_id")
+    })
+
+  /** ST5 (batch twin): click→purchase attribution within 1 hour —
+    * the stream-stream interval join. StreamsSpec runs the same
+    * transform under readStream with watermarked state and asserts
+    * streaming == batch. */
+  private val stAttribution = Q(
+    "st_attribution_join",
+    Some("""WITH c AS (SELECT event_id AS click_id, user_id,
+              ts AS click_ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS purchase_id, user_id,
+              ts AS purchase_ts, value AS purchase_value FROM events
+              WHERE event_type = 'purchase')
+            SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id,
+              p.purchase_ts, p.purchase_value
+            FROM c JOIN p ON c.user_id = p.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts < c.click_ts + INTERVAL 1 HOUR
+            ORDER BY c.click_id, p.purchase_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.Streams.attributionJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id")
+    })
+
+  val all: Seq[Q] = Seq(j11Asof, j12Range, w4TopK, stSliding,
+    w5TimeWindow, stAttribution)
 }

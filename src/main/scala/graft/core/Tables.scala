@@ -130,4 +130,27 @@ object Tables {
   /** Estimated in-memory size in MB (df_utils.py:163-173 mem_usage). */
   def memUsageMb(df: DataFrame): Double =
     df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1024.0 / 1024.0
+
+  /** Single-pass column profiler (the ANALYZE-style operator): one
+    * aggregate job computes rows/nulls/exact-distinct/min/max for
+    * every requested numeric column, then unpivots to one row per
+    * column. One scan regardless of column count — the shape that
+    * matters when the table is 100 TB (a per-column loop would scan
+    * N times). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("double").as(s"_mn_$c"),
+        max(col(c)).cast("double").as(s"_mx_$c"))
+    } :+ count(lit(1)).as("_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col("_rows").as("n_rows"),
+        col(s"_nn_$c").as("n_nulls"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_val"), col(s"_mx_$c").as("max_val"))
+    }: _*))
+    one.select(stacked.as("_p")).select("_p.*")
+  }
 }

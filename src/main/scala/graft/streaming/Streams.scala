@@ -52,6 +52,32 @@ object Streams {
   def slidingTypeCountsStream(events: DataFrame): DataFrame =
     slidingTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Click→purchase attribution: every purchase by the same user
+    * within the hour after a click. The equi key (user_id) carries
+    * the shuffle — high-cardinality at scale — and the time bound is
+    * a residual predicate, so the batch plan is a plain hash/merge
+    * join (no BNLJ) and the streaming plan is a watermarked
+    * stream-stream interval join with bounded state. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "purchase_ts", "purchase_value")
+  }
+
+  /** Streaming flavor of [[attributionJoin]]: watermarks on both
+    * sides bound the join state (a click can stop waiting once the
+    * purchase watermark passes click_ts + 1 h). */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(clicks.withWatermark("ts", "2 hours"),
+      purchases.withWatermark("ts", "2 hours"))
+
   /** Streaming-shaped dedup: first event per (hour, user, type) plus
     * the duplicate count. "First" = min (ts, event_id) — an
     * order-independent aggregate, so batch, streaming replay and the

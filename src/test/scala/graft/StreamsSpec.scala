@@ -74,6 +74,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming attribution join == batch attribution join") {
+    val ev = Tables.load(spark, sf001, "events")
+    val batch = Streams.attributionJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(batch.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    // two independent readStream sources over the same files — the
+    // real stream-stream join shape (not a self-join of one source)
+    val clicks = Streams.eventsStream(spark, dir.toString)
+      .where(col("event_type") === "click")
+    val purchases = Streams.eventsStream(spark, dir.toString)
+      .where(col("event_type") === "purchase")
+    val q = Streams.attributionJoinStream(clicks, purchases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_out")
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("session windows: gap merging semantics") {
     import spark.implicits._
     val ts = Seq(
