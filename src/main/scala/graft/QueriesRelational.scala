@@ -321,6 +321,34 @@ object QueriesRelational {
       Tables.downcast(t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"))
         .orderBy("l_orderkey", "l_linenumber"))
 
+  /** J13 (scale extension): salted skew join, oracle-gated. The
+    * derived key puts ~80% of lineitem on one hot key — the shape
+    * AQE's runtime splitting can't always rescue (a single literal
+    * key); `Skew.saltedJoin` splits the hot key across `factor`
+    * sub-keys and replicates the 25-row dim side. The output set is
+    * salt-independent, so the oracle is the plain join. */
+  private val j13 = Q(
+    "j13_salted_skew_join",
+    Some(s"""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+               ELSE l_orderkey % 25 END AS k, l_extendedprice FROM lineitem),
+             d AS (SELECT n_nationkey AS k, n_name FROM nation)
+             SELECT f.k, d.n_name, count(*) AS n,
+               ${Det.sqlDsum("f.l_extendedprice", 4)} AS price_sum
+             FROM f JOIN d ON f.k = d.k
+             GROUP BY f.k, d.n_name ORDER BY f.k"""),
+    (s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25))).as("k"),
+        col("l_extendedprice"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_name"))
+      graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), factor = 8)
+        .groupBy("k", "n_name")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice"), 4).as("price_sum"))
+        .orderBy("k")
+    })
+
   val all: Seq[Q] = Seq(p2, p5, p6, p8a, p8b, p9, p10, p11, j2, j6, j7,
-    j8a, j8b, j10, u1, u2, u3, o1, m5, c1, c9)
+    j8a, j8b, j10, j13, u1, u2, u3, o1, m5, c1, c9)
 }

@@ -208,4 +208,27 @@ object Vectors {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
+
+  /** Embedding near-dup pairs blocked by LSH buckets instead of a
+    * label column — removes [[cosineNearDupPairs]]'s dependence on a
+    * meaningful blocking key: candidates are the pairs colliding in
+    * any of the `tables` hyperplane tables (OR-banding), verified by
+    * the codegen'd cosine kernel. Same shuffle shape as [[lshTopK]];
+    * recall follows the OR-banding collision probability
+    * 1 − (1 − (1 − θ/π)^planes)^tables for angle θ. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double,
+                      tables: Int = 8, planes: Int = 6): DataFrame = {
+    val keyed = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol), col(vecCol),
+        posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val a = keyed.select(col("_tbl"), col("_key"), col(idCol).as("a"), col(vecCol).as("_av"))
+    val b = keyed.select(col("_tbl"), col("_key"), col(idCol).as("b"), col(vecCol).as("_bv"))
+    a.join(b, Seq("_tbl", "_key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.Expressions.cosineSim(col("_av"), col("_bv")), 6).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
 }

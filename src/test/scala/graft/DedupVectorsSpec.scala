@@ -166,6 +166,37 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("LSH near-dup pairs: precision 1 by construction, useful recall") {
+    val e = core.Tables.load(spark, sf001, "embeddings")
+    val n = e.count().toInt
+    // brute-force truth: all pairs with round-6 cosine >= 0.4
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("_av"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("_bv"))
+    val truth = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.Expressions.cosineSim(col("_av"), col("_bv")), 6).as("c"))
+      .where(col("c") >= 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val got = Vectors.lshNearDupPairs(e, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, tables = 8, planes = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // OR-banding collision probability 1-(1-(1-θ/π)^6)^8 predicts
+    // recall ≈ 0.41 at the cos=0.4 boundary (θ≈66°) and ≥ 0.9 for
+    // genuinely near-dup pairs (cos ≥ 0.8, θ ≤ 37°) — assert both
+    // regimes rather than one arbitrary blended number
+    assert(truth.isEmpty || got.size.toDouble / truth.size >= 0.25,
+      s"recall ${got.size}/${truth.size} on $n vectors")
+    val truthHigh = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.Expressions.cosineSim(col("_av"), col("_bv")), 6).as("c"))
+      .where(col("c") >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truthHigh.isEmpty ||
+      (got & truthHigh).size.toDouble / truthHigh.size >= 0.8,
+      s"high-sim recall ${(got & truthHigh).size}/${truthHigh.size}")
+  }
+
   test("lsh buckets are deterministic") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
     val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
