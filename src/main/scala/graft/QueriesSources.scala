@@ -231,6 +231,37 @@ object QueriesSources {
         .orderBy("user_id")
     })
 
+  /** S13 (scale extension): schema evolution across file batches —
+    * an early batch lacks a column a later batch has;
+    * `mergeSchema=true` reads both under one unioned schema with
+    * nulls for the missing column. This is how a long-lived 100 TB
+    * table actually grows columns; the oracle unions the two shapes
+    * explicitly. */
+  private val s13 = Q(
+    "s13_schema_evolution",
+    Some(s"""WITH b1 AS (SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+               FROM events WHERE event_id % 2 = 0),
+             b2 AS (SELECT event_id, user_id, value FROM events
+               WHERE event_id % 2 = 1),
+             u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+             SELECT user_id, count(*) AS n, count(value) AS n_with_value,
+               ${Det.sqlDsum("value", 6)} AS v_sum
+             FROM u GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_events_evo").getAbsolutePath
+      val ev = Tables.load(s, dir, "events")
+      ev.where(col("event_id") % 2 === 0).select("event_id", "user_id")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      ev.where(col("event_id") % 2 === 1).select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), count(col("value")).as("n_with_value"),
+          Det.dsum(col("value"), 6).as("v_sum"))
+        .orderBy("user_id")
+    })
+
   /** Multimodal: STUB keyframe sampling — every 4th 32-byte chunk of
     * the payload becomes one output row, pure column expressions (no
     * UDF, no shuffle). The oracle mirrors the byte slices with
@@ -273,5 +304,5 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, st1, st2, st3, mm1, mm2, mm3)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, st1, st2, st3, mm1, mm2, mm3)
 }

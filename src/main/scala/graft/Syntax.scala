@@ -202,5 +202,14 @@ object syntax {
     /** Top-k rows per group by explicit order columns. */
     def topkPerGroup(keys: Seq[String], order: Seq[Column], k: Int): DataFrame =
       Temporal.topKPerGroup(df, keys, order, k)
+
+    /** LSH-bucket-blocked embedding near-dup pairs (no label column). */
+    def embeddingNearDups(idCol: String, vecCol: String, dim: Int,
+                          threshold: Double): DataFrame =
+      Vectors.lshNearDupPairs(df, idCol, vecCol, dim, threshold)
+
+    /** Single-pass ANALYZE-style column profile. */
+    def profileColumns(cols: Seq[String]): DataFrame =
+      graft.core.Tables.profile(df, cols)
   }
 }

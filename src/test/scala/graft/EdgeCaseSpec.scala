@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Clustering, Dedup, Temporal, Text}
+
+/** Degenerate-input behavior: empty sides, empty corpora, empty
+  * graphs. An engine operator must return a sane empty (or
+  * null-padded) result, never throw, when a filter upstream happens
+  * to drain its input. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(c: String) = to_timestamp(col(c))
+
+  test("asofJoin: empty right side -> all left rows, null payload") {
+    val left = Seq((1L, "2024-01-01 10:00:00", 100L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", ts("ts_s")).drop("ts_s")
+    val right = left.where(lit(false))
+      .withColumn("value", lit(0.0))
+    val out = Temporal.asofJoin(left, right, "user_id", "ts",
+      Seq("event_id", "value"), "event_id").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("value_r")))
+  }
+
+  test("rangeJoin: empty intervals -> empty result") {
+    val pts = Seq((1L, "2024-01-01 10:00:00")).toDF("pid", "ts_s")
+      .withColumn("ts", ts("ts_s")).drop("ts_s")
+    val ivs = pts.where(lit(false))
+      .select(col("pid").as("iid"), col("ts").as("w_start"), col("ts").as("w_end"))
+    assert(Temporal.rangeJoin(pts, "ts", ivs, "w_start", "w_end", 60L).count() == 0)
+  }
+
+  test("dbscan and connectedComponents on empty input") {
+    val pts = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y").where(lit(false))
+    assert(Clustering.dbscan(pts, "id", "x", "y", 1.0, 1).count() == 0)
+    val nodes = Seq(1L).toDF("_id").where(lit(false))
+    val edges = Seq((1L, 2L)).toDF("_a", "_b").where(lit(false))
+    assert(Clustering.connectedComponents(nodes, edges).count() == 0)
+  }
+
+  test("text relevance on an empty corpus") {
+    val docs = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang").where(lit(false))
+    assert(Text.tfIdfTopK(docs, "doc_id", "text", 3).count() == 0)
+    assert(Text.bm25TopK(docs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    assert(Text.vocabTopK(docs, "doc_id", "text", 5).count() == 0)
+    assert(Text.stratifiedSample(docs, "doc_id", "lang", Seq("en" -> 500)).count() == 0)
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5, poly = true).count() == 0)
+  }
+
+  test("profile on an empty table still reports one row per column") {
+    val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
+    val out = Tables.profile(df, Seq("a", "b")).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("n_rows") == 0L))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("min_val"))))
+  }
+}
