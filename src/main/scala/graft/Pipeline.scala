@@ -180,7 +180,10 @@ object Pipeline {
   /** The full notebook pipeline including the S10 CSV dump (cell 10):
     * gzip CSV of the final frame, then the frame itself. */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val result = stages(spark, dir).last._2
+    // materialize the final frame once: both consumers (the CSV dump
+    // here and whatever action the caller runs next) would otherwise
+    // recompute the two group-selection joins of the tail
+    val result = cp("result", stages(spark, dir).last._2)
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
     // repartition(1), NOT coalesce(1): coalesce would collapse the

@@ -59,6 +59,29 @@ object Clustering {
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
+    val idType = nodes.schema.fields.find(_.name == "_id").get.dataType
+    val integralId = idType == LongType || idType == IntegerType ||
+      idType == ShortType || idType == ByteType
+    if (integralId && edges.count() <= driverMaxEdges) {
+      // the union-find labels are driver-local -> broadcastable; both
+      // joins against `nodes` are broadcast hash joins and the
+      // distributed active/isolated scaffolding is never built
+      val labeled = driverUnionFind(edges)
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = labeled.toSeq.toDF("_id", "_label")
+        .select(col("_id").cast(idType).as("_id"),
+          col("_label").cast(idType).as("_label"))
+      // parity with the distributed path: only endpoints that are in
+      // `nodes` get a label row; nodes without an edge are their own
+      // component. `nodes` streams; the tiny label table broadcasts.
+      val inNodes = nodes.join(broadcast(labels), Seq("_id"))
+        .select(col("_id"), col("_label"))
+      val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
+        .select(col("_id"), col("_id").as("_label"))
+      return inNodes.unionByName(ownComponent)
+    }
+
     // Only nodes with at least one edge participate in the rounds —
     // an isolated node IS its own converged component (label = id).
     // In sparse regimes (near-dedup graphs, sub-percolation ε-graphs)
@@ -69,22 +92,6 @@ object Clustering {
       .localCheckpoint()
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
-
-    val idType = nodes.schema.fields.find(_.name == "_id").get.dataType
-    val integralId = idType == LongType || idType == IntegerType ||
-      idType == ShortType || idType == ByteType
-    if (integralId && edges.count() <= driverMaxEdges) {
-      val labeled = driverUnionFind(edges)
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val labels = labeled.toSeq.toDF("_id", "_label")
-        .select(col("_id").cast(idType).as("_id"),
-          col("_label").cast(idType).as("_label"))
-        // keep parity with the distributed path: only endpoints that
-        // are actually in `nodes` get a label row
-        .join(active, Seq("_id"), "left_semi")
-      return labels.unionByName(isolated)
-    }
     // labels decrease monotonically: equal checksum => fixpoint. The
     // previous round's checksum is carried forward — one aggregate
     // job per round, not two.
