@@ -126,6 +126,42 @@ object QueriesAnalytics {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
+  /** CUBE: all grouping-set combinations in one pass (rollup's
+    * lattice sibling; subtotal rows carry nulls in both engines). */
+  private val aggCube = Q(
+    "agg_cube",
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ${sqlDsum("l_quantity")} AS sum_qty
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
+  /** U4: unpivot/melt — wide metric columns to (metric, value) rows
+    * (the pandas melt analog), then a per-metric rollup so the
+    * result is bounded at any input size. */
+  private val u4Unpivot = Q(
+    "u4_unpivot_melt",
+    Some(s"""WITH m AS (
+               SELECT 'l_discount' AS metric, l_discount AS value FROM lineitem
+               UNION ALL
+               SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+               UNION ALL
+               SELECT 'l_quantity', l_quantity FROM lineitem)
+             SELECT metric, count(*) AS n, ${sqlDsum("value", 4)} AS v_sum
+             FROM m GROUP BY metric ORDER BY metric"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("v_sum"))
+        .orderBy("metric"))
+
   /** Pivot: per-band columns — the reference's bandwise magnitude
     * columns (_objtable_methods.py:158-188) are exactly a pivot of
     * values by filter id. Oracle: explicit CASE aggregation. */
@@ -143,5 +179,6 @@ object QueriesAnalytics {
         .agg(dsum(col("value"), 6))
         .orderBy("user_id"))
 
-  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, aggRollup, aggPivot)
+  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, aggRollup, aggCube,
+    u4Unpivot, aggPivot)
 }
