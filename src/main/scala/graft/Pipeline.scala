@@ -177,6 +177,41 @@ object Pipeline {
       "wellCal" -> wellCal, "result" -> result)
   }
 
+  /** EP4 — the LLM-training-data curation flagship (builder-prompt
+    * first-class surface), end-to-end on `documents`:
+    *
+    *   quality scoring (tx_quality) -> quality cut -> exact dedup
+    *   keep-min-id (dd_exact) -> MinHash-LSH near-dup groups, keep
+    *   canonical only (dd_dup_groups) -> deterministic train/val/test
+    *   split (tx_hash_split) -> per-(split, lang) corpus report.
+    *
+    * Every stage is an already-oracled operator; the composite is
+    * oracle-checked end-to-end as `ep4_corpus_curation`. Scale shape:
+    * two content-hash aggregates, one banded self-join, one CC pass
+    * (adaptive), one report aggregate — no all-pairs anywhere. */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Text}
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .where(col("quality") > 0.35)
+    val keep1 = Dedup.exact(base, "doc_id", "text")
+      .select(col("kept_id").as("doc_id"))
+    val kept1 = base.join(keep1, Seq("doc_id"), "left_semi")
+    val groups = Dedup.duplicateGroups(kept1, "doc_id", "text",
+      threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4,
+      poly = true)
+    val kept2 = kept1.join(
+      groups.where(col("is_dup") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    kept2.withColumn("split", Text.hashSplit(col("doc_id")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round(graft.core.Det.davg(col("quality"), 8), 6).as("mean_quality"))
+      .orderBy("split", "lang")
+  }
+
   /** The full notebook pipeline including the S10 CSV dump (cell 10):
     * gzip CSV of the final frame, then the frame itself. */
   def flagship(spark: SparkSession, dir: String): DataFrame = {

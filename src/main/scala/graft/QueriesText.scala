@@ -126,6 +126,51 @@ object QueriesText {
           col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"))
 
+  /** Inline SQL twin of Text.qualityScore (no helper CTE — usable
+    * inside any WHERE/SELECT over a frame with a `text` column). */
+  private val qualityInlineSql: String =
+    s"""0.5 * (len(list_filter($toksSql, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+           / len($toksSql))
+       + 0.3 * least(1.0, len($toksSql) / 100.0)
+       + 0.2 * least(1.0,
+           (length(regexp_replace(text, '\\s+', '', 'g')) / len($toksSql)) / 5.0)"""
+
+  /** EP4: the corpus-curation flagship — quality cut, exact dedup,
+    * near-dup canonicalization, deterministic split, per-(split,
+    * lang) report — oracle-checked END-TO-END (the near-dup stage
+    * runs the poly CTE chain over the filtered CTE, the group
+    * resolution is the recursive-CTE transitive closure). */
+  private val ep4Corpus = Q(
+    "ep4_corpus_curation",
+    Some(s"""WITH RECURSIVE base AS (
+            SELECT doc_id, text, lang FROM documents
+            WHERE ($qualityInlineSql) > 0.35),
+          keep1 AS (SELECT min(doc_id) AS doc_id FROM base
+            GROUP BY md5(lower(text))),
+          kept1 AS (SELECT b.doc_id, b.text, b.lang
+            FROM base b JOIN keep1 USING (doc_id)),
+          ${QueriesText.polyPairCtesFrom("kept1")},
+          p2 AS (SELECT a, b FROM v WHERE jaccard >= 0.25),
+          edges AS (SELECT a AS x, b AS y FROM p2
+            UNION ALL SELECT b AS x, a AS y FROM p2),
+          nodes AS (SELECT DISTINCT x AS id FROM edges),
+          r(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.y, r.label FROM r JOIN edges e ON r.id = e.x),
+          cc AS (SELECT id, min(label) AS canonical FROM r GROUP BY id),
+          kept2 AS (SELECT k.doc_id, k.text, k.lang
+            FROM kept1 k LEFT JOIN cc ON k.doc_id = cc.id
+            WHERE coalesce(cc.canonical, k.doc_id) = k.doc_id),
+          sp AS (SELECT doc_id, lang, ${Text.hashSplitSql("doc_id")} AS split,
+            len($toksSql) AS n_toks, ($qualityInlineSql) AS quality
+            FROM kept2)
+          SELECT split, lang, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+            round(${graft.core.Det.sqlDavg("quality", 8)}, 6) AS mean_quality
+          FROM sp GROUP BY split, lang ORDER BY split, lang"""),
+    (s, dir) => Pipeline.corpusCuration(s, dir))
+
   /** Shared (doc, term, tf) CTE chain for the relevance queries. */
   private val termCountCtes =
     s"""tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
@@ -247,11 +292,14 @@ object QueriesText {
     * multiplies, and the family is still exactly SQL-mirrorable (all
     * arithmetic < 2^63), so this keeps the full hash-match gate
     * rather than dropping to a rows-only check. */
-  /** Shared poly-family CTE chain: documents -> shingles -> Horner
+  /** Shared poly-family CTE chain: src -> shingles -> Horner
     * codes -> 8 LCG minima -> 2 band keys -> candidate pairs ->
-    * Jaccard-verified pairs (`v`). Used by dd_minhash_lsh_poly and
-    * dd_dup_groups. */
-  private lazy val polyPairCtes: String = {
+    * Jaccard-verified pairs (`v`). Used by dd_minhash_lsh_poly,
+    * dd_dup_groups and the ep4 corpus pipeline (which feeds a
+    * filtered CTE instead of the raw table). */
+  private lazy val polyPairCtes: String = polyPairCtesFrom("documents")
+
+  private[graft] def polyPairCtesFrom(src: String): String = {
     val coeffs = graft.functions.Expressions.polyCoeffs(8)
     val code = """CASE WHEN length(x) = 0 THEN 0
       ELSE list_reduce(list_transform(range(1, length(x) + 1),
@@ -262,7 +310,7 @@ object QueriesText {
     }.mkString(", ")
     def band(b: Int) =
       (0 until 4).map(i => s"CAST(s${4 * b + i} AS VARCHAR)").mkString(" || ':' || ")
-    s"""d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+    s"""d AS (SELECT doc_id, $sh5Sql AS sh FROM $src),
         dc AS (SELECT doc_id, sh,
           list_transform(sh, x -> $code) AS codes FROM d),
         sig AS (SELECT doc_id, sh, $sigs FROM dc),
@@ -521,5 +569,6 @@ object QueriesText {
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
-    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf)
+    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
+    ep4Corpus)
 }

@@ -61,4 +61,15 @@ class PipelineSpec extends SparkSpec {
       .csv(new java.io.File(sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath)
     assert(dumped.count() == n)
   }
+
+  test("EP4 corpus curation: report covers all splits, counts shrink monotonically") {
+    val report = Pipeline.corpusCuration(spark, sf001).collect()
+    assert(report.nonEmpty)
+    val splits = report.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    val total = core.Tables.load(spark, sf001, "documents").count()
+    val kept = report.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept < total) // quality cut + dedup both bite
+    assert(report.forall(_.getAs[Double]("mean_quality") > 0.35))
+  }
 }
