@@ -62,33 +62,49 @@ object Clustering {
     val idType = nodes.schema.fields.find(_.name == "_id").get.dataType
     val integralId = idType == LongType || idType == IntegerType ||
       idType == ShortType || idType == ByteType
-    if (integralId && edges.count() <= driverMaxEdges) {
-      // the union-find labels are driver-local -> broadcastable; both
-      // joins against `nodes` are broadcast hash joins and the
-      // distributed active/isolated scaffolding is never built
-      val labeled = driverUnionFind(edges)
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val labels = labeled.toSeq.toDF("_id", "_label")
-        .select(col("_id").cast(idType).as("_id"),
-          col("_label").cast(idType).as("_label"))
-      // parity with the distributed path: only endpoints that are in
-      // `nodes` get a label row; nodes without an edge are their own
-      // component. `nodes` streams; the tiny label table broadcasts.
-      val inNodes = nodes.join(broadcast(labels), Seq("_id"))
-        .select(col("_id"), col("_label"))
-      val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
-        .select(col("_id"), col("_id").as("_label"))
-      return inNodes.unionByName(ownComponent)
+    if (integralId) {
+      // Size probe and fetch in ONE job: limit(max+1).collect() either
+      // returns the complete edge list (length <= max — exactly what
+      // the union-find needs, no separate count() pass) or proves the
+      // graph is over the threshold (length == max+1) and we fall
+      // through to the distributed rounds. CollectLimit scales its
+      // partition scan incrementally, so small graphs touch few
+      // partitions and never pay a full count.
+      val fetched = edges
+        .select(col("_a").cast(LongType).as("_a"), col("_b").cast(LongType).as("_b"))
+        .limit((driverMaxEdges + 1).toInt).collect()
+      if (fetched.length <= driverMaxEdges) {
+        // the union-find labels are driver-local -> broadcastable; both
+        // joins against `nodes` are broadcast hash joins and the
+        // distributed active/isolated scaffolding is never built
+        val labeled = driverUnionFind(fetched)
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        val labels = labeled.toSeq.toDF("_id", "_label")
+          .select(col("_id").cast(idType).as("_id"),
+            col("_label").cast(idType).as("_label"))
+        // parity with the distributed path: only endpoints that are in
+        // `nodes` get a label row; nodes without an edge are their own
+        // component. `nodes` streams; the tiny label table broadcasts.
+        val inNodes = nodes.join(broadcast(labels), Seq("_id"))
+          .select(col("_id"), col("_label"))
+        val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
+          .select(col("_id"), col("_id").as("_label"))
+        return inNodes.unionByName(ownComponent)
+      }
     }
 
+    // The rounds scan the edge list once per iteration — materialize
+    // it here so a lazy upstream pair-join isn't recomputed every
+    // round (cheap if the caller already checkpointed it).
+    val edgesM = edges.localCheckpoint()
     // Only nodes with at least one edge participate in the rounds —
     // an isolated node IS its own converged component (label = id).
     // In sparse regimes (near-dedup graphs, sub-percolation ε-graphs)
     // that excludes the vast majority of nodes from every round's
     // shuffle; the isolated remainder is appended lazily at the end.
     val active = nodes
-      .join(edges.select(col("_a").as("_id")).distinct(), Seq("_id"), "left_semi")
+      .join(edgesM.select(col("_a").as("_id")).distinct(), Seq("_id"), "left_semi")
       .localCheckpoint()
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
@@ -102,7 +118,7 @@ object Clustering {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val msgs = edges.join(labels, col("_a") === col("_id"))
+      val msgs = edgesM.join(labels, col("_a") === col("_id"))
         .groupBy(col("_b").as("_id2")).agg(min("_label").as("_nlabel"))
       val prop = labels.join(msgs, col("_id") === col("_id2"), "left")
         .select(col("_id"), least(col("_label"), coalesce(col("_nlabel"), col("_label"))).as("_label"))
@@ -126,9 +142,7 @@ object Clustering {
     * edge list; returns label = min node id per component for every
     * edge endpoint. Only invoked for dimension-sized edge lists —
     * see [[DriverMaxEdges]]. */
-  private def driverUnionFind(edges: DataFrame): Array[(Long, Long)] = {
-    val es = edges.select(col("_a").cast(LongType), col("_b").cast(LongType))
-      .collect()
+  private def driverUnionFind(es: Array[org.apache.spark.sql.Row]): Array[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -184,19 +198,26 @@ object Clustering {
     val d2 = (col("_x") - col("_bx")) * (col("_x") - col("_bx")) +
       (col("_y") - col("_by")) * (col("_y") - col("_by"))
     // directed neighbor pairs (a, b), a != b, dist <= eps
-    val pairs = binned.join(probe, Seq("_cx", "_cy"))
+    val pairsLazy = binned.join(probe, Seq("_cx", "_cy"))
       .where(col("_id") =!= col("_bid") && d2 <= eps * eps)
       .select(col("_id").as("_a"), col("_bid").as("_b"))
-      .localCheckpoint()
 
     // the point itself counts toward minSamples (sklearn); isolated
     // points have no pair rows, so minSamples<=1 -> everything core,
     // every edge core-core, and the border set is empty by
-    // construction — skip the core/border machinery entirely.
+    // construction — skip the core/border machinery entirely. The
+    // pair join stays LAZY here: connectedComponents consumes it
+    // exactly once (one limit-collect on the union-find path, or its
+    // own checkpoint on the distributed path) — a checkpoint job
+    // would be pure overhead.
     if (minSamples <= 1) {
-      val labels = connectedComponents(pts.select("_id"), pairs)
+      val labels = connectedComponents(pts.select("_id"), pairsLazy)
       return labels.select(col("_id").as(idCol), col("_label").as("cluster"))
     }
+
+    // minSamples > 1: degrees/core/border each rescan the pairs —
+    // materialize once.
+    val pairs = pairsLazy.localCheckpoint()
 
     val degrees = pairs.groupBy("_a").agg(count(lit(1)).as("_deg"))
     val core = degrees.where(col("_deg") >= minSamples - 1)

@@ -26,10 +26,17 @@ object Outliers {
   def iqrOutlierRemoval(df: DataFrame, clusterKey: String, calMag: Column,
                         refMag: Column, cut: Double, nBins: Int,
                         useJenks: Boolean = false): (DataFrame, DataFrame) = {
+    // Materialized: the cluster-level aggregate (one row per cluster)
+    // is re-consumed by the min/max pass, the per-bin stats, the
+    // normalized-distance projection AND the merge-back join — left
+    // lazy, each of those recomputes the decimal-sum shuffle over the
+    // full input. Cluster-level stays distributed (executor blocks),
+    // never driver-side.
     val ca = df.groupBy(col(clusterKey))
       .agg(
         Det.davg(calMag, 6).as("av_mag"),
         (Det.davg(calMag, 6) - Det.davg(refMag, 6)).as("mag_diff"))
+      .localCheckpoint()
 
     val binned =
       if (useJenks) {
