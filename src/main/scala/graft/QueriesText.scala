@@ -115,6 +115,35 @@ object QueriesText {
           round(graft.core.Det.davg(col("quality"), 8), 6).as("mean_quality"))
         .orderBy("lang"))
 
+  /** Word n-grams WITH multiplicity over a token-array expression —
+    * SQL twin of Text.wordNgrams (same truncated-gram windowing). */
+  private def ngramsOf(toks: String, n: Int): String =
+    s"""list_transform(range(1, greatest(len($toks) - ${n - 1}, 1) + 1),
+        i -> array_to_string($toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' '))"""
+
+  /** Repetition quality signals (the Gopher-style filter family):
+    * type-token ratio, duplicate 3-gram fraction, top-bigram share.
+    * Pure column math in the scan stage — every ratio is one int/int
+    * IEEE division, so both engines agree bit-for-bit, no rounding. */
+  private val txRepetition = Q(
+    "tx_repetition",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, toks, ${ngramsOf("toks", 2)} AS g2,
+            ${ngramsOf("toks", 3)} AS g3 FROM t)
+          SELECT doc_id,
+            len(list_distinct(toks)) / len(toks) AS ttr,
+            (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_3gram_frac,
+            list_max(list_transform(list_distinct(g2),
+              x -> len(list_filter(g2, y -> y = x)))) / len(g2) AS top_bigram_share
+          FROM g ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          Text.typeTokenRatio(col("text")).as("ttr"),
+          Text.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"),
+          Text.topNgramShare(col("text"), 2).as("top_bigram_share"))
+        .orderBy("doc_id"))
+
   /** Document fingerprint: md5 over the sorted distinct token set. */
   private val txFingerprint = Q(
     "tx_fingerprint",
@@ -567,7 +596,7 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
+    txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ep4Corpus)

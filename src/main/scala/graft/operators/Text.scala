@@ -83,6 +83,44 @@ object Text {
       i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
+  /** Word n-grams WITH multiplicity (no distinct) — the base for
+    * repetition statistics, where how often an n-gram repeats is the
+    * signal. Same windowing as [[wordShingles]]: a doc shorter than
+    * n yields its single truncated gram. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  // ------------------------------------------------ repetition signals
+
+  /** Type-token ratio: distinct / total whitespace tokens — low TTR
+    * flags word-level repetition (the Gopher-style repetition-filter
+    * family). Int/int division both engines → exact double. */
+  def typeTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(array_distinct(t)) / size(t)
+  }
+
+  /** Fraction of n-gram OCCURRENCES that repeat an earlier occurrence
+    * — the "duplicate n-gram fraction" repetition signal. */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val g = wordNgrams(c, n)
+    (size(g) - size(array_distinct(g))) / size(g)
+  }
+
+  /** Share of n-gram occurrences claimed by the single most frequent
+    * n-gram (the "top n-gram fraction" signal). Per-doc cost is
+    * O(distinct · total) — bounded by doc length, runs inside the
+    * scan stage, no shuffle. */
+  def topNgramShare(c: Column, n: Int): Column = {
+    val g = wordNgrams(c, n)
+    array_max(transform(array_distinct(g), x => size(filter(g, y => y === x)))) /
+      size(g)
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays —
     * |A∩B| / (|A| + |B| − |A∩B|); int/int division, deterministic. */
   def jaccard(a: Column, b: Column): Column = {

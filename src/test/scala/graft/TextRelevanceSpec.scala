@@ -59,4 +59,26 @@ class TextRelevanceSpec extends SparkSpec {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
     out.unpersist()
   }
+
+  test("repetition signals: hand-computed TTR / dup-ngram / top-ngram") {
+    val d = Seq(
+      (1L, "a a a b"),       // toks 4, distinct 2
+      (2L, "x y x y x y"),   // toks 6, distinct 2
+      (3L, "one two three"), // no repetition at all
+      (4L, "solo"))          // shorter than n: single truncated gram
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        Text.typeTokenRatio(col("text")).as("ttr"),
+        Text.dupNgramFraction(col("text"), 3).as("d3"),
+        Text.topNgramShare(col("text"), 2).as("t2"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect()
+    // doc 1: g3 = [a a a, a a b] all distinct; g2 = [a a, a a, a b]
+    assert(out(0) == ((1L, 0.5, 0.0, 2.0 / 3)))
+    // doc 2: g3 = [x y x, y x y] x2 each -> dup 0.5; g2 top share 3/5
+    assert(out(1) == ((2L, 2.0 / 6, 0.5, 3.0 / 5)))
+    assert(out(2) == ((3L, 1.0, 0.0, 0.5)))
+    // single-gram doc: defined, not NaN/null
+    assert(out(3) == ((4L, 1.0, 0.0, 1.0)))
+  }
 }
