@@ -389,6 +389,32 @@ object QueriesText {
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
         .orderBy("doc_id"))
 
+  /** Benchmark decontamination: the deterministic ~2% id-bucket slice
+    * (sampleBucket < 20) plays the eval set; a training doc is
+    * contaminated iff it shares any word 4-gram with it. Inverted-
+    * index equi-join on the gram — never train × bench pairs. */
+  private val ddDecontaminate = Q(
+    "dd_decontaminate",
+    Some(s"""WITH t AS (SELECT doc_id,
+            ${Text.sampleBucketSql("doc_id")} AS bucket,
+            $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, bucket,
+            list_distinct(${ngramsOf("toks", 4)}) AS gr FROM t),
+          tg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE bucket >= 20),
+          bg AS (SELECT doc_id AS bench_id, unnest(gr) AS gram FROM g WHERE bucket < 20)
+          SELECT tg.doc_id, count(DISTINCT tg.gram) AS n_shared_grams,
+            count(DISTINCT bg.bench_id) AS n_bench_docs
+          FROM tg JOIN bg USING (gram)
+          GROUP BY tg.doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_bucket", Text.sampleBucket(col("doc_id")))
+      Dedup.decontaminate(
+          d.where(col("_bucket") >= 20), d.where(col("_bucket") < 20),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    })
+
   /** N-gram Jaccard similarity on a deterministic pair set (word
     * 3-grams; the pairwise kernel of near-dedup). */
   private val ddNgram = Q(
@@ -597,7 +623,7 @@ object QueriesText {
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
-    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups,
+    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ep4Corpus)
 }

@@ -128,6 +128,28 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Benchmark decontamination: flag training documents that share
+    * any word n-gram with a benchmark/eval document — the n-gram
+    * overlap rule production pre-training pipelines run before
+    * training. Inverted-index shape: both sides explode to their
+    * DISTINCT n-grams and meet in an equi-join on the gram, so
+    * work ∝ actual overlaps — never all (train × bench) pairs; the
+    * exploded benchmark side is broadcast (eval sets are
+    * dimension-sized next to a 100 TB corpus). Returns one row per
+    * contaminated training doc with the shared-gram and bench-doc
+    * counts — `anti join` against it is the clean-corpus filter. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(Text.wordShingles(col(textCol), n)).as("gram"))
+    grams(train, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** 64-bit SimHash per document (md5-derived token hashes, sign-of-
     * sum bits) via the compiled SimHash64 expression: one narrow map,
     * no explode/shuffle. Not oracle-mirrorable; covered by DedupSpec. */

@@ -197,6 +197,26 @@ class VectorsSpec extends SparkSpec {
       s"high-sim recall ${(got & truthHigh).size}/${truthHigh.size}")
   }
 
+  test("decontaminate: only docs sharing a word n-gram with bench are flagged") {
+    val bench = Seq(
+      (100L, "the capital of france is paris obviously"),
+      (101L, "unrelated benchmark question about chemistry"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains bench 100's 4-gram "the capital of france" (+3 more shared)
+      (1L, "we know the capital of france is paris indeed"),
+      // shares words but no 4-token run
+      (2L, "paris france capital the of obviously"),
+      (3L, "totally clean training document here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    // doc 1 shares exactly the 3 grams inside the common run
+    // "the capital of france is paris"; docs 2 and 3 share none
+    assert(out == Map(1L -> ((3L, 1L))))
+  }
+
   test("lsh buckets are deterministic") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
     val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
