@@ -112,6 +112,51 @@ object QueriesAnalytics {
         .orderBy("user_id", "ts", "event_id")
     })
 
+  /** PII scrubbing over event payloads: user ids are rendered into
+    * email/phone shapes (derived from real columns — the corpus
+    * itself is digit-free), then redacted most-specific-first so the
+    * generic digit rule can't eat an email or phone match. Counts are
+    * taken on the string state each pattern actually sees. Pure
+    * regexp column chain — runs in the scan stage, no shuffle; the
+    * regexes live in the Java ∩ RE2 common dialect so both engines
+    * agree match-for-match. */
+  private val evPii = Q(
+    "ev_pii_scrub",
+    Some {
+      val (emailRe, phoneRe, numRe) = (
+        graft.operators.Text.piiPatterns(0)._2,
+        graft.operators.Text.piiPatterns(1)._2,
+        graft.operators.Text.piiPatterns(2)._2)
+      s"""WITH raw AS (SELECT event_id,
+            'user ' || CAST(user_id AS VARCHAR) || ' <u'
+              || CAST(user_id AS VARCHAR) || '@example.com> tel 555-'
+              || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+              || ' ' || props AS s
+          FROM events),
+          s1 AS (SELECT event_id, s,
+            regexp_replace(s, '$emailRe', '<EMAIL>', 'g') AS t1 FROM raw),
+          s2 AS (SELECT event_id, s, t1,
+            regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2 FROM s1)
+          SELECT event_id,
+            len(regexp_extract_all(s, '$emailRe')) AS n_email,
+            len(regexp_extract_all(t1, '$phoneRe')) AS n_phone,
+            len(regexp_extract_all(t2, '$numRe')) AS n_num,
+            regexp_replace(t2, '$numRe', '<NUM>', 'g') AS scrubbed
+          FROM s2 ORDER BY event_id"""
+    },
+    (s, dir) => {
+      import graft.operators.Text
+      val raw = concat(lit("user "), col("user_id").cast(StringType),
+        lit(" <u"), col("user_id").cast(StringType),
+        lit("@example.com> tel 555-"),
+        lpad((col("event_id") % 10000).cast(StringType), 4, "0"),
+        lit(" "), col("props"))
+      t(s, dir, "events").select(
+          (col("event_id") +: Text.piiCounts(raw)) :+
+            Text.scrubPii(raw).as("scrubbed"): _*)
+        .orderBy("event_id")
+    })
+
   /** ROLLUP hierarchy totals (beyond the reference's flat groupbys —
     * subtotal rows carry nulls in both engines). */
   private val aggRollup = Q(
@@ -179,6 +224,6 @@ object QueriesAnalytics {
         .agg(dsum(col("value"), 6))
         .orderBy("user_id"))
 
-  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, aggRollup, aggCube,
+  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, evPii, aggRollup, aggCube,
     u4Unpivot, aggPivot)
 }

@@ -60,6 +60,23 @@ class TextRelevanceSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("scrubPii: sequential redaction, specific patterns win") {
+    val d = Seq(
+      (1L, "mail alice.smith+x@sub.example.org now"),
+      (2L, "call 555-1234 or 800-9999 ref 1234567"),
+      (3L, "mixed bob@a.io and 555-0000 and 42"),
+      (4L, "nothing to hide here"))
+      .toDF("id", "text")
+    val out = d.select(col("id") +: (Text.piiCounts(col("text")) :+
+        Text.scrubPii(col("text")).as("s")): _*)
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(1) == ((2L, 0L, 2L, 1L, "call <PHONE> or <PHONE> ref <NUM>")))
+    // email is eaten first, so its digits never reach the num rule
+    assert(out(2) == ((3L, 1L, 1L, 1L, "mixed <EMAIL> and <PHONE> and <NUM>")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, "nothing to hide here")))
+  }
+
   test("repetition signals: hand-computed TTR / dup-ngram / top-ngram") {
     val d = Seq(
       (1L, "a a a b"),       // toks 4, distinct 2
