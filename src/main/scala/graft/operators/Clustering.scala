@@ -224,11 +224,15 @@ object Clustering {
       .select(col("_a").as("_id"))
       .localCheckpoint()
 
+    // stays LAZY for the same reason as the minSamples<=1 pair join:
+    // connectedComponents consumes the edge list exactly once (one
+    // limit-collect on the union-find path, or its own checkpoint on
+    // the distributed path), and both inputs of this join are already
+    // checkpointed — a checkpoint job here is pure fixed latency.
     val coreEdges = pairs
       .join(core.withColumnRenamed("_id", "_a"), Seq("_a"), "left_semi")
       .join(core.withColumnRenamed("_id", "_b"), Seq("_b"), "left_semi")
       .select("_a", "_b")
-      .localCheckpoint()
 
     // smallest-label propagation over the core-core graph
     val labels = connectedComponents(core, coreEdges)
