@@ -291,6 +291,32 @@ object QueriesSpatial {
         .orderBy("l_orderkey", "l_linenumber")
     })
 
+  /** M6 (extension): robust MAD outliers — per-event-type median +
+    * MAD; |x − med| > 3·MAD flags the heavy tail. The robust
+    * companion to M3's IQR cut (MAD is immune to the outliers it
+    * hunts); same exact-percentile cross-engine recipe as A7. */
+  private val m6 = Q(
+    "m6_mad_outliers",
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type),
+            dev AS (SELECT e.event_id, e.event_type, e.value, med.med,
+                abs(e.value - med.med) AS ad
+              FROM events e JOIN med USING (event_type)),
+            mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+              FROM dev GROUP BY event_type)
+            SELECT d.event_id, d.event_type, d.value,
+              round(d.med, 6) AS med, round(m.mad, 6) AS mad
+            FROM dev d JOIN mad m USING (event_type)
+            WHERE d.ad > 3 * m.mad
+            ORDER BY d.event_id"""),
+    (s, dir) =>
+      Outliers.madOutliers(t(s, dir, "events"), Seq("event_type"),
+          col("value"), k = 3.0)
+        .where(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("_med"), 6).as("med"), round(col("_mad"), 6).as("mad"))
+        .orderBy("event_id"))
+
   /** M4: errors-in-both-variables linear fit (srcdf.py:220-363
     * photometric_solution): one moment aggregate + closed-form Deming
     * solution, broadcast back as literals. */
@@ -307,5 +333,5 @@ object QueriesSpatial {
         lit(fit.sb0).as("sig_b0"), lit(fit.sb1).as("sig_b1"), lit(fit.n).as("n"))
     })
 
-  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4)
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6)
 }

@@ -276,6 +276,29 @@ object QueriesText {
             "fr" -> 550, "zh" -> 700))
         .orderBy("doc_id"))
 
+  /** Sequence packing: per-lang concat-and-chunk into 512-token
+    * context windows; one row per (doc, window) overlap with the
+    * doc's token slice. lang is the shard key — each shard packs
+    * independently (the 100 TB shape: no global total order). */
+  private val txPack = Q(
+    "tx_pack_windows",
+    Some(s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_toks FROM documents),
+          c AS (SELECT doc_id, lang, n_toks,
+            CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end FROM t),
+          s AS (SELECT *, cum_end - n_toks AS cum_start FROM c),
+          w AS (SELECT lang, doc_id, cum_start, cum_end,
+            unnest(range(CAST(floor(cum_start / 512) AS BIGINT),
+              CAST(floor((cum_end - 1) / 512) AS BIGINT) + 1)) AS window_id FROM s)
+          SELECT lang, window_id, doc_id,
+            greatest(cum_start, window_id * 512) - window_id * 512 AS start_in_window,
+            least(cum_end, (window_id + 1) * 512) - window_id * 512 AS end_in_window
+          FROM w ORDER BY lang, window_id, doc_id"""),
+    (s, dir) =>
+      Text.packWindows(t(s, dir, "documents"), "doc_id", "text", "lang",
+          budget = 512)
+        .orderBy("lang", "window_id", "doc_id"))
+
   /** Exact dedup: hash-groupBy on normalized content, min-id kept. */
   private val ddExact = Q(
     "dd_exact",
@@ -622,7 +645,8 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, p12Stratified,
+    txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
+    p12Stratified,
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ep4Corpus)

@@ -73,4 +73,25 @@ object Outliers {
     val merged = df.join(norm, Seq(clusterKey), "left")
     GroupOps.thresholdSplit(merged, col("norm_mag_dist"), cut)
   }
+
+  /** Robust z-score outliers: per-group median + MAD (median absolute
+    * deviation); a row is an outlier iff |x − med| > k·MAD. The
+    * robust companion to M3's IQR cut — immune to the outliers it
+    * hunts. Two aggregate passes (median, then MAD of the
+    * deviations); the per-group stat tables are dimension-sized and
+    * broadcast back, so the detail rows never shuffle. Exact
+    * `percentile` interpolation — the same cross-engine-stable form
+    * as A7. */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: Column,
+                  k: Double): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(valCol, lit(0.5)).as("_med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("_ad", abs(valCol - col("_med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
+    dev.join(broadcast(mad), keyCols)
+      .withColumn("is_outlier", col("_ad") > lit(k) * col("_mad"))
+  }
 }

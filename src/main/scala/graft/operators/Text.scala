@@ -218,6 +218,40 @@ object Text {
     df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < rate)
   }
 
+  // ------------------------------------------------ sequence packing
+
+  /** Sequence packing: concatenate each shard's documents in id order
+    * and cut fixed token-budget context windows — the concat-and-chunk
+    * packing used to build pre-training batches (docs may span window
+    * boundaries). Emits one row per (doc, window) overlap with the
+    * doc's token slice inside that window (`end_in_window` exclusive).
+    *
+    * The shard column is the scale unit: each shard packs
+    * independently inside its own window partition, so at 100 TB you
+    * pack per (split, shard) and never build a global total order —
+    * the running sum is one shuffle on the shard key. Pure integer
+    * arithmetic throughout: exact in both engines. */
+  def packWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, shardCol: String,
+                  budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(col(shardCol), col(idCol),
+        tokenCount(col(textCol)).cast(LongType).as("_n_toks"))
+      .withColumn("_cum_end", sum(col("_n_toks")).over(w))
+      .withColumn("_cum_start", col("_cum_end") - col("_n_toks"))
+    cum.select(col(shardCol), col(idCol), col("_cum_start"), col("_cum_end"),
+        explode(sequence(
+          floor(col("_cum_start") / budget),
+          floor((col("_cum_end") - 1) / budget))).as("window_id"))
+      .select(col(shardCol), col("window_id"), col(idCol),
+        (greatest(col("_cum_start"), col("window_id") * budget)
+          - col("window_id") * budget).as("start_in_window"),
+        (least(col("_cum_end"), (col("window_id") + 1) * budget)
+          - col("window_id") * budget).as("end_in_window"))
+  }
+
   // ------------------------------------------------ relevance / vocab
 
   /** Exploded per-(doc, term) counts — the base frame for TF-IDF,

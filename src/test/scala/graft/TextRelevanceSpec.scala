@@ -60,6 +60,34 @@ class TextRelevanceSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("packWindows: docs chunked into budget windows, spans split") {
+    val d = Seq(
+      (1L, "t1 t2 t3", "a"),          // 3 tokens -> [0,3)
+      (2L, "t1 t2 t3 t4", "a"),       // 4 tokens -> [3,7): crosses w0|w1
+      (10L, "x1 x2", "b"))            // other shard packs independently
+      .toDF("doc_id", "text", "lang")
+    val out = Text.packWindows(d, "doc_id", "text", "lang", budget = 5)
+      .orderBy("lang", "window_id", "doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 1L, 0L, 3L),
+      ("a", 0L, 2L, 3L, 5L),  // first 2 tokens of doc 2 fill window 0
+      ("a", 1L, 2L, 0L, 2L),  // remaining 2 spill into window 1
+      ("b", 0L, 10L, 0L, 2L)))
+  }
+
+  test("madOutliers: only the far tail is flagged") {
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+      ("h", 5.0), ("h", 5.0), ("h", 5.0))
+      .toDF("k", "v")
+    val out = graft.operators.Outliers.madOutliers(d, Seq("k"), col("v"), k = 3.0)
+    val flagged = out.where(col("is_outlier")).select("k", "v")
+      .as[(String, Double)].collect().toSet
+    // g: med=3, |dev|=[2,1,0,1,97], mad=1 -> only 100 beyond 3*mad
+    // h: mad=0 -> nothing beyond 0 is <= 0 ... |5-5|=0 > 0 false
+    assert(flagged == Set(("g", 100.0)))
+  }
+
   test("scrubPii: sequential redaction, specific patterns win") {
     val d = Seq(
       (1L, "mail alice.smith+x@sub.example.org now"),
