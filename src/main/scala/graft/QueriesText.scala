@@ -276,6 +276,31 @@ object QueriesText {
             "fr" -> 550, "zh" -> 700))
         .orderBy("doc_id"))
 
+  /** Balanced domain mixing: downsample to integer lang weights
+    * (en:de:es:fr:zh = 3:2:2:2:1); the kept set is picked by
+    * LCG-bucket-then-id rank, so it is exactly reproducible. */
+  private val txMix = Q(
+    "tx_domain_mix",
+    Some(s"""WITH b AS (SELECT doc_id, lang,
+            ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+          cnt AS (SELECT lang, count(*) AS n,
+            CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+              WHEN 'fr' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END AS w
+            FROM b GROUP BY lang),
+          c AS (SELECT min(n / w) AS c FROM cnt WHERE w > 0),
+          q AS (SELECT lang, CAST(floor(c.c * w) AS BIGINT) AS k
+            FROM cnt, c WHERE w > 0),
+          r AS (SELECT doc_id, lang, ROW_NUMBER() OVER
+              (PARTITION BY lang ORDER BY bucket, doc_id) AS mix_rank FROM b)
+          SELECT r.doc_id, r.lang, r.mix_rank FROM r JOIN q USING (lang)
+          WHERE mix_rank <= q.k ORDER BY lang, mix_rank"""),
+    (s, dir) =>
+      Text.balancedMix(t(s, dir, "documents"), "doc_id", "lang",
+          weights = Seq("en" -> 3, "de" -> 2, "es" -> 2, "fr" -> 2, "zh" -> 1))
+        .select(col("doc_id"), col("lang"),
+          col("mix_rank").cast("long").as("mix_rank"))
+        .orderBy("lang", "mix_rank"))
+
   /** Sequence packing: per-lang concat-and-chunk into 512-token
     * context windows; one row per (doc, window) overlap with the
     * doc's token slice. lang is the shard key — each shard packs
@@ -646,7 +671,7 @@ object QueriesText {
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
-    p12Stratified,
+    txMix, p12Stratified,
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ep4Corpus)

@@ -218,6 +218,47 @@ object Text {
     df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < rate)
   }
 
+  // ------------------------------------------------ domain mixing
+
+  /** Balanced domain mixing: downsample every stratum to integer
+    * target weights `w` — the "data mixing" step that turns a skewed
+    * crawl into the language/domain proportions training wants. The
+    * achievable corpus is C = min over strata of n_s / w_s; each
+    * stratum keeps k_s = floor(C · w_s) docs, selected
+    * deterministically by LCG-bucket-then-id order (so the kept set
+    * is reproducible across engines, reruns and partitionings — the
+    * [[sampleBucket]] family, no RNG).
+    *
+    * Scale: one count aggregate (stratum-cardinality rows, broadcast
+    * back) + one rank window partitioned by stratum — a single
+    * shuffle of the detail rows on a high-cardinality-enough key; at
+    * 100 TB the stratum is (domain, shard) rather than a handful of
+    * languages. Returns the kept rows with their per-stratum rank. */
+  def balancedMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  stratumCol: String,
+                  weights: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.tail.foldLeft(
+        when(col(stratumCol) === weights.head._1, lit(weights.head._2))) {
+      case (acc, (s, wt)) => acc.when(col(stratumCol) === s, lit(wt))
+    }.otherwise(lit(0))
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", w)
+      .where(col("_w") > 0)
+    // C = min(n_s / w_s): one tiny aggregate; k_s rides back on the
+    // broadcast. The same IEEE division + floor runs in the oracle.
+    val c = counts.agg(min(col("_n") / col("_w")).as("_c"))
+    val quota = counts.crossJoin(broadcast(c))
+      .select(col(stratumCol), floor(col("_c") * col("_w")).as("_k"))
+    val rn = row_number().over(
+      Window.partitionBy(col(stratumCol))
+        .orderBy(sampleBucket(col(idCol)), col(idCol)))
+    df.withColumn("mix_rank", rn)
+      .join(broadcast(quota), Seq(stratumCol))
+      .where(col("mix_rank") <= col("_k"))
+      .drop("_k")
+  }
+
   // ------------------------------------------------ sequence packing
 
   /** Sequence packing: concatenate each shard's documents in id order

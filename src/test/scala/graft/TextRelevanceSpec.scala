@@ -60,6 +60,24 @@ class TextRelevanceSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("balancedMix: quotas follow weights, selection is deterministic") {
+    val d = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "big" else "small")).toDF("doc_id", "lang")
+    // big: 20 docs, small: 40 docs; weights 1:1 -> C = 20, keep 20 each
+    val out = Text.balancedMix(d, "doc_id", "lang", Seq("big" -> 1, "small" -> 1))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("big" -> 20L, "small" -> 20L))
+    // weights 1:2 -> C = min(20/1, 40/2) = 20 -> quotas 20 and 40
+    val out2 = Text.balancedMix(d, "doc_id", "lang", Seq("big" -> 1, "small" -> 2))
+    val byLang2 = out2.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang2 == Map("big" -> 20L, "small" -> 40L))
+    // deterministic: rerun keeps exactly the same doc ids
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Text.balancedMix(d, "doc_id", "lang",
+      Seq("big" -> 1, "small" -> 1)).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("packWindows: docs chunked into budget windows, spans split") {
     val d = Seq(
       (1L, "t1 t2 t3", "a"),          // 3 tokens -> [0,3)
