@@ -376,7 +376,11 @@ object QueriesText {
     * filtered CTE instead of the raw table). */
   private lazy val polyPairCtes: String = polyPairCtesFrom("documents")
 
-  private[graft] def polyPairCtesFrom(src: String): String = {
+  /** Suffixed shingles → Horner codes → LCG minima → band keys CTE
+    * chain (d/dc/sig/bands + sfx), so two differently-filtered
+    * sources can band side by side in one query (incremental dedup).
+    * sfx = "" reproduces the original self-join chain names. */
+  private[graft] def polyBandCtesFrom(src: String, sfx: String): String = {
     val coeffs = graft.functions.Expressions.polyCoeffs(8)
     val code = """CASE WHEN length(x) = 0 THEN 0
       ELSE list_reduce(list_transform(range(1, length(x) + 1),
@@ -387,14 +391,18 @@ object QueriesText {
     }.mkString(", ")
     def band(b: Int) =
       (0 until 4).map(i => s"CAST(s${4 * b + i} AS VARCHAR)").mkString(" || ':' || ")
-    s"""d AS (SELECT doc_id, $sh5Sql AS sh FROM $src),
-        dc AS (SELECT doc_id, sh,
-          list_transform(sh, x -> $code) AS codes FROM d),
-        sig AS (SELECT doc_id, sh, $sigs FROM dc),
-        bands AS (
-          SELECT doc_id, 0 AS band, ${band(0)} AS key FROM sig
+    s"""d$sfx AS (SELECT doc_id, $sh5Sql AS sh FROM $src),
+        dc$sfx AS (SELECT doc_id, sh,
+          list_transform(sh, x -> $code) AS codes FROM d$sfx),
+        sig$sfx AS (SELECT doc_id, sh, $sigs FROM dc$sfx),
+        bands$sfx AS (
+          SELECT doc_id, 0 AS band, ${band(0)} AS key FROM sig$sfx
           UNION ALL
-          SELECT doc_id, 1 AS band, ${band(1)} AS key FROM sig),
+          SELECT doc_id, 1 AS band, ${band(1)} AS key FROM sig$sfx)"""
+  }
+
+  private[graft] def polyPairCtesFrom(src: String): String =
+    s"""${polyBandCtesFrom(src, "")},
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
           WHERE x.doc_id < y.doc_id),
@@ -402,7 +410,6 @@ object QueriesText {
           len(list_intersect(da.sh, db.sh))
             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
           FROM cand JOIN d da ON cand.a = da.doc_id JOIN d db ON cand.b = db.doc_id)"""
-  }
 
   private val ddMinhashPoly = Q(
     "dd_minhash_lsh_poly",
@@ -412,6 +419,39 @@ object QueriesText {
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
         .orderBy("a", "b"))
+
+  /** Incremental near-dedup: the ~10% id-bucket slice plays the
+    * incoming crawl batch; flag batch docs that near-duplicate the
+    * existing corpus (band-bucket join batch × existing, exact
+    * Jaccard verify — same poly family both engines). */
+  private val ddIncremental = Q(
+    "dd_incremental",
+    Some(s"""WITH base AS (SELECT doc_id, text,
+            ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+          newsrc AS (SELECT doc_id, text FROM base WHERE bucket < 100),
+          oldsrc AS (SELECT doc_id, text FROM base WHERE bucket >= 100),
+          ${polyBandCtesFrom("newsrc", "_n")},
+          ${polyBandCtesFrom("oldsrc", "_o")},
+          cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bands_n n JOIN bands_o o ON n.band = o.band AND n.key = o.key),
+          v AS (SELECT cand.new_id, cand.old_id,
+            len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM cand JOIN d_n a ON cand.new_id = a.doc_id
+              JOIN d_o b ON cand.old_id = b.doc_id)
+          SELECT new_id AS doc_id, count(*) AS n_matches,
+            max(jaccard) AS max_jaccard
+          FROM v WHERE jaccard >= 0.25
+          GROUP BY new_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_bucket", Text.sampleBucket(col("doc_id")))
+      Dedup.incrementalNearDups(
+          d.where(col("_bucket") >= 100), d.where(col("_bucket") < 100),
+          "doc_id", "text", threshold = 0.25, numHashes = 8, bandSize = 4,
+          poly = true)
+        .orderBy("doc_id")
+    })
 
   /** Duplicate-group canonicalization: connected components over the
     * verified near-dup pair graph (the step that turns pair lists
@@ -673,6 +713,7 @@ object QueriesText {
     txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
     txMix, p12Stratified,
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
+    ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ep4Corpus)
 }

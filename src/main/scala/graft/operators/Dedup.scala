@@ -57,24 +57,32 @@ object Dedup {
     * 8 md5 compress calls per shingle with a handful of multiplies —
     * and is still exactly SQL-mirrorable (both families keep the full
     * hash-match gate; see dd_minhash_lsh / dd_minhash_lsh64). */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            shingleSize: Int = 5, numHashes: Int = 8,
-                            bandSize: Int = 2, poly: Boolean = false): DataFrame = {
-    // spread by id BEFORE the signature math (explicit partition
-    // count: AQE would coalesce this byte-small but CPU-heavy stage
-    // to one task — the r01 31.5s minhash bench entry was exactly
-    // that). The compiled band-keys expression makes one eval per
-    // row; the small (id, band, key) projection is then materialized
-    // so the self-join doesn't recompute signatures.
+  /** (_id, _band, _key) LSH rows for a corpus — the shared front end
+    * of self-dedup and incremental dedup. Spread by id BEFORE the
+    * signature math (explicit partition count: AQE would coalesce
+    * this byte-small but CPU-heavy stage to one task — the r01 31.5s
+    * minhash bench entry was exactly that); one compiled band-keys
+    * eval per row. Left lazy — callers decide materialization. */
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int, numHashes: Int, bandSize: Int,
+                         poly: Boolean): DataFrame = {
     val bandsExpr =
       if (poly)
         graft.functions.Expressions.minHashBandsPoly(col(textCol), shingleSize, numHashes, bandSize)
       else
         graft.functions.Expressions.minHashBands(col(textCol), shingleSize, numHashes, bandSize)
-    val banded = graft.core.Tables.spread(
+    graft.core.Tables.spread(
         df.select(col(idCol).as("_id"), col(textCol)), col(idCol))
       .select(col("_id"), bandsExpr.as("_bands"))
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
+  }
+
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 5, numHashes: Int = 8,
+                            bandSize: Int = 2, poly: Boolean = false): DataFrame = {
+    // the small (id, band, key) projection is materialized so the
+    // self-join doesn't recompute signatures on both sides
+    val banded = bandedKeys(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
       .localCheckpoint()
     val a = banded.select(col("_band"), col("_key"), col("_id").as("a"))
     val b = banded.select(col("_band"), col("_key"), col("_id").as("b"))
@@ -126,6 +134,35 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("_label"), col(idCol)).as("canonical_id"))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Incremental near-dedup: flag NEW-batch documents that are
+    * near-duplicates of an EXISTING corpus — the crawl-ingestion
+    * pattern (in production the existing side's band keys are
+    * precomputed once and only the batch is hashed per run; here both
+    * sides run the same compiled kernel). Band-bucket equi-join
+    * batch × existing — candidates ∝ bucket collisions, never
+    * |batch| · |existing| — then exact-Jaccard verify. Returns one
+    * row per duplicate batch doc with its match count and best
+    * Jaccard; anti-join against it admits the clean remainder. */
+  def incrementalNearDups(existing: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          shingleSize: Int = 5, numHashes: Int = 8,
+                          bandSize: Int = 4, poly: Boolean = true): DataFrame = {
+    def bk(df: DataFrame, as: String) =
+      bandedKeys(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
+        .withColumnRenamed("_id", as)
+    val cand = bk(batch, "_new").join(bk(existing, "_old"), Seq("_band", "_key"))
+      .select("_new", "_old").distinct()
+    val te = existing.select(col(idCol).as("_old"), col(textCol).as("_to"))
+    val tb = batch.select(col(idCol).as("_new"), col(textCol).as("_tn"))
+    cand.join(tb, Seq("_new")).join(te, Seq("_old"))
+      .select(col("_new"), col("_old"),
+        graft.functions.Expressions.shingleJaccard(col("_tn"), col("_to"), shingleSize)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("_new").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
   }
 
   /** Benchmark decontamination: flag training documents that share

@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(2L)) <= 16)
   }
 
+  test("incrementalNearDups: batch vs existing, no self-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val existing = Seq((1L, base),
+      (2L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("lazy", "sleepy")),  // near-dup of existing 1
+      (11L, base.replace("lazy", "sleepy")),  // also near-dup (and of 10 — but
+                                              // batch-internal pairs must NOT count)
+      (12L, "fresh unseen totally novel words on multimodal training pipelines"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(existing, batch, "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bandSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) == 1L && out(11L) == 1L) // matched existing 1 only
+  }
+
   test("jaccard of identical and disjoint sets") {
     val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("t1", "t2")
     val j = df.select(Text.jaccard(Text.tokens(col("t1")), Text.tokens(col("t2"))).as("j"))
