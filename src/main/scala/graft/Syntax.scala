@@ -165,6 +165,44 @@ object syntax {
                         poly: Boolean = true): DataFrame =
       Dedup.duplicateGroups(df, idCol, textCol, threshold, poly = poly)
 
+    /** Incremental near-dedup: this frame = existing corpus; flags
+      * batch docs near-duplicating it. */
+    def dedupAgainst(batch: DataFrame, idCol: String, textCol: String,
+                     threshold: Double): DataFrame =
+      Dedup.incrementalNearDups(df, batch, idCol, textCol, threshold)
+
+    /** Benchmark decontamination: training docs (this frame) sharing
+      * any word n-gram with the bench frame. */
+    def decontaminateAgainst(bench: DataFrame, idCol: String,
+                             textCol: String, n: Int = 4): DataFrame =
+      Dedup.decontaminate(df, bench, idCol, textCol, n)
+
+    /** Repetition quality signals: TTR, dup-ngram fraction, top-ngram
+      * share appended as columns. */
+    def withRepetitionSignals(textCol: String): DataFrame =
+      df.withColumn("ttr", Text.typeTokenRatio(col(textCol)))
+        .withColumn("dup_3gram_frac", Text.dupNgramFraction(col(textCol), 3))
+        .withColumn("top_bigram_share", Text.topNgramShare(col(textCol), 2))
+
+    /** PII scrub: redacted text + per-pattern counts appended. */
+    def withPiiScrubbed(textCol: String, out: String = "scrubbed"): DataFrame =
+      df.select((col("*") +: Text.piiCounts(col(textCol))) :+
+        Text.scrubPii(col(textCol)).as(out): _*)
+
+    /** Concat-and-chunk sequence packing into token-budget windows. */
+    def packWindows(idCol: String, textCol: String, shardCol: String,
+                    budget: Int): DataFrame =
+      Text.packWindows(df, idCol, textCol, shardCol, budget)
+
+    /** Balanced domain mixing to integer stratum weights. */
+    def balancedMix(idCol: String, stratumCol: String,
+                    weights: Seq[(String, Int)]): DataFrame =
+      Text.balancedMix(df, idCol, stratumCol, weights)
+
+    /** Robust MAD outlier flags per group. */
+    def madOutliers(keys: Seq[String], valCol: Column, k: Double): DataFrame =
+      Outliers.madOutliers(df, keys, valCol, k)
+
     /** Deterministic train/val/test assignment column. */
     def withHashSplit(idCol: String, out: String = "split"): DataFrame =
       df.withColumn(out, Text.hashSplit(col(idCol)))

@@ -51,6 +51,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5, poly = true).count() == 0)
   }
 
+  test("new curation ops: empty sides never throw") {
+    val docs = Seq((1L, "a b c d e f", "en")).toDF("doc_id", "text", "lang")
+    val none = docs.where(lit(false))
+    // decontamination: empty bench -> nothing flagged; empty train -> empty
+    assert(Dedup.decontaminate(docs, none, "doc_id", "text").count() == 0)
+    assert(Dedup.decontaminate(none, docs, "doc_id", "text").count() == 0)
+    // incremental dedup: empty existing or empty batch -> empty
+    assert(Dedup.incrementalNearDups(none, docs, "doc_id", "text", 0.2).count() == 0)
+    assert(Dedup.incrementalNearDups(docs, none, "doc_id", "text", 0.2).count() == 0)
+    // packing / mixing / MAD on empty frames -> empty, no throw
+    assert(Text.packWindows(none, "doc_id", "text", "lang", 8).count() == 0)
+    assert(Text.balancedMix(none, "doc_id", "lang", Seq("en" -> 1)).count() == 0)
+    assert(graft.operators.Outliers.madOutliers(
+      Seq((1L, "g", 1.0)).toDF("id", "k", "v").where(lit(false)),
+      Seq("k"), col("v"), 3.0).count() == 0)
+  }
+
   test("profile on an empty table still reports one row per column") {
     val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
     val out = Tables.profile(df, Seq("a", "b")).collect()

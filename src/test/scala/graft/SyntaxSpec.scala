@@ -73,4 +73,25 @@ class SyntaxSpec extends SparkSpec {
     assert(out.where(col("is_dup")).select("doc_id").as[Long].collect().toSeq == Seq(2L))
     assert(out.select("split").distinct().count() >= 1)
   }
+
+  test("curation chain: repetition + pii + packing fluent surface") {
+    val docs = Seq(
+      (1L, "a a a a mail me at bob@x.io now", "en"),
+      (2L, "fresh words only here", "en"),
+      (3L, "otra cosa distinta aqui mismo", "es"))
+      .toDF("doc_id", "text", "lang")
+    val rep = docs.withRepetitionSignals("text")
+    assert(rep.columns.takeRight(3).toSeq ==
+      Seq("ttr", "dup_3gram_frac", "top_bigram_share"))
+    val pii = docs.withPiiScrubbed("text")
+    assert(pii.where(col("n_email") > 0).select("doc_id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(pii.where(col("doc_id") === 1L).select("scrubbed").as[String]
+      .head().contains("<EMAIL>"))
+    val packed = docs.packWindows("doc_id", "text", "lang", budget = 4)
+    assert(packed.groupBy("lang").count().count() == 2)
+    val mixed = docs.balancedMix("doc_id", "lang", Seq("en" -> 1, "es" -> 1))
+    assert(mixed.groupBy("lang").count().as[(String, Long)].collect().toMap ==
+      Map("en" -> 1L, "es" -> 1L))
+  }
 }
