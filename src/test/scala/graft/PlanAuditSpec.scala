@@ -13,9 +13,13 @@ class PlanAuditSpec extends SparkSpec {
     * - tx_tfidf / tx_bm25: a single-row corpus-stats aggregate rides
     *   in on a broadcast cross join;
     * - m3_iqr_outlier_clean: the per-bin IQR boundary frame (nBins
-    *   rows) joins on a range predicate. */
+    *   rows) joins on a range predicate;
+    * - tx_domain_mix: the single-row achievable-corpus minimum
+    *   C = min(n/w) rides back onto the stratum-count frame (stratum
+    *   cardinality × 1 row) before quotas broadcast to the detail. */
   private val bnljAllowed = Set(
-    "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean")
+    "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
+    "tx_domain_mix")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
