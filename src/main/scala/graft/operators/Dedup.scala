@@ -180,7 +180,10 @@ object Dedup {
     def grams(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
         explode(Text.wordShingles(col(textCol), n)).as("gram"))
-    grams(train, "doc_id")
+    // spread the big side before the shingle explode: the input is
+    // byte-small but the gram expansion is CPU-heavy, so AQE would
+    // coalesce it to one task (the standing r01 minhash trap)
+    grams(graft.core.Tables.spread(train, col(idCol)), "doc_id")
       .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
