@@ -129,4 +129,42 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     out.foreach(r => assert(r.getLong(2).toString == s"${r.getLong(0)}${r.getInt(1)}"))
   }
+
+  test("packWindows: token mass conserved; every non-final window full") {
+    import graft.operators.Text
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 512
+    val packed = Text.packWindows(docs, "doc_id", "text", "lang", budget)
+      .localCheckpoint()
+    // (1) conservation: each doc's window slices sum to its token count
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum(col("end_in_window") - col("start_in_window")).as("mass"))
+    val toks = docs.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_toks"))
+    assert(perDoc.join(toks, "doc_id")
+      .where(col("mass") =!= col("n_toks")).count() == 0)
+    // (2) chunking: within each lang, every window except the last is
+    // exactly full (concat-and-chunk leaves no internal gaps)
+    val fills = packed.groupBy("lang", "window_id")
+      .agg(sum(col("end_in_window") - col("start_in_window")).as("fill"))
+    val lastW = fills.groupBy("lang").agg(max("window_id").as("last_w"))
+    val nonFinal = fills.join(lastW, "lang")
+      .where(col("window_id") < col("last_w"))
+    assert(nonFinal.where(col("fill") =!= budget).count() == 0)
+    assert(nonFinal.count() > 0) // the invariant actually bit on data
+  }
+
+  test("balancedMix: achieved mix matches quotas exactly at sf0.01") {
+    import graft.operators.Text
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = Seq("en" -> 3, "de" -> 2, "es" -> 2, "fr" -> 2, "zh" -> 1)
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val ratios: Seq[Double] = w.map { case (l, wt) => counts(l).toDouble / wt }
+    val c = ratios.min
+    val expected = w.map { case (l, wt) => l -> math.floor(c * wt).toLong }.toMap
+    val got = Text.balancedMix(docs, "doc_id", "lang", w)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
 }
