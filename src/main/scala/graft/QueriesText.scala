@@ -697,6 +697,29 @@ object QueriesText {
           dim = 64, threshold = 0.4, tables = 8, planes = 6)
         .orderBy("a", "b"))
 
+  /** Int8 embedding quantization + reconstruction-error report:
+    * per-vector symmetric scale, floor-based rounding (cross-engine
+    * exact), order-independent max error. */
+  private val ssQuant = Q(
+    "ss_quantize_int8",
+    Some("""WITH s AS (SELECT vec_id, embedding,
+              greatest(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+              FROM embeddings),
+            q AS (SELECT vec_id, scale, embedding,
+              list_transform(range(1, 65), i ->
+                floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / scale + 0.5)) AS qv
+              FROM s)
+            SELECT vec_id, round(scale, 6) AS scale,
+              round(list_max(list_transform(range(1, 65), i ->
+                abs(qv[CAST(i AS INT)] * scale
+                  - CAST(embedding[CAST(i AS INT)] AS DOUBLE)))), 6) AS max_abs_err,
+              CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS max_q
+            FROM q ORDER BY vec_id"""),
+    (s, dir) =>
+      Vectors.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
+        .orderBy("vec_id"))
+
   /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
     * lists). Rows-only check; recall vs brute force in VectorsSpec. */
   private val ssIvf = Q(
@@ -715,5 +738,6 @@ object QueriesText {
     ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
+    ssQuant,
     ep4Corpus)
 }

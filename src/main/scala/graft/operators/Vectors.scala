@@ -45,6 +45,36 @@ object Vectors {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column with a
+    * per-vector scale (max|x|/127) — the storage/serving compression
+    * step of an embedding corpus — plus the reconstruction-error
+    * report a pipeline gates on. floor(x/scale + 0.5) instead of
+    * round(): both engines' round() dialects disagree on negative
+    * halves, floor is bit-identical everywhere. Per-row column math
+    * in the scan stage; max-error is order-independent (no summation
+    * order to pin). A 1e-30 scale floor keeps an all-zero vector
+    * finite (quantizes to zeros, error 0). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int): DataFrame = {
+    val x = (i: Column) => element_at(col(vecCol), i).cast("double")
+    val scale = greatest(
+      array_max(transform(col(vecCol), v => abs(v.cast("double")))) / 127.0,
+      lit(1e-30))
+    val idx = sequence(lit(1), lit(dim))
+    df.select(col(idCol), col(vecCol), scale.as("_scale"))
+      .select(col(idCol), col("_scale"),
+        transform(idx, i => floor(x(i) / col("_scale") + 0.5)).as("_qv"),
+        col(vecCol))
+      .select(col(idCol),
+        round(col("_scale"), 6).as("scale"),
+        array_max(transform(sequence(lit(1), lit(dim)),
+          i => abs(element_at(col("_qv"), i) * col("_scale") - x(i))))
+          .as("_max_err"),
+        array_max(transform(col("_qv"), v => abs(v))).cast("long").as("max_q"))
+      .select(col(idCol), col("scale"),
+        round(col("_max_err"), 6).as("max_abs_err"), col("max_q"))
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold within
     * a blocking key (e.g. a label / coarse cluster), avoiding the
     * unblocked n² comparison. */

@@ -235,6 +235,27 @@ class VectorsSpec extends SparkSpec {
     assert(out == Map(1L -> ((3L, 1L))))
   }
 
+  test("quantizeInt8: error bounded by scale/2, hand-checked values") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero vector stays finite
+      .toDF("vec_id", "embedding")
+    val out = Vectors.quantizeInt8(d, "vec_id", "embedding", dim = 4)
+      .orderBy("vec_id").collect()
+    val r1 = out(0)
+    // scale = 1/127; q = [127, -63 (floor(-63.5+0.5)), 32 (floor(31.75+0.5)), 0]
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127) < 1e-6)
+    assert(r1.getAs[Long]("max_q") == 127L)
+    assert(r1.getAs[Double]("max_abs_err") <= 1.0 / 127 / 2 + 1e-6)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("max_q") == 0L && r2.getAs[Double]("max_abs_err") == 0.0)
+    // real corpus: every vector's error within the half-step bound
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val q = Vectors.quantizeInt8(e, "vec_id", "embedding", dim = 64)
+    assert(q.where(col("max_abs_err") > col("scale") / 2 + 1e-6).count() == 0)
+    assert(q.where(col("max_q") > 127).count() == 0)
+  }
+
   test("lsh buckets are deterministic") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(50)
     val b1 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
