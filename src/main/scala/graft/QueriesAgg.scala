@@ -452,6 +452,39 @@ object QueriesAgg {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))
         .orderBy("column"))
 
+  /** A17 (extension): per-group z-score normalization — the standard
+    * scaler of feature prep. Decimal-exact mean/std (ddof = 1)
+    * broadcast back; zero-std groups null out via try_divide. */
+  private val a17 = Q(
+    "a17_group_zscore",
+    Some(s"""WITH st AS (SELECT event_type, ${sqlDavg("value", 6)} AS mean,
+              ${sqlDstd("value", 6)} AS std FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+              round((e.value - st.mean) / st.std, 6) AS zscore
+            FROM events e JOIN st USING (event_type) ORDER BY event_id"""),
+    (s, dir) =>
+      GroupOps.groupZscore(t(s, dir, "events"), Seq("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("zscore"), 6).as("zscore"))
+        .orderBy("event_id"))
+
+  /** A18 (extension): equal-frequency discretization — per-group
+    * deciles via ntile over a TOTAL order (value, id): bucketization
+    * for feature binning/calibration, deterministic across engines
+    * because ties cannot occur. */
+  private val a18 = Q(
+    "a18_quantile_bins",
+    Some("""SELECT event_id, event_type, value,
+              ntile(10) OVER (PARTITION BY event_type
+                ORDER BY value, event_id) AS decile
+            FROM events ORDER BY event_id"""),
+    (s, dir) =>
+      t(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value"),
+          ntile(10).over(Window.partitionBy("event_type")
+            .orderBy("value", "event_id")).cast(LongType).as("decile"))
+        .orderBy("event_id"))
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    a15, a16, w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, a16, a17, a18, w1, w2, w3, c2, c3, c4, c5, c12)
 }

@@ -7,6 +7,22 @@ import org.apache.spark.sql.types._
 /** Group-wise relational operators from the reference's objtable layer. */
 object GroupOps {
 
+  /** Per-group z-score normalization — the feature-prep standard
+    * scaler: (x − mean) / std within each group, ddof = 1. Group
+    * means/stds come from one decimal-exact aggregate (order-stable,
+    * see [[graft.core.Det]]) that is dimension-sized and broadcast
+    * back; the detail rows never shuffle. A zero-std group yields
+    * null (try_divide), matching SQL x/0 semantics both engines. */
+  def groupZscore(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                  valCol: Column): org.apache.spark.sql.DataFrame = {
+    val keys = keyCols.map(col)
+    val stats = df.groupBy(keys: _*).agg(
+      graft.core.Det.davg(valCol, 6).as("_mean"),
+      graft.core.Det.dstd(valCol, 6).as("_std"))
+    df.join(broadcast(stats), keyCols)
+      .withColumn("zscore", try_divide(valCol - col("_mean"), col("_std")))
+  }
+
   /** A3: per-group {min,max,count,mean,std} (df_utils.py:241-251
     * group_stats + :191-231 cluster_op). pandas std is ddof=1 ->
     * stddev_samp. One hash aggregate; partial aggregation map-side.

@@ -118,6 +118,17 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("x_centroid") - 2.0) < 1e-12)
   }
 
+  test("groupZscore: closed form per group; zero-std group nulls out") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 5.0), ("h", 5.0))
+      .toDF("k", "v")
+    val out = GroupOps.groupZscore(df, Seq("k"), col("v"))
+      .select("k", "v", "zscore").orderBy("k", "v").collect()
+    // g: mean 2, std(ddof=1) = 1 -> z = -1, 0, 1
+    assert(out.take(3).map(_.getDouble(2)).toSeq == Seq(-1.0, 0.0, 1.0))
+    // h: std 0 -> null (try_divide), not Inf/NaN
+    assert(out.drop(3).forall(_.isNullAt(2)))
+  }
+
   test("outlier removal drops the planted outlier cluster") {
     // 40 well-behaved clusters (diffs spread over ~0.12 mag in every
     // bin) + one with a wild cal-ref offset
