@@ -183,9 +183,9 @@ object Dedup {
     // spread the big side before the shingle explode: the input is
     // byte-small but the gram expansion is CPU-heavy, so AQE would
     // coalesce it to one task (the standing r01 minhash trap)
-    grams(graft.core.Tables.spread(train, col(idCol)), "doc_id")
+    grams(graft.core.Tables.spread(train, col(idCol)), idCol)
       .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
         count_distinct(col("bench_id")).as("n_bench_docs"))
   }

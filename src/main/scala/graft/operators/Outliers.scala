@@ -78,20 +78,22 @@ object Outliers {
     * deviation); a row is an outlier iff |x − med| > k·MAD. The
     * robust companion to M3's IQR cut — immune to the outliers it
     * hunts. Two aggregate passes (median, then MAD of the
-    * deviations); the per-group stat tables are dimension-sized and
-    * broadcast back, so the detail rows never shuffle. Exact
-    * `percentile` interpolation — the same cross-engine-stable form
-    * as A7. */
+    * deviations); the per-group stat tables scale with group-key
+    * cardinality — no broadcast hint, AQE picks broadcast when they
+    * fit and degrades to a shuffle join when they don't (same policy
+    * as [[iqrOutlierRemoval]]; a forced hint OOMs the driver on a
+    * high-cardinality key at 100x scale). Exact `percentile`
+    * interpolation — the same cross-engine-stable form as A7. */
   def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: Column,
                   k: Double): DataFrame = {
     val keys = keyCols.map(col)
     val med = df.groupBy(keys: _*)
       .agg(percentile(valCol, lit(0.5)).as("_med"))
-    val dev = df.join(broadcast(med), keyCols)
+    val dev = df.join(med, keyCols)
       .withColumn("_ad", abs(valCol - col("_med")))
     val mad = dev.groupBy(keys: _*)
       .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
-    dev.join(broadcast(mad), keyCols)
+    dev.join(mad, keyCols)
       .withColumn("is_outlier", col("_ad") > lit(k) * col("_mad"))
   }
 }

@@ -282,10 +282,15 @@ object Text {
         tokenCount(col(textCol)).cast(LongType).as("_n_toks"))
       .withColumn("_cum_end", sum(col("_n_toks")).over(w))
       .withColumn("_cum_start", col("_cum_end") - col("_n_toks"))
+    // zero-token doc: start == end lands sequence() on a DESCENDING
+    // range (start > stop) emitting bogus rows where the oracle's
+    // range() emits none — guard so empty docs emit no window rows.
+    // Unreachable via tokens() today (split yields >= 1 element) but
+    // a public operator can't depend on the tokenizer's floor.
     cum.select(col(shardCol), col(idCol), col("_cum_start"), col("_cum_end"),
-        explode(sequence(
+        explode(when(col("_n_toks") > 0, sequence(
           floor(col("_cum_start") / budget),
-          floor((col("_cum_end") - 1) / budget))).as("window_id"))
+          floor((col("_cum_end") - 1) / budget)))).as("window_id"))
       .select(col(shardCol), col("window_id"), col(idCol),
         (greatest(col("_cum_start"), col("window_id") * budget)
           - col("window_id") * budget).as("start_in_window"),

@@ -110,7 +110,15 @@ object Vectors {
     */
   def trainIvfCentroids(df: DataFrame, vecCol: String, nCentroids: Int,
                         iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] = {
-    val sample = df.select(vecCol).limit(sampleSize).collect()
+    // Deterministic hash-ordered sample, NOT limit(): the first N rows
+    // in file order are not a sample — a corpus written sorted by
+    // domain/time would train centroids on one corner of the space and
+    // IVF recall quietly collapses (VectorsSpec covers the sorted-
+    // corpus case). orderBy+limit compiles to a distributed top-k
+    // (TakeOrderedAndProject), so no full sort materializes at scale.
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= nCentroids, "not enough vectors to train IVF")
     val dim = sample.head.length
@@ -221,10 +229,22 @@ object Vectors {
     * measured in VectorsSpec, occupancy scaling in ScaleSpec. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, tables: Int = 8, bucketTarget: Int = 16,
-              planesOverride: Int = -1): DataFrame = {
+              planesOverride: Int = -1, nHint: Long = -1L): DataFrame = {
+    // plane auto-scaling needs the corpus size: caller-supplied nHint
+    // > catalog statistics > one count() job, in that order — the
+    // count is a full extra scan per invocation of a hot operator.
     val planes =
       if (planesOverride > 0) planesOverride
-      else planesFor(df.count(), bucketTarget)
+      else {
+        val n =
+          if (nHint > 0) nHint
+          else {
+            val stats = df.queryExecution.optimizedPlan.stats
+            if (stats.rowCount.isDefined) stats.rowCount.get.toLong
+            else df.count()
+          }
+        planesFor(n, bucketTarget)
+      }
     val keyed = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
       .select(col(idCol), col(vecCol),
         posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))

@@ -184,6 +184,29 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("IVF training is write-order-independent: cluster-sorted corpus keeps recall") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    // a corpus written sorted by its position in embedding space — the
+    // case where a limit()-based "sample" reads one corner only and
+    // recall quietly collapses (VERDICT r04 #3). sampleSize is forced
+    // well below the corpus size so the sampling policy actually bites.
+    val sorted = e.orderBy(element_at(col("embedding"), 1))
+    val cents = Vectors.trainIvfCentroids(sorted, "embedding",
+      nCentroids = 4, sampleSize = 64)
+    val unsortedCents = Vectors.trainIvfCentroids(e, "embedding",
+      nCentroids = 4, sampleSize = 64)
+    // hash-ordered sampling makes training independent of write order
+    assert(java.util.Arrays.deepEquals(
+      cents.asInstanceOf[Array[AnyRef]], unsortedCents.asInstanceOf[Array[AnyRef]]))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall") // same bound as the unsorted case
+  }
+
   test("LSH near-dup pairs: precision 1 by construction, useful recall") {
     val e = core.Tables.load(spark, sf001, "embeddings")
     val n = e.count().toInt

@@ -154,7 +154,7 @@ class PropertySpec extends AnyFunSuite {
     assert(nonFinal.count() > 0) // the invariant actually bit on data
   }
 
-  test("balancedMix: achieved mix matches quotas exactly at sf0.01") {
+  test("balancedMix: achieved mix matches quotas exactly at sf0.001") {
     import graft.operators.Text
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val w = Seq("en" -> 3, "de" -> 2, "es" -> 2, "fr" -> 2, "zh" -> 1)
