@@ -110,11 +110,15 @@ object Clustering {
       .select(col("_id"), col("_id").as("_label"))
     // labels decrease monotonically: equal checksum => fixpoint. The
     // previous round's checksum is carried forward — one aggregate
-    // job per round, not two.
+    // job per round, not two. The first check runs after round 2
+    // ("2 rounds then check"): round 1 can never be a fixpoint (every
+    // edge (a,b) with a<b decreases b's label, and every active node
+    // has an edge), so the initial-sum and round-1 aggregate jobs were
+    // pure overhead — 2 fewer jobs per invocation.
     def sumOf(df: DataFrame): Any =
       df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
     var labels = active.select(col("_id"), col("_id").as("_label")).localCheckpoint()
-    var prevSum = sumOf(labels)
+    var prevSum: Any = null
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -128,11 +132,13 @@ object Clustering {
       val next = prop.join(relabel, col("_label") === col("_lid"), "left")
         .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
         .localCheckpoint()
-      val nextSum = sumOf(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
       rounds += 1
+      if (rounds >= 2) {
+        val nextSum = sumOf(next)
+        converged = prevSum != null && nextSum == prevSum
+        prevSum = nextSum
+      }
+      labels = next
     }
     if (sys.env.contains("GRAFT_EP2_PROF")) println(s"[cc] rounds=$rounds")
     labels.unionByName(isolated)
