@@ -88,7 +88,12 @@ object Pipeline {
     // (π·eps²·n/area = 0.2) keeps clusters at mostly-singletons-
     // some-pairs at EVERY scale factor — the regime the reference's
     // 3-arcsec choice encodes for real star densities.
-    val centroids = cp("centroids", GroupOps.centroids(withCoords, "l_partkey", "x", "y"))
+    // det = true: decimal-exact means, so the centroid doubles are
+    // identical run-to-run and engine-to-engine — the DBSCAN ε-graph
+    // and the match-radius cuts downstream compare these values, and
+    // the end-to-end DuckDB oracle (PipelineOracle) mirrors them
+    val centroids = cp("centroids",
+      GroupOps.centroids(withCoords, "l_partkey", "x", "y", det = true))
     val nStars = timed("nStars.count")(centroids.count())
     val skyArea = 2000.0 * 2000.0
     val eps = math.sqrt(0.2 * skyArea / (math.Pi * math.max(nStars, 1L).toDouble))
@@ -132,12 +137,18 @@ object Pipeline {
     val (kept, _) = GroupOps.selectGroups(merged, "cluster",
       col("dist2cal") <= rMatch * rMatch)
 
-    // C2: calibrated magnitude against the matched calibrator
+    // C2: calibrated magnitude against the matched calibrator.
+    // Every term's decimal expansion terminates within 8 digits
+    // (quantity int, zp 5, discount 2, price/10000 6, quantity/8 3 →
+    // products ≤ 8), so M3's scale-8 decimal means quantize EXACTLY —
+    // a /7 color term has an infinite expansion and lands on exact
+    // half-quantum ties where the engines' double→decimal casts
+    // disagree (found by the end-to-end oracle, 49/1332 clusters).
     val calibrated = kept.withColumn("cal_mag",
       graft.functions.Photometry.calMag(
         col("l_quantity"), col("zp_ref"),
         Some(col("l_discount")),
-        Some(col("l_extendedprice") / 10000), Some(col("l_quantity") / 7)))
+        Some(col("l_extendedprice") / 10000), Some(col("l_quantity") / 8)))
 
     // M3: per-cluster IQR outlier rejection on cal vs reference (its
     // cluster-level aggregate checkpoints internally — the expensive
@@ -146,7 +157,7 @@ object Pipeline {
     val (clean, _) = Outliers.iqrOutlierRemoval(
       calibrated, "cluster",
       col("cal_mag"), col("l_quantity") + col("zp_ref"),
-      cut = 3.0, nBins = 8)
+      cut = 3.0, nBins = 8, detScale = 8)
 
     // C3 (notebook tail): band-wise reference magnitude — pick the
     // band's reference column by filter id, band = order status here

@@ -17,7 +17,12 @@ import graft.core.{QueryDialect, Tables}
   *     both engines produce bit-identical doubles (decimal-exact sums,
   *     IEEE-deterministic scalar math afterwards).
   */
-case class Q(name: String, sql: Option[String], fn: (SparkSession, String) => DataFrame)
+case class Q(name: String, sql: Option[String], fn: (SparkSession, String) => DataFrame,
+             // Some operators' oracle SQL depends on data-derived but
+             // deterministic parameters (e.g. IVF centroids trained on the
+             // verify dataset). sqlGen produces the SQL at Verify time for
+             // the concrete sfDir; Verify merges it into oracle_sql.json.
+             sqlGen: Option[(SparkSession, String) => String] = None)
 
 object Queries {
   import graft.core.Det._
@@ -109,12 +114,15 @@ object Queries {
 
   // ------------------------------------------------------------- registry
 
-  /** EP2: the full notebook pipeline (SURVEY §3) — not
-    * SQL-expressible end-to-end (DBSCAN inside); every stage is
-    * oracle-checked individually and the composition is specced. */
+  /** EP2: the full notebook pipeline (SURVEY §3), oracle-checked
+    * END-TO-END: [[PipelineOracle]] mirrors every stage — Murmur3
+    * positions as SQL, decimal-exact centroids, eps/rMatch computed
+    * in SQL from the same counts, recursive-CTE DBSCAN, the m3 IQR
+    * recipe, and both J8 cuts. The composition is additionally
+    * specced stage-by-stage in PipelineSpec. */
   private val ep2Flagship = Q(
     "ep2_flagship",
-    None,
+    Some(PipelineOracle.sql),
     (s, dir) => Pipeline.flagship(s, dir))
 
   val all: Seq[Q] = Seq(

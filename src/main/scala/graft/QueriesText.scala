@@ -721,7 +721,13 @@ object QueriesText {
         .orderBy("vec_id"))
 
   /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
-    * lists). Rows-only check; recall vs brute force in VectorsSpec. */
+    * lists). The oracle is generated at Verify time: centroid training
+    * is deterministic (hash-ordered sample, maximin init, fixed
+    * iterations), so the trained centroids are inlined as SQL literals
+    * and assignment + ranking mirror [[graft.functions.Expressions.NearestCells]]
+    * exactly — sequential double squared-L2 per centroid, argmin ties
+    * by centroid index, probe the 2 nearest lists, round-6 cosine
+    * ranking. Recall vs brute force additionally in VectorsSpec. */
   private val ssIvf = Q(
     "ss_topk_ivf",
     None,
@@ -730,6 +736,36 @@ object QueriesText {
       val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
       Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 3)
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
+    },
+    sqlGen = Some { (s, dir) =>
+      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"), "embedding", nCentroids = 8)
+      // Double.toString is shortest-round-trip, so DuckDB re-parses the
+      // literal to the bit-identical double NearestCells uses.
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      // (x - c)^2 summed left-to-right in double = NearestCells' loop
+      val distExpr =
+        """list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+      s"""WITH cents AS (SELECT * FROM (VALUES
+              $centRows) AS t(cell, cvec)),
+          d AS (SELECT e.vec_id, e.embedding, c.cell, $distExpr AS dist
+            FROM embeddings e CROSS JOIN cents c),
+          ranked AS (SELECT vec_id, embedding, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+            FROM d),
+          cand AS (SELECT vec_id AS cid, embedding AS cv, cell
+            FROM ranked WHERE crn = 1),
+          probe AS (SELECT vec_id AS qid, embedding AS qv, cell
+            FROM ranked WHERE crn <= 2),
+          scored AS (SELECT qid, cid, ${cosSql("qv", "cv")} AS cosine
+            FROM probe JOIN cand USING (cell) WHERE qid != cid),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS rn FROM scored)
+          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+          ORDER BY qid, cosine DESC, cid"""
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,

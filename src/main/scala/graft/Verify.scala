@@ -41,7 +41,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + dynamically generated ones (data-derived but
+    // deterministic parameters, e.g. IVF centroids for this sfDir)
+    val dynamic = Queries.all.flatMap { qq =>
+      qq.sqlGen.flatMap { gen =>
+        if (!selected(qq.name)) None
+        else try Some(qq.name -> gen(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] ${qq.name} sqlGen failed: ${e.getMessage}")
+          None
+        }
+      }
+    }.toMap
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -94,9 +94,20 @@ object Clustering {
       }
     }
 
-    // The rounds scan the edge list once per iteration — materialize
-    // it here so a lazy upstream pair-join isn't recomputed every
-    // round (cheap if the caller already checkpointed it).
+    // Distributed path: alternating large-star/small-star rounds
+    // (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond", SoCC'14). Each round's messages are grouped per node —
+    // a hub of degree d sends d messages to ITS minimum neighbor,
+    // never d² pair messages, so message sizes stay balanced on the
+    // skewed degree distributions near-dup graphs produce — and the
+    // edge set contracts toward (node → component-min) stars in
+    // O(log n) alternations regardless of component diameter (the
+    // pointer-jumping predecessor was O(log diameter) on labels but
+    // funneled every propagation through the running-min holder).
+    //
+    // Invariant: `e` holds the canonical orientation _a > _b; both
+    // steps preserve it because every emitted edge is (v, m) with m a
+    // neighborhood minimum strictly below v.
     val edgesM = edges.localCheckpoint()
     // Only nodes with at least one edge participate in the rounds —
     // an isolated node IS its own converged component (label = id).
@@ -108,39 +119,63 @@ object Clustering {
       .localCheckpoint()
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
-    // labels decrease monotonically: equal checksum => fixpoint. The
-    // previous round's checksum is carried forward — one aggregate
-    // job per round, not two. The first check runs after round 2
-    // ("2 rounds then check"): round 1 can never be a fixpoint (every
-    // edge (a,b) with a<b decreases b's label, and every active node
-    // has an edge), so the initial-sum and round-1 aggregate jobs were
-    // pure overhead — 2 fewer jobs per invocation.
-    def sumOf(df: DataFrame): Any =
-      df.agg(sum(col("_label").cast(DecimalType(38, 0)))).collect()(0).get(0)
-    var labels = active.select(col("_id"), col("_id").as("_label")).localCheckpoint()
-    var prevSum: Any = null
+    // fixpoint check: the small-star output is a SET of edges;
+    // (count, order-independent hash sum) in one aggregate job per
+    // round identifies it. The first check runs after round 2 — one
+    // alternation alone is never final on a non-star input.
+    def checksum(df: DataFrame): (Long, Any) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("_a"), col("_b")).cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), r.get(1))
+    }
+    var e = edgesM
+      .select(greatest(col("_a"), col("_b")).as("_a"),
+        least(col("_a"), col("_b")).as("_b"))
+      .where(col("_a") =!= col("_b"))
+      .distinct()
+      .localCheckpoint()
+    var prev: (Long, Any) = null
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val msgs = edgesM.join(labels, col("_a") === col("_id"))
-        .groupBy(col("_b").as("_id2")).agg(min("_label").as("_nlabel"))
-      val prop = labels.join(msgs, col("_id") === col("_id2"), "left")
-        .select(col("_id"), least(col("_label"), coalesce(col("_nlabel"), col("_label"))).as("_label"))
-      // pointer jumping (label <- label's label): O(log diameter)
-      // rounds instead of O(diameter)
-      val relabel = prop.select(col("_id").as("_lid"), col("_label").as("_llabel"))
-      val next = prop.join(relabel, col("_label") === col("_lid"), "left")
-        .select(col("_id"), coalesce(col("_llabel"), col("_label")).as("_label"))
+      // large-star: center every node u, m(u) = min(Γ(u) ∪ {u});
+      // each strictly-larger neighbor v re-points to m(u). With the
+      // canonical orientation this is one aggregate over both
+      // directions plus one equi-join on the small end.
+      val dir = e.select(col("_a").as("_u"), col("_b").as("_v"))
+        .unionAll(e.select(col("_b").as("_u"), col("_a").as("_v")))
+      val mins = dir.groupBy("_u").agg(least(min(col("_v")), col("_u")).as("_m"))
+      val ls = e.join(mins, e("_b") === mins("_u"))
+        .select(col("_a"), col("_m").as("_b"))
+        .where(col("_a") =!= col("_b"))
+        .distinct()
+      // small-star: center the large end x over its smaller
+      // neighborhood Γ⁻(x); everything in Γ⁻(x) ∪ {x} re-points to
+      // its minimum.
+      val mins2 = ls.groupBy(col("_a").as("_u")).agg(min(col("_b")).as("_m"))
+      val next = ls.join(mins2, ls("_a") === mins2("_u"))
+        .where(col("_b") =!= col("_m"))
+        .select(col("_b").as("_a"), col("_m").as("_b"))
+        .unionAll(mins2.select(col("_u").as("_a"), col("_m").as("_b")))
+        .distinct()
         .localCheckpoint()
       rounds += 1
       if (rounds >= 2) {
-        val nextSum = sumOf(next)
-        converged = prevSum != null && nextSum == prevSum
-        prevSum = nextSum
+        val cs = checksum(next)
+        converged = prev != null && cs == prev
+        prev = cs
       }
-      labels = next
+      e = next
     }
     if (sys.env.contains("GRAFT_EP2_PROF")) println(s"[cc] rounds=$rounds")
+    // converged: e is exactly {(v, component-min) : v not a min};
+    // the roots label themselves.
+    // parity with the union-find path: only endpoints in `nodes` get
+    // a label row (edges mentioning ids outside `nodes` still steer
+    // the labels, but don't emit rows)
+    val labels = e.select(col("_a").as("_id"), col("_b").as("_label"))
+      .unionByName(e.select(col("_b").as("_id"), col("_b").as("_label")).distinct())
+      .join(active, Seq("_id"), "left_semi")
     labels.unionByName(isolated)
   }
 

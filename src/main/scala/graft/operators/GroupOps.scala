@@ -39,10 +39,23 @@ object GroupOps {
   /** A2: cluster centroid (objtable.py:171-198), plus the weighted
     * variant the reference declares but leaves NotImplemented
     * (objtable.py:195-196): sum(x/e²)/sum(1/e²).
+    *
+    * `det = true` routes the means through the decimal-exact
+    * accumulator ([[graft.core.Det.davg]]): plain double avg is
+    * partial-summation-order dependent in the last ulps, so a
+    * pipeline whose downstream comparisons consume the centroids
+    * (EP2's DBSCAN ε-graph, NN match radius) needs the deterministic
+    * form for run-to-run stability and cross-engine oracle parity.
+    * Same single hash aggregate, decimal partials merge map-side the
+    * same way.
     */
   def centroids(df: DataFrame, key: String, x: String, y: String,
-                weightErr: Option[String] = None): DataFrame =
+                weightErr: Option[String] = None, det: Boolean = false): DataFrame =
     weightErr match {
+      case None if det =>
+        df.groupBy(col(key)).agg(
+          graft.core.Det.davg(col(x), 6).as(s"${x}_centroid"),
+          graft.core.Det.davg(col(y), 6).as(s"${y}_centroid"))
       case None =>
         df.groupBy(col(key)).agg(avg(x).as(s"${x}_centroid"), avg(y).as(s"${y}_centroid"))
       case Some(e) =>

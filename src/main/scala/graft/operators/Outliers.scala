@@ -23,9 +23,18 @@ object Outliers {
     * breaks computed driver-side on the collected *cluster-level*
     * aggregate (one value per cluster, small), like the reference.
     */
+  /** `detScale`: quantization scale of the decimal-exact means. Pick
+    * it so every INPUT VALUE's decimal expansion terminates within
+    * `detScale` digits — then the double→decimal cast is exact and
+    * cross-engine deterministic by construction. A value with MORE
+    * digits than the scale can land on an exact half-quantum tie
+    * (e.g. an 8-decimal product ending in "…5" cast at scale 6),
+    * where Spark (exact BigDecimal expansion, HALF_UP) and DuckDB
+    * (double-rounding via x·10^scale) disagree — observed on EP2's
+    * cal_mag before it moved to scale 8. */
   def iqrOutlierRemoval(df: DataFrame, clusterKey: String, calMag: Column,
                         refMag: Column, cut: Double, nBins: Int,
-                        useJenks: Boolean = false): (DataFrame, DataFrame) = {
+                        useJenks: Boolean = false, detScale: Int = 6): (DataFrame, DataFrame) = {
     // Materialized: the cluster-level aggregate (one row per cluster)
     // is re-consumed by the min/max pass, the per-bin stats, the
     // normalized-distance projection AND the merge-back join — left
@@ -34,8 +43,8 @@ object Outliers {
     // never driver-side.
     val ca = df.groupBy(col(clusterKey))
       .agg(
-        Det.davg(calMag, 6).as("av_mag"),
-        (Det.davg(calMag, 6) - Det.davg(refMag, 6)).as("mag_diff"))
+        Det.davg(calMag, detScale).as("av_mag"),
+        (Det.davg(calMag, detScale) - Det.davg(refMag, detScale)).as("mag_diff"))
       .localCheckpoint()
 
     val binned =

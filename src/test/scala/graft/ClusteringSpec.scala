@@ -93,6 +93,28 @@ class ClusteringSpec extends SparkSpec {
     assert(viaRounds == expected)
   }
 
+  test("connectedComponents: hub-skewed graph, star rounds == union-find") {
+    // degree skew stress for the large-star/small-star path: one hub
+    // (id 500) touching 300 spokes, a long chain threaded through the
+    // hub, plus disjoint pairs — the shapes near-dup graphs produce.
+    val rnd = new scala.util.Random(11)
+    val hub = (0L until 300L).map(i => (500L, 1000L + i))
+    val chain = (0L until 60L).map(i => (2000L + i, 2000L + i + 1)) :+ ((500L, 2000L))
+    val pairs = (0L until 50L).map(i => (5000L + 2 * i, 5001L + 2 * i))
+    val undirected = rnd.shuffle(hub ++ chain ++ pairs)
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("_a", "_b")
+    val ids = undirected.flatMap(e => Seq(e._1, e._2)).distinct :+ 77777L
+    val nodes = ids.toDF("_id")
+    val viaDriver = Clustering.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Clustering.connectedComponents(nodes, edges, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaDriver)
+    // the hub component's label is its minimum member (the hub id)
+    assert(viaStars(1000L) == 500L && viaStars(2060L) == 500L)
+    assert(viaStars(77777L) == 77777L)
+  }
+
   test("500-point random field matches brute force") {
     val rnd = new scala.util.Random(7)
     val pts = (0L until 500L).map(i =>
