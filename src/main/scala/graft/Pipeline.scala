@@ -69,13 +69,18 @@ object Pipeline {
     // eps-close stars). Either degeneracy fuses stars into clusters
     // an all-members cut always rejects. Proper avalanche mixing
     // gives a uniform synthetic sky at every scale factor.
+    // positions are carried as INTEGER milli-units (xi = 1000·x): the
+    // jitter steps are exact multiples of 0.01, so xi = hash-part +
+    // 10·jitter-index is a long and the per-star mean position can be
+    // a plain long sum — deterministic run-to-run and engine-to-engine
+    // with zero decimal/BigDecimal cost (see the centroid note below).
     val withCoordsPre = selected
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_discount", "l_extendedprice", "o_orderstatus")
-      .withColumn("x", pmod(hash(col("l_partkey")), lit(2000000)) / 1000.0
-        + (col("l_linenumber") % 3) * 0.01)
-      .withColumn("y", pmod(hash(col("l_partkey"), lit(7)), lit(2000000)) / 1000.0
-        + (col("l_suppkey") % 3) * 0.01)
+      .withColumn("xi", pmod(hash(col("l_partkey")), lit(2000000)).cast("long")
+        + (col("l_linenumber") % 3) * 10)
+      .withColumn("yi", pmod(hash(col("l_partkey"), lit(7)), lit(2000000)).cast("long")
+        + (col("l_suppkey") % 3) * 10)
     val withCoords = cp("withCoords", withCoordsPre)
 
     // A2: per-star centroids, then M1: DBSCAN them into sky clusters.
@@ -88,12 +93,19 @@ object Pipeline {
     // (π·eps²·n/area = 0.2) keeps clusters at mostly-singletons-
     // some-pairs at EVERY scale factor — the regime the reference's
     // 3-arcsec choice encodes for real star densities.
-    // det = true: decimal-exact means, so the centroid doubles are
-    // identical run-to-run and engine-to-engine — the DBSCAN ε-graph
-    // and the match-radius cuts downstream compare these values, and
-    // the end-to-end DuckDB oracle (PipelineOracle) mirrors them
-    val centroids = cp("centroids",
-      GroupOps.centroids(withCoords, "l_partkey", "x", "y", det = true))
+    // A2 centroid semantics (mean member position) on the integer
+    // milli-unit coordinates: sum(xi) is an exact long (< 2^53, so
+    // the final double cast is exact too), then two IEEE divisions —
+    // bit-deterministic across runs AND engines (the DBSCAN ε-graph
+    // and match-radius cuts compare these doubles; PipelineOracle
+    // mirrors the op order exactly). A plain double mean is partial-
+    // summation-order dependent; a decimal mean is deterministic but
+    // ~50× the per-row cost (measured: +1 s on this stage at sf0.1).
+    val centroids = cp("centroids", withCoords
+      .groupBy(col("l_partkey"))
+      .agg(
+        ((sum("xi").cast("double") / count(lit(1))) / 1000.0).as("x_centroid"),
+        ((sum("yi").cast("double") / count(lit(1))) / 1000.0).as("y_centroid")))
     val nStars = timed("nStars.count")(centroids.count())
     val skyArea = 2000.0 * 2000.0
     val eps = math.sqrt(0.2 * skyArea / (math.Pi * math.max(nStars, 1L).toDouble))
@@ -130,20 +142,23 @@ object Pipeline {
     // The kept -> clean -> result stretch shares ONE materialization
     // (the `result` checkpoint in flagship): every upstream frame the
     // tail re-scans is already checkpointed (withCoords, matched, ca
-    // inside M3), the re-scanned tail segments are cheap anti-joins
-    // over those checkpoints, and AQE reuses identical shuffle
-    // exchanges within the single action — the r4 bench regression
-    // was exactly these two extra barriers (VERDICT r04 #1).
+    // inside M3), the re-scanned tail segments are cheap row-wise
+    // passes + broadcast joins over those checkpoints (cheap again
+    // now that the tail's means are long sums, not decimals), and AQE
+    // reuses identical shuffle exchanges within the single action —
+    // the r4 bench regression was exactly these two extra barriers
+    // (VERDICT r04 #1).
     val (kept, _) = GroupOps.selectGroups(merged, "cluster",
       col("dist2cal") <= rMatch * rMatch)
 
     // C2: calibrated magnitude against the matched calibrator.
     // Every term's decimal expansion terminates within 8 digits
     // (quantity int, zp 5, discount 2, price/10000 6, quantity/8 3 →
-    // products ≤ 8), so M3's scale-8 decimal means quantize EXACTLY —
-    // a /7 color term has an infinite expansion and lands on exact
-    // half-quantum ties where the engines' double→decimal casts
-    // disagree (found by the end-to-end oracle, 49/1332 clusters).
+    // products ≤ 8), so M3's scale-8 means quantize EXACTLY (and can
+    // therefore be long sums — Det.davgLong) — a /7 color term has an
+    // infinite expansion and lands on exact half-quantum ties where
+    // the engines' double→decimal/int casts disagree (found by the
+    // end-to-end oracle, 49/1332 clusters).
     val calibrated = kept.withColumn("cal_mag",
       graft.functions.Photometry.calMag(
         col("l_quantity"), col("zp_ref"),
@@ -154,10 +169,12 @@ object Pipeline {
     // cluster-level aggregate checkpoints internally — the expensive
     // decimal-sum shuffle runs once; the rest of the lineage stays
     // lazy until `result`).
+    // longMeans: cal_mag / ref terminate within 8 decimals (see the
+    // cal_mag note), so the per-cluster means are codegen'd long sums
     val (clean, _) = Outliers.iqrOutlierRemoval(
       calibrated, "cluster",
       col("cal_mag"), col("l_quantity") + col("zp_ref"),
-      cut = 3.0, nBins = 8, detScale = 8)
+      cut = 3.0, nBins = 8, detScale = 8, longMeans = true)
 
     // C3 (notebook tail): band-wise reference magnitude — pick the
     // band's reference column by filter id, band = order status here

@@ -10,8 +10,9 @@ import graft.core.{Det, SqlMurmur}
   *  - synthetic sky positions: Spark's Murmur3 hash() emitted as SQL
   *    ([[graft.core.SqlMurmur]], cross-checked by
   *    tools/hash_oracle_check.py over the full key range);
-  *  - per-star centroids: decimal-exact means (Det.sqlDavg — the
-  *    Spark side uses GroupOps.centroids(det = true));
+  *  - per-star centroids: exact long sums over the integer
+  *    milli-unit coordinates (same op order as Pipeline's inline A2
+  *    aggregate — bit-identical doubles);
   *  - eps / rMatch: computed IN SQL from the same counts with the
   *    same IEEE expression order as Pipeline.stages, so the scalars
   *    are bit-identical;
@@ -23,9 +24,9 @@ import graft.core.{Det, SqlMurmur}
   *    (dist2, s_suppkey) — the j3_nn_join recipe;
   *  - group selection (J8): NOT-EXISTS anti-join against the
   *    violating-cluster set, null-violates semantics spelled out;
-  *  - M3 IQR rejection: the m3_iqr_outlier_clean recipe (decimal
-  *    means, equal-width bins, round-6 quantile_cont stats, /0→NULL
-  *    matching try_divide);
+  *  - M3 IQR rejection: the m3_iqr_outlier_clean recipe (long-sum
+  *    means on the exact scale-8 grid, equal-width bins, round-6
+  *    quantile_cont stats, /0→NULL matching try_divide);
   *  - tail: band-conditional reference (C3), second J8 cut, DISTINCT
   *    metadata join (J6).
   *
@@ -61,14 +62,15 @@ object PipelineOracle {
       starh AS ($starHashQ),
       wc AS (
         SELECT s.*,
-          sh.hx / 1000.0 + (s.l_linenumber % 3) * 0.01 AS x,
-          sh.hy / 1000.0 + (s.l_suppkey % 3) * 0.01 AS y
+          sh.hx + (s.l_linenumber % 3) * 10 AS xi,
+          sh.hy + (s.l_suppkey % 3) * 10 AS yi
         FROM sel s JOIN starh sh ON s.l_partkey = sh.pk),
-      -- A2: per-star centroids, decimal-exact means
+      -- A2: per-star centroids — exact long sums over the integer
+      -- milli-unit coordinates, then the same two IEEE divisions
       cent AS (
         SELECT l_partkey,
-          ${Det.sqlDavg("x", 6)} AS x_centroid,
-          ${Det.sqlDavg("y", 6)} AS y_centroid
+          (CAST(sum(xi) AS DOUBLE) / count(*)) / 1000.0 AS x_centroid,
+          (CAST(sum(yi) AS DOUBLE) / count(*)) / 1000.0 AS y_centroid
         FROM wc GROUP BY l_partkey),
       -- adaptive eps from the star count (same IEEE op order as Pipeline)
       epsc AS (
@@ -133,11 +135,11 @@ object PipelineOracle {
             + l_discount * (l_extendedprice / 10000 - l_quantity / 8) AS cal_mag
         FROM kept),
       -- M3: per-cluster IQR outlier rejection (m3 oracle recipe, 8
-      -- bins, cut 3; scale-8 decimal means quantize exactly)
+      -- bins, cut 3; long-sum means — the scale-8 grid is exact)
       ca AS (
         SELECT cluster,
-          ${Det.sqlDavg("cal_mag", 8)} AS av_mag,
-          ${Det.sqlDavg("cal_mag", 8)} - ${Det.sqlDavg("l_quantity + zp_ref", 8)} AS mag_diff
+          ${Det.sqlDavgLong("cal_mag", 8)} AS av_mag,
+          ${Det.sqlDavgLong("cal_mag", 8)} - ${Det.sqlDavgLong("l_quantity + zp_ref", 8)} AS mag_diff
         FROM calb GROUP BY cluster),
       mm AS (SELECT min(av_mag) AS lo, max(av_mag) AS hi FROM ca),
       bn AS (

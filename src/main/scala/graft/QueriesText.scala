@@ -155,14 +155,73 @@ object QueriesText {
           col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"))
 
-  /** Inline SQL twin of Text.qualityScore (no helper CTE — usable
-    * inside any WHERE/SELECT over a frame with a `text` column). */
-  private val qualityInlineSql: String =
+  /** Inline SQL twin of Text.qualityScore (defined before its users —
+    * object vals initialize top-down). */
+  private val qualityInlineSql2: String =
     s"""0.5 * (len(list_filter($toksSql, x -> x IN ('the', 'a', 'and', 'of', 'to')))
            / len($toksSql))
        + 0.3 * least(1.0, len($toksSql) / 100.0)
        + 0.2 * least(1.0,
            (length(regexp_replace(text, '\\s+', '', 'g')) / len($toksSql)) / 5.0)"""
+
+  /** Quality-classifier score fusion: fixed-weight logistic over the
+    * existing per-doc signals (quality, TTR, dup-3-gram, saturating
+    * length), round-6 score + keep cut — the curation gate a trained
+    * classifier would slot into. exp() differs across libms in the
+    * last ulp, so the cut compares the ROUNDED score (same recipe as
+    * the trig queries). */
+  private val txFused = Q(
+    "tx_quality_fused",
+    Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, text, toks, ${ngramsOf("toks", 3)} AS g3 FROM t),
+          z AS (SELECT doc_id,
+              -2.0 + 3.0 * ($qualityInlineSql2)
+              + 1.5 * (len(list_distinct(toks)) / len(toks))
+              - 2.0 * ((len(g3) - len(list_distinct(g3))) / len(g3))
+              + 0.5 * least(1.0, len(toks) / 200.0) AS z
+            FROM g)
+          SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS fused_quality,
+            round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS keep
+          FROM z ORDER BY doc_id"""),
+    (s, dir) => {
+      val score = round(Text.fusedQualityScore(col("text")), 6)
+      t(s, dir, "documents")
+        .select(col("doc_id"), score.as("fused_quality"), (score > 0.5).as("keep"))
+        .orderBy("doc_id")
+    })
+
+  /** URL-level dedup: deterministic messy URL variants (scheme case,
+    * www, query string, fragment, trailing slash) synthesized from
+    * doc_id/source, canonicalized and collapsed keep-min-id. */
+  private val ddUrl = Q(
+    "dd_url_dedup",
+    Some("""WITH u AS (SELECT doc_id,
+              (['https://', 'http://', 'https://www.', 'HTTP://WWW.'])[CAST(doc_id % 4 + 1 AS INT)]
+              || source || '.example.com/Page/' || CAST(doc_id % 25 AS VARCHAR)
+              || (['', '/', '?utm_source=x', '#section'])[CAST((doc_id // 4) % 4 + 1 AS INT)] AS url
+              FROM documents),
+            c AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+                '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS url_key
+              FROM u)
+            SELECT url_key, min(doc_id) AS kept_id, count(*) AS n_copies
+            FROM c GROUP BY url_key ORDER BY url_key"""),
+    (s, dir) => {
+      val schemes = array(lit("https://"), lit("http://"), lit("https://www."), lit("HTTP://WWW."))
+      val tails = array(lit(""), lit("/"), lit("?utm_source=x"), lit("#section"))
+      val url = concat(
+        element_at(schemes, (col("doc_id") % 4).cast("int") + 1),
+        col("source"), lit(".example.com/Page/"),
+        (col("doc_id") % 25).cast("string"),
+        element_at(tails, (shiftright(col("doc_id"), 2) % 4).cast("int") + 1))
+      Dedup.byUrl(
+          t(s, dir, "documents").withColumn("url", url), "doc_id", "url")
+        .orderBy("url_key")
+    })
+
+  /** Inline SQL twin of Text.qualityScore (no helper CTE — usable
+    * inside any WHERE/SELECT over a frame with a `text` column). */
+  private val qualityInlineSql: String = qualityInlineSql2
 
   /** EP4: the corpus-curation flagship — quality cut, exact dedup,
     * near-dup canonicalization, deterministic split, per-(split,
@@ -769,9 +828,9 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
+    txRepetition, txFused, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
     txMix, p12Stratified,
-    ddExact, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
+    ddExact, ddUrl, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
     ssQuant,

@@ -53,6 +53,25 @@ object Det {
     when(n > 1, sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - lit(1.0)))))
   }
 
+  /** Fast deterministic mean for values whose decimal expansion
+    * TERMINATES within `scale` digits (x·10^scale is integral): scale
+    * to integers, sum as longs, divide back. Same quantization grid
+    * as [[davg]] but the hot path is a codegen'd long sum instead of
+    * BigDecimal churn (~50× cheaper per row — this is also the right
+    * 100 TB shape). round() lands exactly on the integer because the
+    * double is within ulps of it; both engines' double→int casts then
+    * agree. Bounds: |sum(x·10^scale)| must stay < 2^53 so the final
+    * long→double cast is exact. NOT for non-terminating values — use
+    * [[davg]] (exact decimal) and pick the scale per its error model.
+    */
+  def davgLong(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    (sum(round(c * f).cast(LongType)).cast(DoubleType) / count(lit(1))) / f
+  }
+
+  def sqlDavgLong(x: String, scale: Int): String =
+    s"(CAST(sum(CAST(round(($x) * 1e$scale) AS BIGINT)) AS DOUBLE) / count(*)) / 1e$scale"
+
   def sqlDsum(x: String, scale: Int = 6): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(30,$scale))) AS DOUBLE)"
 

@@ -23,6 +23,17 @@ object Dedup {
     df.groupBy(contentKey(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** URL/domain-level dedup: one row per canonical URL
+    * ([[Text.canonicalUrl]] — scheme/www/query/fragment/trailing-slash
+    * insensitive), keeping the minimum id. The web-crawl complement
+    * to content dedup: recrawls and tracking-parameter variants of
+    * the same page collapse BEFORE the text is even compared. One
+    * hash aggregate on the canonical key — same scale shape as
+    * [[exact]]. */
+  def byUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(Text.canonicalUrl(col(urlCol)).as("url_key"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
   /** MinHash signature of a shingle-set column: for each of
     * `numHashes` hash functions, the minimum md5(seed:shingle).
     * Hex-string min == numeric min of the 128-bit hash — no integer

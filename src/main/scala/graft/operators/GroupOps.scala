@@ -40,22 +40,16 @@ object GroupOps {
     * variant the reference declares but leaves NotImplemented
     * (objtable.py:195-196): sum(x/e²)/sum(1/e²).
     *
-    * `det = true` routes the means through the decimal-exact
-    * accumulator ([[graft.core.Det.davg]]): plain double avg is
-    * partial-summation-order dependent in the last ulps, so a
-    * pipeline whose downstream comparisons consume the centroids
-    * (EP2's DBSCAN ε-graph, NN match radius) needs the deterministic
-    * form for run-to-run stability and cross-engine oracle parity.
-    * Same single hash aggregate, decimal partials merge map-side the
-    * same way.
+    * The plain double mean is partial-summation-order dependent in
+    * the last ulps; a pipeline whose downstream COMPARISONS consume
+    * the centroid doubles needs a deterministic mean instead —
+    * integer/long sums when the coordinates are grid-exact (EP2's
+    * milli-unit positions, Pipeline.scala) or [[graft.core.Det]]
+    * decimals otherwise.
     */
   def centroids(df: DataFrame, key: String, x: String, y: String,
-                weightErr: Option[String] = None, det: Boolean = false): DataFrame =
+                weightErr: Option[String] = None): DataFrame =
     weightErr match {
-      case None if det =>
-        df.groupBy(col(key)).agg(
-          graft.core.Det.davg(col(x), 6).as(s"${x}_centroid"),
-          graft.core.Det.davg(col(y), 6).as(s"${y}_centroid"))
       case None =>
         df.groupBy(col(key)).agg(avg(x).as(s"${x}_centroid"), avg(y).as(s"${y}_centroid"))
       case Some(e) =>

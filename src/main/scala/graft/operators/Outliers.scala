@@ -34,17 +34,23 @@ object Outliers {
     * cal_mag before it moved to scale 8. */
   def iqrOutlierRemoval(df: DataFrame, clusterKey: String, calMag: Column,
                         refMag: Column, cut: Double, nBins: Int,
-                        useJenks: Boolean = false, detScale: Int = 6): (DataFrame, DataFrame) = {
+                        useJenks: Boolean = false, detScale: Int = 6,
+                        longMeans: Boolean = false): (DataFrame, DataFrame) = {
     // Materialized: the cluster-level aggregate (one row per cluster)
     // is re-consumed by the min/max pass, the per-bin stats, the
     // normalized-distance projection AND the merge-back join — left
     // lazy, each of those recomputes the decimal-sum shuffle over the
     // full input. Cluster-level stays distributed (executor blocks),
     // never driver-side.
+    // longMeans = true: inputs terminate within detScale decimals →
+    // Det.davgLong (codegen'd long sums, the 100 TB shape). false:
+    // exact decimal accumulator (any input magnitude profile).
+    def mean(c: Column) =
+      if (longMeans) Det.davgLong(c, detScale) else Det.davg(c, detScale)
     val ca = df.groupBy(col(clusterKey))
       .agg(
-        Det.davg(calMag, detScale).as("av_mag"),
-        (Det.davg(calMag, detScale) - Det.davg(refMag, detScale)).as("mag_diff"))
+        mean(calMag).as("av_mag"),
+        (mean(calMag) - mean(refMag)).as("mag_diff"))
       .localCheckpoint()
 
     val binned =

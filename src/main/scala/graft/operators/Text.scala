@@ -121,6 +121,36 @@ object Text {
       size(g)
   }
 
+  /** Quality-classifier score fusion: a fixed-weight logistic
+    * "classifier" over the engine's existing per-document quality
+    * signals (stopword/length quality, type-token ratio, duplicate-
+    * 3-gram fraction, a saturating length feature). The weights are
+    * the model — swap them for trained coefficients without touching
+    * the plan shape. Pure scan-stage column math: the features are
+    * int/int IEEE divisions (cross-engine exact); only exp() differs
+    * in the last ulp across libms, so consumers should rank/cut on
+    * the round-6 value (the tx_quality_fused recipe). */
+  def fusedQualityScore(c: Column): Column = {
+    val z = lit(-2.0) +
+      lit(3.0) * qualityScore(c) +
+      lit(1.5) * typeTokenRatio(c) -
+      lit(2.0) * dupNgramFraction(c, 3) +
+      lit(0.5) * least(lit(1.0), tokenCount(c) / 200.0)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Canonicalize a URL for identity-level dedup: lowercase, strip
+    * the scheme and a leading "www.", drop the query string and
+    * fragment, trim trailing slashes. A deterministic regexp chain in
+    * the Java ∩ RE2 common dialect (anchored patterns — replace-first
+    * and replace-all agree), runs in the scan stage. */
+  def canonicalUrl(u: Column): Column = {
+    val noScheme = regexp_replace(lower(u), "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQueryFragment = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQueryFragment, "/+$", "")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays —
     * |A∩B| / (|A| + |B| − |A∩B|); int/int division, deterministic. */
   def jaccard(a: Column, b: Column): Column = {

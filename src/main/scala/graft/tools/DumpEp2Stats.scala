@@ -27,12 +27,13 @@ object DumpEp2Stats {
         col("l_quantity"), col("zp_ref"),
         Some(col("l_discount")),
         Some(col("l_extendedprice") / 10000), Some(col("l_quantity") / 8)))
-    // mirror of Outliers.iqrOutlierRemoval internals (equal-width bins)
+    // mirror of Outliers.iqrOutlierRemoval internals (equal-width
+    // bins, longMeans)
     val ca = calibrated.groupBy(col("cluster"))
       .agg(
-        Det.davg(col("cal_mag"), 8).as("av_mag"),
-        (Det.davg(col("cal_mag"), 8) -
-          Det.davg(col("l_quantity") + col("zp_ref"), 8)).as("mag_diff"))
+        Det.davgLong(col("cal_mag"), 8).as("av_mag"),
+        (Det.davgLong(col("cal_mag"), 8) -
+          Det.davgLong(col("l_quantity") + col("zp_ref"), 8)).as("mag_diff"))
       .localCheckpoint()
     val nBins = 8
     val mm = ca.agg(min("av_mag").as("_lo"), max("av_mag").as("_hi"))

@@ -16,6 +16,22 @@ object ProfileQueries {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_STAGES=1: per-stage task counts + run times — pinpoints
+    // serialized stages (numTasks 1-2) vs genuinely expensive ones
+    if (sys.env.contains("GRAFT_STAGES")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield (c - s) / 1e3).getOrElse(-1.0)
+            if (wall > 0.3)
+              println(f"[stage ${si.stageId}%4d] tasks=${si.numTasks}%4d " +
+                f"wall=$wall%6.2f s  cpuMs=${si.taskMetrics.executorRunTime}%8d  ${si.name.take(60)}")
+          }
+        })
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

@@ -15,12 +15,15 @@ object ReadmeStats {
     val nDynOracle = qs.count(q => q.sql.isEmpty && q.sqlGen.isDefined)
     val noOracle = qs.filter(q => q.sql.isEmpty && q.sqlGen.isEmpty).map(_.name)
 
-    // test count: ScalaTest `test("...")` registrations in the spec tree
+    // test count: static ScalaTest `test(` registrations, with the one
+    // registry-driven loop (EntrySmokeSpec: one smoke per query)
+    // expanded to its real cardinality
     val testDir = repo.resolve("src/test/scala/graft")
-    val nTests = Files.walk(testDir).iterator().asScala
+    val nStaticTests = Files.walk(testDir).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .map(p => "(?m)^\\s*test\\(".r.findAllIn(Files.readString(p)).size)
       .sum
+    val nTests = nStaticTests - 1 + nQueries
 
     // latest bench artifact, if any
     val bench = Files.list(repo).iterator().asScala
@@ -28,10 +31,12 @@ object ReadmeStats {
       .filter(n => n.startsWith("BENCH_r") && n.endsWith(".json"))
       .toSeq.sorted.lastOption
       .map { f =>
+        // driver wrapper carries the bench line inside a "tail" string
+        // with escaped quotes — match both raw and escaped forms
         val txt = Files.readString(repo.resolve(f))
-        val total = "\"value\"\\s*:\\s*([0-9.]+)".r
+        val total = "\\\\?\"value\\\\?\"\\s*:\\s*([0-9.]+)".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
-        val sf = "\"sf\"\\s*:\\s*\"?([0-9.]+)\"?".r
+        val sf = "\\\\?\"sf\\\\?\"\\s*:\\s*\\\\?\"?([0-9.]+)".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
         s"latest driver bench ($f): **$total s** total at sf=$sf, local[32], median-of-3 per query"
       }

@@ -144,4 +144,45 @@ class TextRelevanceSpec extends SparkSpec {
     // single-gram doc: defined, not NaN/null
     assert(out(3) == ((4L, 1.0, 0.0, 1.0)))
   }
+
+  test("canonicalUrl: scheme/www/query/fragment/slash variants collapse") {
+    val urls = Seq(
+      (1L, "https://Example.com/A/b?utm_source=x"),
+      (2L, "HTTP://WWW.example.com/a/B#frag"),
+      (3L, "https://www.example.com/a/b/"),
+      (4L, "example.com/a/b"), // schemeless passthrough
+      (5L, "https://example.com/other"))
+      .toDF("id", "url")
+    val keys = urls.select(col("id"), Text.canonicalUrl(col("url")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1) == "example.com/a/b")
+    assert(Set(keys(1), keys(2), keys(3), keys(4)).size == 1)
+    assert(keys(5) == "example.com/other")
+  }
+
+  test("byUrl: keep-min-id per canonical URL with copy counts") {
+    val urls = Seq(
+      (7L, "https://a.com/x?q=1"),
+      (3L, "http://www.a.com/x/"),
+      (9L, "https://b.com/y"))
+      .toDF("id", "url")
+    val out = graft.operators.Dedup.byUrl(urls, "id", "url")
+      .orderBy("url_key").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a.com/x" && out(0).getLong(1) == 3L
+      && out(0).getLong(2) == 2L)
+    assert(out(1).getString(0) == "b.com/y" && out(1).getLong(1) == 9L
+      && out(1).getLong(2) == 1L)
+  }
+
+  test("fusedQualityScore: in (0,1); repetitive junk scores below diverse prose") {
+    val d = Seq(
+      (1L, "the cat and the dog walked to a shop of many wonders and found the thing they wanted"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val s = d.select(col("doc_id"), Text.fusedQualityScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.values.forall(v => v > 0.0 && v < 1.0))
+    assert(s(1L) > s(2L))
+  }
 }
