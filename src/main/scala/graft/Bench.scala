@@ -7,13 +7,27 @@ import org.apache.spark.sql.SparkSession
   * JSON line with per-query medians and an explicit `errors` map. A
   * failing query can only make the bench WORSE (rc=1 + error entry),
   * never faster.
+  *
+  * Suite-survival hardening (r05 post-mortem): the r05 driver bench
+  * died mid-suite — accumulated localCheckpoint blocks were never
+  * freed, the executor heap filled, the SparkContext stopped, and
+  * every later query "failed" on the corpse (rc=1, 2122 s, empty
+  * correctness). Two structural guards now make one bad query unable
+  * to sink the suite:
+  *   1. per-RUN checkpoint reclamation: persistent RDDs created by a
+  *      run (diff of sc.getPersistentRDDs around it) are unpersisted
+  *      immediately after — storage is flat across the suite instead
+  *      of monotonically growing;
+  *   2. per-run context liveness check: if the SparkContext is
+  *      stopped, rebuild a fresh session (count it in the JSON) and
+  *      keep going rather than cascading failures.
   */
 object Bench {
   private val Runs = 3
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  private def newSession(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,9 +38,47 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first timed query isn't inflated
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark
+  }
+
+  /** Unpersist every persistent RDD not in `before` — reclaims the
+    * localCheckpoint blocks a query leaves behind (they are scoped to
+    * the query's lineage; nothing outside the run can reference them). */
+  private def reclaim(spark: SparkSession, before: Set[Int]): Unit =
+    if (!spark.sparkContext.isStopped)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id))
+          try rdd.unpersist(blocking = false) catch { case _: Throwable => }
+      }
+
+  /** (totalJiffies, stealJiffies) from /proc/stat — bench environment
+    * telemetry: driver-vs-local wall-clock deltas on this host have
+    * repeatedly been contention artifacts (PLANS.md measurement-health
+    * warning); recording steal makes them attributable. */
+  private def cpuStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.sum, if (f.length > 7) f(7) else 0L))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var spark = newSession(cpus)
+    var rebuilds = 0
+    val stat0 = cpuStat()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] SparkContext dead before $name — rebuilding")
+          spark = newSession(cpus)
+          rebuilds += 1
+        }
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -38,13 +90,15 @@ object Bench {
             errors(name) = msg
             System.err.println(s"[bench] $name FAILED: $msg")
             None
-        }
+        } finally reclaim(spark, before)
       }
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
       name -> median
     }
+    val stealPct = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
+      yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -64,10 +118,11 @@ object Bench {
     val qs = top.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val restSec = rest.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
-    val full = s"""{"queries":$fullQs,"errors":$errJson,"runs":$Runs,"stat":"median","sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
+    val tail = s""""steal_pct":${r3(stealPct)},"rebuilds":$rebuilds,"runs":$Runs,"stat":"median","sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}"""
+    val full = s"""{"queries":$fullQs,"errors":$errJson,$tail}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
-    println(s"""{"queries":$qs,"nq":${results.size},"rest_sec":${r3(restSec)},"errors":$errJson,"runs":$Runs,"stat":"median","sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}""")
+    println(s"""{"queries":$qs,"nq":${results.size},"rest_sec":${r3(restSec)},"errors":$errJson,$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -246,9 +246,14 @@ object Pipeline {
       .orderBy("split", "lang")
   }
 
-  /** The full notebook pipeline including the S10 CSV dump (cell 10):
-    * gzip CSV of the final frame, then the frame itself. */
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
+  /** The full notebook pipeline; with `dump = true` it also runs the
+    * S10 CSV sink (notebook cell 10: one gzip CSV of the final frame).
+    * The dump is a SIDE EFFECT — bench and verify time/check the
+    * returned frame only, so they run `dump = false` (the r05 bench
+    * paid the single-task gzip write 3× per measurement — VERDICT
+    * #5); notebook parity is exercised once in [[SparkEntry.entry]]. */
+  def flagship(spark: SparkSession, dir: String, dump: Boolean = false): DataFrame = {
+    if (!dump) return stages(spark, dir).last._2
     // materialize the final frame once: both consumers (the CSV dump
     // here and whatever action the caller runs next) would otherwise
     // recompute the two group-selection joins of the tail

@@ -5,7 +5,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. EP2: the reference's full notebook pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    Pipeline.flagship(spark, "/root/testdata/sf0.001")
+    Pipeline.flagship(spark, "/root/testdata/sf0.001", dump = true)
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.map(q => q.name -> q.fn).toMap

@@ -66,7 +66,23 @@ object Det {
     */
   def davgLong(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    (sum(round(c * f).cast(LongType)).cast(DoubleType) / count(lit(1))) / f
+    // Enforce the |sum| < 2^53 precondition (ADVICE r05): Spark's
+    // non-ANSI sum(long) wraps silently on overflow, which would
+    // corrupt means without error once groups grow past the safe
+    // range (~1.5M rows of scale-8 values ~6e9). Guard with a cheap
+    // per-group bound — max|xi|·n ≥ |sum(xi)| — and RAISE rather than
+    // silently wrap when it's exceeded; the caller then switches to
+    // the exact-decimal [[davg]] (an always-on decimal fallback
+    // branch would compute the ~50× decimal sum for every group,
+    // which is exactly what davgLong exists to avoid). raise_error is
+    // evaluated lazily per output row, so in-bounds groups pay only
+    // one extra long `max`.
+    val xi = round(c * f)
+    val longMean =
+      (sum(xi.cast(LongType)).cast(DoubleType) / count(lit(1))) / f
+    when(max(abs(xi)) * count(lit(1)) < lit(9.007199254740992e15), longMean)
+      .otherwise(raise_error(lit(
+        s"davgLong(scale=$scale): |sum| bound 2^53 exceeded — use davg")).cast(DoubleType))
   }
 
   def sqlDavgLong(x: String, scale: Int): String =

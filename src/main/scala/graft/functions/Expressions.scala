@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,7 +59,7 @@ object Expressions {
     * strings (index = band id). */
   case class MinHashBands(child: Expression, shingleSize: Int,
                           numHashes: Int, bandSize: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes % bandSize == 0)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     // "j:" prefix bytes per hash index — hashing md5(prefix ++ shingleBytes)
@@ -87,8 +86,13 @@ object Expressions {
         i += 1
       }
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toString
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    /** public compiled kernel — doGenCode emits a direct call to it,
+      * so whole-stage codegen skips the interpreted eval(InternalRow)
+      * + boxing detour CodegenFallback would take (VERDICT r05 #7). */
+    def kernel(input: UTF8String): ArrayData = {
+      val text = input.toString
       val mins = Array.fill[Array[Byte]](numHashes)(null)
       val md = md5Local.get()
       val it = shingleSet(text, shingleSize).iterator()
@@ -115,21 +119,38 @@ object Expressions {
       }
       new GenericArrayData(bands)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("minHashBands", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Exact Jaccard similarity of the char-k-shingle sets of two
     * texts: |A∩B| / (|A|+|B|−|A∩B|), int counts, one double divide. */
   case class ShingleJaccard(left: Expression, right: Expression, shingleSize: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val sa = shingleSet(a.asInstanceOf[UTF8String].toString, shingleSize)
-      val sb = shingleSet(b.asInstanceOf[UTF8String].toString, shingleSize)
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(a: UTF8String, b: UTF8String): Double = {
+      val sa = shingleSet(a.toString, shingleSize)
+      val sb = shingleSet(b.toString, shingleSize)
       var inter = 0
       val it = sa.iterator()
       while (it.hasNext) if (sb.contains(it.next())) inter += 1
       inter.toDouble / (sa.size + sb.size - inter)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("shingleJaccard", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -141,10 +162,13 @@ object Expressions {
     * The token hash is the LAST 8 digest bytes little-endian — the
     * same 64 bits DuckDB's `md5_number_lower` exposes, so the
     * dd_simhash oracle mirrors the whole signature exactly. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(kernel(input.asInstanceOf[UTF8String]))
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(input: UTF8String): Long = {
+      val text = input.toString.toLowerCase(java.util.Locale.ROOT)
       val sums = new Array[Int](64)
       val d = md5Local.get()
       var start = 0
@@ -170,7 +194,14 @@ object Expressions {
       var sig = 0L
       var bit = 0
       while (bit < 64) { if (sums(bit) > 0) sig |= (1L << bit); bit += 1 }
-      java.lang.Long.valueOf(sig)
+      sig
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("simHash64", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -200,12 +231,16 @@ object Expressions {
 
   case class MinHashBandsPoly(child: Expression, shingleSize: Int,
                               numHashes: Int, bandSize: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes % bandSize == 0)
     private val coeffs = polyCoeffs(numHashes)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toString
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    /** public compiled kernel — see [[MinHashBands.kernel]]. This one
+      * dominates the near-dedup banded-keys stage (VERDICT r05 #7). */
+    def kernel(input: UTF8String): ArrayData = {
+      val text = input.toString
         .toLowerCase(java.util.Locale.ROOT)
       val mins = Array.fill[Long](numHashes)(Long.MaxValue)
       val len = text.length
@@ -242,6 +277,13 @@ object Expressions {
         b += 1
       }
       new GenericArrayData(bands)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("minHashBandsPoly", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -371,7 +413,7 @@ object Expressions {
     * Replaces `planes` interpreted zip_with folds per row.
     */
   case class LshTableKeys(child: Expression, dim: Int, planes: Int, tables: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes >= 1 && planes <= 63 && tables >= 1)
     // weights[t*planes + p][d] : ±1
     private val weights: Array[Array[Double]] =
@@ -382,9 +424,18 @@ object Expressions {
         }
       }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val et = child.dataType.asInstanceOf[ArrayType].elementType
+    // resolved element type, cached once (child type is fixed after
+    // analysis; kernel is called per row)
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => true
+        case DoubleType => false
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(arr: ArrayData): ArrayData = {
       val n = math.min(dim, arr.numElements())
       val keys = new Array[Long](tables)
       var t = 0
@@ -396,11 +447,7 @@ object Expressions {
           var proj = 0.0
           var i = 0
           while (i < n) {
-            val x = et match {
-              case FloatType  => arr.getFloat(i).toDouble
-              case DoubleType => arr.getDouble(i)
-              case other      => throw new IllegalArgumentException(s"unsupported element type $other")
-            }
+            val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
             proj += x * w(i)
             i += 1
           }
@@ -411,6 +458,13 @@ object Expressions {
         t += 1
       }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("lshTableKeys", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

@@ -57,41 +57,73 @@ object Clustering {
     * produce identical labels (min member id per component). */
   val DriverMaxEdges = 4000000L
 
+  /** localCheckpoint + handle on the persistent RDDs the call created
+    * (diff of getPersistentRDDs around it) so loop iterations can free
+    * their predecessor's blocks — the r05 suite death was exactly
+    * these blocks accumulating unfreed across queries/rounds. Only
+    * safe where nothing runs concurrently on the session (true for
+    * Bench/Verify and tests). */
+  private def cpTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    val created = sc.getPersistentRDDs
+      .collect { case (id, rdd) if !before.contains(id) => rdd }.toSeq
+    (cp, created)
+  }
+
+  private def unpersistAll(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdds.foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => })
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val idType = nodes.schema.fields.find(_.name == "_id").get.dataType
     val integralId = idType == LongType || idType == IntegerType ||
       idType == ShortType || idType == ByteType
-    if (integralId) {
-      // Size probe and fetch in ONE job: limit(max+1).collect() either
-      // returns the complete edge list (length <= max — exactly what
-      // the union-find needs, no separate count() pass) or proves the
-      // graph is over the threshold (length == max+1) and we fall
-      // through to the distributed rounds. CollectLimit scales its
-      // partition scan incrementally, so small graphs touch few
-      // partitions and never pay a full count.
-      val fetched = edges
-        .select(col("_a").cast(LongType).as("_a"), col("_b").cast(LongType).as("_b"))
-        .limit((driverMaxEdges + 1).toInt).collect()
-      if (fetched.length <= driverMaxEdges) {
-        // the union-find labels are driver-local -> broadcastable; both
-        // joins against `nodes` are broadcast hash joins and the
-        // distributed active/isolated scaffolding is never built
-        val labeled = driverUnionFind(fetched)
-        val spark = nodes.sparkSession
-        import spark.implicits._
-        val labels = labeled.toSeq.toDF("_id", "_label")
-          .select(col("_id").cast(idType).as("_id"),
-            col("_label").cast(idType).as("_label"))
-        // parity with the distributed path: only endpoints that are in
-        // `nodes` get a label row; nodes without an edge are their own
-        // component. `nodes` streams; the tiny label table broadcasts.
-        val inNodes = nodes.join(broadcast(labels), Seq("_id"))
-          .select(col("_id"), col("_label"))
-        val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
-          .select(col("_id"), col("_id").as("_label"))
-        return inNodes.unionByName(ownComponent)
-      }
+
+    // Canonicalize FIRST — orientation _a > _b, self-loops stripped,
+    // duplicates collapsed — and checkpoint once; the adaptive probe
+    // and both execution paths read this single materialization, so
+    // the (possibly expensive) upstream edge computation runs exactly
+    // once. Self-loop stripping here also closes the ADVICE r05
+    // parity gap: a node whose only edges are self-loops has no
+    // canonical edge, is not active, and labels itself through the
+    // isolated/ownComponent path — identical on both paths (the
+    // union-find never unions a self-loop either).
+    val (e0, e0Rdds) = cpTracked(edges
+      .select(greatest(col("_a"), col("_b")).as("_a"),
+        least(col("_a"), col("_b")).as("_b"))
+      .where(col("_a") =!= col("_b"))
+      .distinct())
+    // Exact count on the materialized checkpoint — O(partitions), no
+    // data movement — replacing the r05 limit(4M+1).collect() probe
+    // that pulled up to 4M Rows (~hundreds of MB) onto the driver
+    // just to TEST the threshold (VERDICT r05 #4). Only genuinely
+    // under-threshold edge lists are ever collected now.
+    val nEdges = e0.count()
+
+    if (integralId && nEdges <= driverMaxEdges) {
+      // Below the threshold the whole (deduped, two-long-column) edge
+      // list is dimension-sized; one O(E α(E)) driver pass beats 3-5
+      // rounds of join+checkpoint fixed latency — same adaptive
+      // rationale as a broadcast hash join.
+      val fetched = e0
+        .select(col("_a").cast(LongType), col("_b").cast(LongType)).collect()
+      unpersistAll(e0Rdds) // result below depends only on nodes + broadcast labels
+      val labeled = driverUnionFind(fetched)
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = labeled.toSeq.toDF("_id", "_label")
+        .select(col("_id").cast(idType).as("_id"),
+          col("_label").cast(idType).as("_label"))
+      // parity with the distributed path: only endpoints that are in
+      // `nodes` get a label row; nodes without an edge are their own
+      // component. `nodes` streams; the tiny label table broadcasts.
+      val inNodes = nodes.join(broadcast(labels), Seq("_id"))
+        .select(col("_id"), col("_label"))
+      val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
+        .select(col("_id"), col("_id").as("_label"))
+      return inNodes.unionByName(ownComponent)
     }
 
     // Distributed path: alternating large-star/small-star rounds
@@ -108,15 +140,16 @@ object Clustering {
     // Invariant: `e` holds the canonical orientation _a > _b; both
     // steps preserve it because every emitted edge is (v, m) with m a
     // neighborhood minimum strictly below v.
-    val edgesM = edges.localCheckpoint()
-    // Only nodes with at least one edge participate in the rounds —
-    // an isolated node IS its own converged component (label = id).
-    // In sparse regimes (near-dedup graphs, sub-percolation ε-graphs)
-    // that excludes the vast majority of nodes from every round's
-    // shuffle; the isolated remainder is appended lazily at the end.
-    val active = nodes
-      .join(edgesM.select(col("_a").as("_id")).distinct(), Seq("_id"), "left_semi")
-      .localCheckpoint()
+    //
+    // Only nodes with at least one (non-self) edge participate in the
+    // rounds — an isolated node IS its own converged component
+    // (label = id). In sparse regimes (near-dedup graphs,
+    // sub-percolation ε-graphs) that excludes the vast majority of
+    // nodes from every round's shuffle; the isolated remainder is
+    // appended lazily at the end.
+    val ends = e0.select(col("_a").as("_id"))
+      .unionAll(e0.select(col("_b").as("_id"))).distinct()
+    val (active, _) = cpTracked(nodes.join(ends, Seq("_id"), "left_semi"))
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
     // fixpoint check: the small-star output is a SET of edges;
@@ -128,12 +161,8 @@ object Clustering {
         sum(xxhash64(col("_a"), col("_b")).cast(DecimalType(38, 0)))).collect()(0)
       (r.getLong(0), r.get(1))
     }
-    var e = edgesM
-      .select(greatest(col("_a"), col("_b")).as("_a"),
-        least(col("_a"), col("_b")).as("_b"))
-      .where(col("_a") =!= col("_b"))
-      .distinct()
-      .localCheckpoint()
+    var e = e0
+    var eRdds = e0Rdds
     var prev: (Long, Any) = null
     var converged = false
     var rounds = 0
@@ -141,33 +170,41 @@ object Clustering {
       // large-star: center every node u, m(u) = min(Γ(u) ∪ {u});
       // each strictly-larger neighbor v re-points to m(u). With the
       // canonical orientation this is one aggregate over both
-      // directions plus one equi-join on the small end.
+      // directions plus one equi-join on the small end. No distinct()
+      // here (VERDICT r05 #4): the canonical emit rarely duplicates,
+      // the small-star groupBy/distinct absorb what it does, and the
+      // dropped shuffle is one per round.
       val dir = e.select(col("_a").as("_u"), col("_b").as("_v"))
         .unionAll(e.select(col("_b").as("_u"), col("_a").as("_v")))
       val mins = dir.groupBy("_u").agg(least(min(col("_v")), col("_u")).as("_m"))
       val ls = e.join(mins, e("_b") === mins("_u"))
         .select(col("_a"), col("_m").as("_b"))
         .where(col("_a") =!= col("_b"))
-        .distinct()
       // small-star: center the large end x over its smaller
       // neighborhood Γ⁻(x); everything in Γ⁻(x) ∪ {x} re-points to
       // its minimum.
       val mins2 = ls.groupBy(col("_a").as("_u")).agg(min(col("_b")).as("_m"))
-      val next = ls.join(mins2, ls("_a") === mins2("_u"))
+      val (next, nextRdds) = cpTracked(ls.join(mins2, ls("_a") === mins2("_u"))
         .where(col("_b") =!= col("_m"))
         .select(col("_b").as("_a"), col("_m").as("_b"))
         .unionAll(mins2.select(col("_u").as("_a"), col("_m").as("_b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       rounds += 1
       if (rounds >= 2) {
         val cs = checksum(next)
         converged = prev != null && cs == prev
         prev = cs
       }
+      // predecessor's checkpoint blocks are dead the moment `next` is
+      // materialized — free them NOW, not at 50-rounds-of-leaked-
+      // storage suite death (VERDICT r05 #1/#3). The final round's
+      // blocks stay: the returned frame reads them (harness reclaims
+      // after the query completes).
+      unpersistAll(eRdds)
       e = next
+      eRdds = nextRdds
     }
-    if (sys.env.contains("GRAFT_EP2_PROF")) println(s"[cc] rounds=$rounds")
+    System.err.println(s"[cc] rounds=$rounds converged=$converged")
     // converged: e is exactly {(v, component-min) : v not a min};
     // the roots label themselves.
     // parity with the union-find path: only endpoints in `nodes` get
@@ -225,16 +262,31 @@ object Clustering {
   def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
              eps: Double, minSamples: Int): DataFrame = {
     val spark = points.sparkSession
-    val pts = points.select(col(idCol).as("_id"), col(xCol).as("_x"), col(yCol).as("_y"))
+    // spread BEFORE the checkpoint: `points` typically arrives from an
+    // AQE-coalesced aggregate (1 post-shuffle partition at small SF),
+    // and every downstream map — binning, the 9× probe explode, the
+    // pair join's shuffle write — inherits the checkpoint's width
+    // (the r05 tasks=1 stages, VERDICT #2).
+    val pts = graft.core.Tables.spread(
+        points.select(col(idCol).as("_id"), col(xCol).as("_x"), col(yCol).as("_y")),
+        col("_id"))
       .localCheckpoint()
 
     val (cx, cy) = Spatial.cellCoords(col("_x"), col("_y"), eps)
-    val binned = pts.withColumn("_cx", cx).withColumn("_cy", cy)
-    val probe = binned
+    val binned0 = pts.withColumn("_cx", cx).withColumn("_cy", cy)
+    // Pin the ε-cell self-join's width: BOTH sides explicitly hash-
+    // partitioned on the join key (a user repartition is exempt from
+    // AQE coalescing, and EnsureRequirements adds no further
+    // exchange), so the d2 evaluation over candidate pairs runs at
+    // full parallelism instead of the single post-shuffle task AQE
+    // picks for byte-small inputs.
+    val binned = graft.core.Tables.spread(binned0, col("_cx"), col("_cy"))
+    val probe = graft.core.Tables.spread(binned0
       .withColumn("_dx", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("_dy", explode(array(lit(-1), lit(0), lit(1))))
       .select(col("_id").as("_bid"), col("_x").as("_bx"), col("_y").as("_by"),
-        (col("_cx") + col("_dx")).as("_cx"), (col("_cy") + col("_dy")).as("_cy"))
+        (col("_cx") + col("_dx")).as("_cx"), (col("_cy") + col("_dy")).as("_cy")),
+      col("_cx"), col("_cy"))
 
     val d2 = (col("_x") - col("_bx")) * (col("_x") - col("_bx")) +
       (col("_y") - col("_by")) * (col("_y") - col("_by"))
@@ -247,10 +299,9 @@ object Clustering {
     // points have no pair rows, so minSamples<=1 -> everything core,
     // every edge core-core, and the border set is empty by
     // construction — skip the core/border machinery entirely. The
-    // pair join stays LAZY here: connectedComponents consumes it
-    // exactly once (one limit-collect on the union-find path, or its
-    // own checkpoint on the distributed path) — a checkpoint job
-    // would be pure overhead.
+    // pair join stays LAZY here: connectedComponents canonicalizes
+    // and checkpoints its edge input exactly once up front — a
+    // second checkpoint job here would be pure overhead.
     if (minSamples <= 1) {
       val labels = connectedComponents(pts.select("_id"), pairsLazy)
       return labels.select(col("_id").as(idCol), col("_label").as("cluster"))
@@ -266,9 +317,8 @@ object Clustering {
       .localCheckpoint()
 
     // stays LAZY for the same reason as the minSamples<=1 pair join:
-    // connectedComponents consumes the edge list exactly once (one
-    // limit-collect on the union-find path, or its own checkpoint on
-    // the distributed path), and both inputs of this join are already
+    // connectedComponents materializes the canonicalized edge list
+    // exactly once itself, and both inputs of this join are already
     // checkpointed — a checkpoint job here is pure fixed latency.
     val coreEdges = pairs
       .join(core.withColumnRenamed("_id", "_a"), Seq("_a"), "left_semi")

@@ -111,9 +111,16 @@ object Dedup {
     // join the raw texts back (cheaper to move than shingle arrays)
     // and verify with the compiled shingle-jaccard kernel
     val txt = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"))
-    cands
+    val joined = cands
       .join(txt.select(col("_tid").as("a"), col("_txt").as("_ta")), Seq("a"))
       .join(txt.select(col("_tid").as("b"), col("_txt").as("_tb")), Seq("b"))
+    // spread BEFORE the Jaccard eval: the candidate-pair join output
+    // is byte-small but ShingleJaccard-heavy, so AQE coalesces the
+    // verify stage to ONE task (316 CPU-s on one thread measured at
+    // sf0.1 — VERDICT r05 #2). An explicit repartition is exempt from
+    // AQE coalescing and pins the verify at full width; the extra
+    // shuffle moves only the candidate texts.
+    graft.core.Tables.spread(joined, col("a"), col("b"))
       .select(col("a"), col("b"),
         graft.functions.Expressions.shingleJaccard(col("_ta"), col("_tb"), shingleSize)
           .as("jaccard"))
@@ -167,7 +174,10 @@ object Dedup {
       .select("_new", "_old").distinct()
     val te = existing.select(col(idCol).as("_old"), col(textCol).as("_to"))
     val tb = batch.select(col(idCol).as("_new"), col(textCol).as("_tn"))
-    cand.join(tb, Seq("_new")).join(te, Seq("_old"))
+    // same verify-stage spread as minhashVerifiedPairs: pin the
+    // Jaccard eval at full width against AQE's byte-based coalesce
+    graft.core.Tables.spread(
+        cand.join(tb, Seq("_new")).join(te, Seq("_old")), col("_new"), col("_old"))
       .select(col("_new"), col("_old"),
         graft.functions.Expressions.shingleJaccard(col("_tn"), col("_to"), shingleSize)
           .as("jaccard"))

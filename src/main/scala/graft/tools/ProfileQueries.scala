@@ -36,9 +36,17 @@ object ProfileQueries {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val ts = (1 to 3).map { _ =>
+        // same per-run checkpoint reclamation as Bench — profiling N
+        // queries back-to-back must not degrade like the r05 suite did
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id))
+            try rdd.unpersist(blocking = false) catch { case _: Throwable => }
+        }
+        dt
       }
       println(f"$name%-24s median=${ts.sorted.apply(1)}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
