@@ -106,6 +106,13 @@ object Bench {
     } + "\""
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    // Compact-line errors: the r6 driver artifact was "parsed": null
+    // because 19 full error strings (~4 KB) pushed the JSON line past
+    // the driver's captured log tail. The stdout line carries a count
+    // plus at most 3 samples truncated to 80 chars; bench_full.json
+    // keeps the complete map.
+    val errCompact = errors.take(3)
+      .map { case (k, v) => q(k) + ":" + q(v.take(80)) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // The driver captures a bounded log TAIL (~2.3 KB): r02 lost the line's
     // FRONT (headline fields were first); r03's line simply outgrew the
@@ -122,7 +129,7 @@ object Bench {
     val full = s"""{"queries":$fullQs,"errors":$errJson,$tail}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
-    println(s"""{"queries":$qs,"nq":${results.size},"rest_sec":${r3(restSec)},"errors":$errJson,$tail}""")
+    println(s"""{"queries":$qs,"nq":${results.size},"rest_sec":${r3(restSec)},"n_errors":${errors.size},"errors":$errCompact,$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

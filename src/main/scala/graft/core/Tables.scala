@@ -23,14 +23,26 @@ object Tables {
     * natively, so `dir/name.parquet` may be a file or a directory.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    // TIMESTAMP(NANOS) parquet is rejected by the reader; read nanos
-    // as long and truncate to micros (matching how microsecond
-    // engines, incl. the DuckDB oracle, read the same file).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events `ts` column has shipped as three physical types across
+    * testdata generations: TIMESTAMP(NANOS) (read as long via
+    * nanosAsLong, then truncated to micros — matching how microsecond
+    * engines, incl. the DuckDB oracle, read the same file),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ),
+    * and plain TIMESTAMP. Normalize all three to session-TZ
+    * TimestampType — sessions here run UTC, so the NTZ cast is
+    * value-preserving and agrees with DuckDB's naive-as-UTC reading.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema(name).dataType match {
+      case LongType         => df.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case _                => df
+    }
 
   /** check_col equivalent (df_utils.py:77-105): fail fast with the list
     * of available columns when a requested column is missing.

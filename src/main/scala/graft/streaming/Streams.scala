@@ -129,14 +129,13 @@ object Streams {
   }
 
   /** Read the events table as a (bounded) stream: same parquet file,
-    * streaming source semantics. */
+    * streaming source semantics. The file-source schema is taken from
+    * a batch read of the same directory (streaming requires an explicit
+    * schema; inferring it from the data keeps this robust to the ts
+    * column's physical type — see Tables.normalizeTs). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(s"$dir")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(dir).schema
+    graft.core.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 }

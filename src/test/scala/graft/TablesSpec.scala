@@ -45,4 +45,33 @@ class TablesSpec extends SparkSpec {
     val df = Tables.load(spark, sf001, "nation")
     assert(Tables.memUsageMb(df) > 0)
   }
+
+  // Schema-drift tripwire: the driver regenerates /root/testdata between
+  // rounds and has already changed events.ts physical type once
+  // (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+  // killed 19 queries in the r6 driver bench). Assert the NORMALIZED
+  // schema every query depends on, so a future regeneration fails here
+  // — in `sbt test` — instead of in the round's driver artifacts.
+  test("events loads with session-TZ TimestampType ts at any physical encoding") {
+    val df = Tables.load(spark, sf001, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"events.ts normalized to ${df.schema("ts").dataType}; " +
+        "Tables.normalizeTs must map the on-disk encoding to TimestampType")
+    // the values must be microsecond-epoch sane (year 2000–2100 window)
+    val (lo, hi) = (946684800000000L, 4102444800000000L)
+    val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    assert(r.getLong(0) >= lo && r.getLong(1) <= hi,
+      s"events.ts epoch-µs range [${r.getLong(0)}, ${r.getLong(1)}] outside sanity window")
+  }
+
+  test("normalizeTs handles long-nanos and NTZ inputs identically") {
+    val micros = 1700000000000000L
+    val fromLong = Tables.normalizeTs(Seq(micros * 1000L).toDF("ts"))
+    assert(fromLong.schema("ts").dataType == TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).as[Long].head == micros)
+    val ntz = spark.sql(s"SELECT make_timestamp_ntz(2023, 11, 14, 22, 13, 20) AS ts")
+    val fromNtz = Tables.normalizeTs(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).as[Long].head == micros)
+  }
 }
