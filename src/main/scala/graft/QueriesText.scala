@@ -360,6 +360,33 @@ object QueriesText {
           col("mix_rank").cast("long").as("mix_rank"))
         .orderBy("lang", "mix_rank"))
 
+  /** Temperature-flattened resampling (τ = 0.5): per-source quotas
+    * k_d = floor(T · √n_d / Σ√n) — the multilingual/domain
+    * rebalancing rule; τ = 0.5 keeps every float op correctly rounded
+    * so quotas mirror bit-for-bit (sqrt, left-to-right Σ over the
+    * source-sorted array, one multiply chain, floor). Selection by
+    * the LCG-bucket rank shared with tx_domain_mix. */
+  private val txTemp = Q(
+    "tx_temperature_mix",
+    Some(s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          z AS (SELECT sum(n) AS nn,
+            list_sum(array_agg(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS zz
+            FROM c),
+          q AS (SELECT source,
+            floor(CAST(z.nn AS DOUBLE) * 0.5 * sqrt(CAST(c.n AS DOUBLE)) / z.zz) AS k
+            FROM c CROSS JOIN z),
+          r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${Text.sampleBucketSql("doc_id")}, doc_id) AS mix_rank
+            FROM documents)
+          SELECT r.doc_id, r.source, r.mix_rank FROM r JOIN q USING (source)
+          WHERE r.mix_rank <= q.k ORDER BY source, mix_rank"""),
+    (s, dir) =>
+      Text.temperatureMix(t(s, dir, "documents"), "doc_id", "source",
+          targetFraction = 0.5)
+        .select(col("doc_id"), col("source"),
+          col("mix_rank").cast("long").as("mix_rank"))
+        .orderBy("source", "mix_rank"))
+
   /** Sequence packing: per-lang concat-and-chunk into 512-token
     * context windows; one row per (doc, window) overlap with the
     * doc's token slice. lang is the shard key — each shard packs
@@ -382,6 +409,36 @@ object QueriesText {
       Text.packWindows(t(s, dir, "documents"), "doc_id", "text", "lang",
           budget = 512)
         .orderBy("lang", "window_id", "doc_id"))
+
+  /** Packing-efficiency report over tx_pack_windows: per-shard
+    * window/doc counts, token mass, tail waste, round-6 fill
+    * fraction. The job-health gate on a packing run. */
+  private val txPackReport = Q(
+    "tx_pack_report",
+    Some(s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_toks FROM documents),
+          c AS (SELECT doc_id, lang, n_toks,
+            CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end FROM t),
+          s AS (SELECT *, cum_end - n_toks AS cum_start FROM c),
+          w AS (SELECT lang, doc_id, cum_start, cum_end,
+            unnest(range(CAST(floor(cum_start / 512) AS BIGINT),
+              CAST(floor((cum_end - 1) / 512) AS BIGINT) + 1)) AS window_id FROM s),
+          p AS (SELECT lang, window_id, doc_id,
+            greatest(cum_start, window_id * 512) - window_id * 512 AS s_in,
+            least(cum_end, (window_id + 1) * 512) - window_id * 512 AS e_in
+            FROM w)
+          SELECT lang, count(DISTINCT window_id) AS n_windows,
+            count(DISTINCT doc_id) AS n_docs,
+            CAST(sum(e_in - s_in) AS BIGINT) AS token_mass,
+            CAST(count(DISTINCT window_id) * 512 - sum(e_in - s_in) AS BIGINT)
+              AS tail_waste,
+            round(CAST(sum(e_in - s_in) AS DOUBLE)
+              / CAST(count(DISTINCT window_id) * 512 AS DOUBLE), 6) AS fill_frac
+          FROM p GROUP BY lang ORDER BY lang"""),
+    (s, dir) =>
+      Text.packReport(t(s, dir, "documents"), "doc_id", "text", "lang",
+          budget = 512)
+        .orderBy("lang"))
 
   /** Exact dedup: hash-groupBy on normalized content, min-id kept. */
   private val ddExact = Q(
@@ -827,12 +884,116 @@ object QueriesText {
           ORDER BY qid, cosine DESC, cid"""
     })
 
+  /** IVF-PQ ANN (coarse lists + product-quantized codes + ADC +
+    * exact rerank) — the billion-scale index shape: the shuffled
+    * candidate side carries (id, cell, 8 codes) instead of 64 floats
+    * (32× smaller), scoring is 8 table lookups per pair, and only the
+    * top-20 ADC shortlist per query ever touches raw vectors again.
+    * The oracle is generated at Verify time like ss_topk_ivf: both
+    * quantizers train deterministically (shared hash-ordered sample,
+    * maximin init, fixed Lloyd iterations), so coarse centroids AND
+    * all 8×16 codebook rows (with their precomputed squared norms)
+    * are inlined as SQL literals; encode (per-subspace argmin, ties
+    * by code), the per-query ADC table, the j-ordered lookup sum,
+    * shortlist ranking and the exact rerank all mirror the Spark
+    * plan op-for-op. Recall floors in VectorsSpec. */
+  private val ssIvfPq = Q(
+    "ss_topk_ivfpq",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+          nProbe = 2, k = 3, rerank = 20)
+        .orderBy(col("qid"), col("cosine").desc, col("cid"))
+    },
+    sqlGen = Some { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      // Double.toString literals round-trip to the bit-identical
+      // doubles the compiled kernels use (proven by ss_topk_ivf).
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      // norm2 emitted as a literal = the exact left-to-right sum
+      // ivfPqTopK computes driver-side (not recomputed in SQL)
+      val cbRows = (for {
+        j <- cbs.indices
+        code <- cbs(j).indices
+      } yield {
+        val cv = cbs(j)(code)
+        var n2 = 0.0; var i = 0
+        while (i < cv.length) { n2 += cv(i) * cv(i); i += 1 }
+        s"($j, $code, ${cv.mkString("[", ", ", "]")}, $n2)"
+      }).mkString(",\n              ")
+      val coarseDist =
+        """list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+      val subDist =
+        """list_sum(list_transform(range(1, 9), i ->
+           (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])
+           * (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])))"""
+      val subIp =
+        """list_sum(list_transform(range(1, 9), i ->
+           CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) * cb.cvec[CAST(i AS INT)]))"""
+      s"""WITH cents AS (SELECT * FROM (VALUES
+              $centRows) AS t(cell, cvec)),
+          cb AS (SELECT * FROM (VALUES
+              $cbRows) AS t(j, code, cvec, n2)),
+          d AS (SELECT e.vec_id, e.embedding, c.cell, $coarseDist AS dist
+            FROM embeddings e CROSS JOIN cents c),
+          ranked AS (SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+            FROM d),
+          subd AS (SELECT e.vec_id, cb.j, cb.code, cb.n2, $subDist AS dist
+            FROM embeddings e CROSS JOIN cb),
+          enc0 AS (SELECT vec_id, j, code, n2,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+            FROM subd),
+          enc AS (SELECT vec_id, array_agg(code ORDER BY j) AS codes,
+              list_sum(array_agg(n2 ORDER BY j)) AS cnorm2
+            FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+          qt AS (SELECT e.vec_id AS qid, cb.j, cb.code, $subIp AS ip
+            FROM embeddings e CROSS JOIN cb),
+          qn AS (SELECT vec_id AS qid,
+              sqrt(list_sum(list_transform(range(1, 65), i ->
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS qnorm
+            FROM embeddings),
+          cand AS (SELECT r.vec_id AS cid, r.cell, enc.codes, enc.cnorm2
+            FROM ranked r JOIN enc ON enc.vec_id = r.vec_id WHERE r.crn = 1),
+          probe AS (SELECT vec_id AS qid, cell FROM ranked WHERE crn <= 2),
+          pairs AS (SELECT p.qid, c.cid, c.codes, c.cnorm2
+            FROM probe p JOIN cand c USING (cell) WHERE p.qid != c.cid),
+          adc AS (SELECT pr.qid, pr.cid,
+              round(list_sum(array_agg(qt.ip ORDER BY qt.j))
+                / (min(qn.qnorm) * sqrt(min(pr.cnorm2))), 6) AS acos
+            FROM pairs pr
+              JOIN qt ON qt.qid = pr.qid AND qt.code = pr.codes[qt.j + 1]
+              JOIN qn ON qn.qid = pr.qid
+            GROUP BY pr.qid, pr.cid),
+          short AS (SELECT qid, cid FROM (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, cid) AS srn
+            FROM adc) WHERE srn <= 20),
+          ex AS (SELECT s2.qid, s2.cid, ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+            FROM short s2
+              JOIN embeddings qe ON qe.vec_id = s2.qid
+              JOIN embeddings ce ON ce.vec_id = s2.cid),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS rn FROM ex)
+          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+          ORDER BY qid, cosine DESC, cid"""
+    })
+
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txRepetition, txFused, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
-    txMix, p12Stratified,
+    txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddUrl, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
     ddIncremental,
-    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf,
+    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
     ep4Corpus)
 }

@@ -199,6 +199,24 @@ object syntax {
                     weights: Seq[(String, Int)]): DataFrame =
       Text.balancedMix(df, idCol, stratumCol, weights)
 
+    /** Temperature-flattened domain resampling (n_d^τ shares). */
+    def temperatureMix(idCol: String, stratumCol: String,
+                       targetFraction: Double, tau: Double = 0.5): DataFrame =
+      Text.temperatureMix(df, idCol, stratumCol, targetFraction, tau)
+
+    /** Per-shard packing-efficiency report over packWindows. */
+    def packReport(idCol: String, textCol: String, shardCol: String,
+                   budget: Int): DataFrame =
+      Text.packReport(df, idCol, textCol, shardCol, budget)
+
+    /** IVF-PQ approximate top-k with exact rerank of the ADC
+      * shortlist (this frame = corpus = query set). */
+    def ivfPqTopK(idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]],
+                  nProbe: Int, k: Int, rerank: Int = 0): DataFrame =
+      Vectors.ivfPqTopK(df, idCol, vecCol, centroids, codebooks, nProbe, k, rerank)
+
     /** Robust MAD outlier flags per group. */
     def madOutliers(keys: Seq[String], valCol: Column, k: Double): DataFrame =
       Outliers.madOutliers(df, keys, valCol, k)

@@ -289,6 +289,51 @@ object Text {
       .drop("_k")
   }
 
+  /** Temperature-flattened domain resampling: keep
+    * k_d = floor(T · n_d^τ / Σ_s n_s^τ) docs of stratum d, where
+    * T = targetFraction · N — the multilingual/domain rebalancing rule
+    * (τ < 1 upsamples the tail relative to its natural share; τ = 1 is
+    * proportional, τ = 0 uniform). Selection within a stratum is the
+    * deterministic LCG-bucket-then-id order of [[balancedMix]] — no
+    * RNG, reproducible across engines/reruns/partitionings.
+    *
+    * Cross-engine exactness: τ = 0.5 (the common choice) runs on
+    * sqrt — correctly rounded in every IEEE libm, so quotas mirror
+    * bit-for-bit in the DuckDB oracle. Other τ go through pow(),
+    * whose last ulp is libm-specific — fine operationally, but pin
+    * τ = 0.5 for anything hash-compared. Σ_s n_s^τ is folded in
+    * stratum order over a sorted dimension-sized array (collect_list
+    * order is partition-dependent; the sort pins the float fold).
+    *
+    * Scale: one stratum-cardinality count aggregate; quotas ride back
+    * on a broadcast; one rank window per stratum — same single-shuffle
+    * shape as [[balancedMix]]. */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     stratumCol: String, targetFraction: Double,
+                     tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOf = (n: org.apache.spark.sql.Column) =>
+      if (tau == 0.5) sqrt(n) else pow(n, tau)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val z = counts.agg(
+      sum(col("_n")).as("_tot"),
+      aggregate(
+        sort_array(collect_list(struct(col(stratumCol).as("s"),
+          wOf(col("_n")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("_z"))
+    val quota = counts.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        floor(col("_tot").cast(DoubleType) * targetFraction * wOf(col("_n"))
+          / col("_z")).as("_k"))
+    val rn = row_number().over(
+      Window.partitionBy(col(stratumCol))
+        .orderBy(sampleBucket(col(idCol)), col(idCol)))
+    df.withColumn("mix_rank", rn)
+      .join(broadcast(quota), Seq(stratumCol))
+      .where(col("mix_rank") <= col("_k"))
+      .drop("_k")
+  }
+
   // ------------------------------------------------ sequence packing
 
   /** Sequence packing: concatenate each shard's documents in id order
@@ -327,6 +372,30 @@ object Text {
         (least(col("_cum_end"), (col("window_id") + 1) * budget)
           - col("window_id") * budget).as("end_in_window"))
   }
+
+  /** Packing-efficiency report: per-shard window count, doc count,
+    * packed token mass, tail waste (empty tokens in the final,
+    * necessarily partial window) and fill fraction. By [[packWindows]]
+    * construction every non-final window is exactly full (PropertySpec
+    * asserts conservation + fullness), so tail_waste < budget per
+    * shard — this report is the pipeline-health view a packing job
+    * gates on (a fill_frac well below 1 means shards are too small
+    * for the window budget). Pure integer math plus one final
+    * round-6 division; aggregates over the (doc, window) overlap
+    * frame — same single shuffle as the packing itself. */
+  def packReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, shardCol: String,
+                 budget: Int): org.apache.spark.sql.DataFrame =
+    packWindows(df, idCol, textCol, shardCol, budget)
+      .groupBy(col(shardCol))
+      .agg(
+        countDistinct(col("window_id")).as("n_windows"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("end_in_window") - col("start_in_window")).as("token_mass"))
+      .select(col(shardCol), col("n_windows"), col("n_docs"), col("token_mass"),
+        (col("n_windows") * budget - col("token_mass")).as("tail_waste"),
+        round(col("token_mass").cast(DoubleType)
+          / (col("n_windows") * budget).cast(DoubleType), 6).as("fill_frac"))
 
   // ------------------------------------------------ relevance / vocab
 

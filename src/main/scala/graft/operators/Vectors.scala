@@ -103,42 +103,43 @@ object Vectors {
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(0L))
     }
 
-  /** IVF coarse quantizer: k-means centroids trained driver-side on a
-    * bounded sample (deterministic: seeded sample order, fixed
-    * iterations), returned as plain arrays. At 100 TB the sample is
-    * a tiny `TABLESAMPLE`; assignment below stays fully distributed.
+  /** Deterministic hash-ordered sample, NOT limit(): the first N rows
+    * in file order are not a sample — a corpus written sorted by
+    * domain/time would train centroids on one corner of the space and
+    * IVF recall quietly collapses (VectorsSpec covers the sorted-
+    * corpus case). orderBy+limit compiles to a distributed top-k
+    * (TakeOrderedAndProject), so no full sort materializes at scale.
     */
-  def trainIvfCentroids(df: DataFrame, vecCol: String, nCentroids: Int,
-                        iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] = {
-    // Deterministic hash-ordered sample, NOT limit(): the first N rows
-    // in file order are not a sample — a corpus written sorted by
-    // domain/time would train centroids on one corner of the space and
-    // IVF recall quietly collapses (VectorsSpec covers the sorted-
-    // corpus case). orderBy+limit compiles to a distributed top-k
-    // (TakeOrderedAndProject), so no full sort materializes at scale.
-    val sample = df.select(col(vecCol))
+  private def hashOrderedSample(df: DataFrame, vecCol: String,
+                                sampleSize: Int): Array[Array[Double]] =
+    df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)))
       .limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= nCentroids, "not enough vectors to train IVF")
+
+  /** Deterministic Lloyd k-means on a driver-side sample: maximin
+    * (farthest-point) init — the RNG-free k-means++ analog: each next
+    * seed is the sample point with the largest distance to its nearest
+    * already-chosen seed. Spreads seeds across the actual data
+    * geometry (index-spread init can land several seeds in one dense
+    * blob and leave a region uncovered), stays reproducible
+    * run-to-run. Shared by the IVF coarse quantizer and the per-
+    * subspace PQ codebooks. */
+  private def kmeansFit(sample: Array[Array[Double]], k: Int,
+                        iterations: Int): Array[Array[Double]] = {
+    require(sample.length >= k, "not enough vectors to train quantizer")
     val dim = sample.head.length
-    // deterministic farthest-point (maximin) init — the RNG-free
-    // k-means++ analog: each next seed is the sample point with the
-    // largest distance to its nearest already-chosen seed. Spreads
-    // seeds across the actual data geometry (index-spread init can
-    // land several seeds in one dense blob and leave a region
-    // uncovered), stays reproducible run-to-run.
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
       d
     }
     var centroids = {
-      val seeds = new Array[Array[Double]](nCentroids)
+      val seeds = new Array[Array[Double]](k)
       seeds(0) = sample(0).clone()
       val minD = sample.map(v => d2(v, seeds(0)))
       var c = 1
-      while (c < nCentroids) {
+      while (c < k) {
         var best = 0; var bestD = -1.0
         var i = 0
         while (i < sample.length) {
@@ -159,7 +160,7 @@ object Vectors {
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
-      while (c < nCentroids) {
+      while (c < k) {
         var d = 0.0; var i = 0
         while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
@@ -169,21 +170,51 @@ object Vectors {
     }
     var it = 0
     while (it < iterations) {
-      val sums = Array.fill(nCentroids, dim)(0.0)
-      val counts = new Array[Int](nCentroids)
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearest(v)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(nCentroids) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
       it += 1
     }
     centroids
+  }
+
+  /** IVF coarse quantizer: k-means centroids trained driver-side on a
+    * bounded sample (deterministic: seeded sample order, fixed
+    * iterations), returned as plain arrays. At 100 TB the sample is
+    * a tiny `TABLESAMPLE`; assignment below stays fully distributed.
+    */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, nCentroids: Int,
+                        iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] =
+    kmeansFit(hashOrderedSample(df, vecCol, sampleSize), nCentroids, iterations)
+
+  /** Product-quantization codebooks: the `dim`-dimensional space is
+    * split into `m` contiguous subspaces of dim/m dimensions, and an
+    * independent kSub-centroid k-means codebook is trained per
+    * subspace on the SAME deterministic hash-ordered sample the IVF
+    * quantizer uses (one sample collect serves both). Returned as
+    * codebooks(j)(code) = subspace-centroid vector. A vector's PQ code
+    * is then m small integers — at kSub ≤ 256, m BYTES per vector —
+    * which is the entire point at 100 TB: the inverted lists carry
+    * m-byte codes instead of 4·dim-byte float arrays, a 32× shrink at
+    * (dim=64, m=8). */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, dim: Int, m: Int,
+                       kSub: Int, iterations: Int = 10,
+                       sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "dim must be divisible by m")
+    val ds = dim / m
+    val sample = hashOrderedSample(df, vecCol, sampleSize)
+    Array.tabulate(m) { j =>
+      kmeansFit(sample.map(v => v.slice(j * ds, (j + 1) * ds)), kSub, iterations)
+    }
   }
 
   /** IVF-bucketed approximate top-k: assign every vector to its
@@ -208,6 +239,103 @@ object Vectors {
         round(cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** PQ encode: the m small-int codes of a vector — per subspace, the
+    * index of the nearest codebook centroid (squared-L2, ties by code
+    * index; one compiled NearestCells pass per subspace over the
+    * sliced subvector). */
+  def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val ds = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      graft.functions.Expressions
+        .nearestCells(slice(vec, j * ds + 1, ds), cb, 1).getItem(0)
+    }.toIndexedSeq: _*)
+  }
+
+  /** IVF-PQ approximate top-k — the standard billion-scale ANN index
+    * shape (coarse inverted lists + product-quantized codes +
+    * asymmetric distance computation):
+    *
+    *   - every vector gets a coarse cell (nearest IVF centroid) and an
+    *     m-code PQ encoding — scan-stage column math, no shuffle;
+    *   - each QUERY computes its ADC table once: the exact inner
+    *     product of each of its m subvectors against every codebook
+    *     centroid (m × kSub doubles per query row);
+    *   - inside a probed cell, scoring a candidate is m table lookups
+    *     + adds on the candidate's CODES — the raw float vector never
+    *     moves through the join. That is the 100 TB point: the
+    *     shuffled candidate side carries (id, cell, m codes ≈ m bytes)
+    *     instead of 4·dim-byte float arrays (32× smaller at dim=64,
+    *     m=8), and compute per pair drops from O(dim) multiplies to
+    *     O(m) lookups.
+    *
+    * Approximate cosine = ADC inner product / (‖q‖ · PQ-reconstructed
+    * ‖c‖), rounded to 6 before ranking (cross-engine determinism),
+    * ties by candidate id.
+    *
+    * `rerank > 0` adds the standard deployment tail: the top-`rerank`
+    * ADC shortlist per query is re-scored with the EXACT compiled
+    * cosine on raw vectors before the final top-k. Only shortlist
+    * rows ever touch a raw vector again — k·rerank pairs per query,
+    * not the inverted list — so the 32× candidate-side shrink above
+    * is preserved where it matters. Recall floors (ADC-only and
+    * reranked) are measured in VectorsSpec. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nProbe: Int, k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.Expressions.nearestCells
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    // per-(subspace, code) squared norms: the PQ reconstruction of a
+    // candidate's ‖c‖² is the sum of its chosen codes' norms
+    val norms2: Seq[Seq[Double]] = codebooks.toIndexedSeq.map(_.toIndexedSeq.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    val base = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+    val candidates = base.select(col(idCol).as("cid"),
+        nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
+        pqCodes(col(vecCol), codebooks).as("_codes"))
+      .withColumn("_cnorm2",
+        aggregate(zip_with(typedlit(norms2), col("_codes"),
+          (nj, cj) => element_at(nj, cj + 1)), lit(0.0), (a, x) => a + x))
+    // ADC table: tab(j)(code) = <q_j, codebook_j(code)> — computed once
+    // per query row, before the join fans the query out to candidates
+    val tab = array((0 until m).map { j =>
+      val cbj = typedlit(codebooks(j).toIndexedSeq.map(_.toIndexedSeq))
+      transform(cbj, cvec =>
+        aggregate(zip_with(slice(col(vecCol), j * ds + 1, ds), cvec,
+          (x, y) => x.cast(DoubleType) * y), lit(0.0), (a, x) => a + x))
+    }: _*)
+    val qnorm = sqrt(aggregate(
+      transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (a, x) => a + x))
+    val queries = base.select(col(idCol).as("qid"),
+      tab.as("_tab"), qnorm.as("_qnorm"),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("_cell"))
+    val ip = aggregate(zip_with(col("_tab"), col("_codes"),
+      (tj, cj) => element_at(tj, cj + 1)), lit(0.0), (a, x) => a + x)
+    val scored = queries.join(candidates, Seq("_cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(ip / (col("_qnorm") * sqrt(col("_cnorm2"))), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    if (rerank <= 0)
+      scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+    else {
+      val short = scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= rerank).select("qid", "cid")
+      val exact = short
+        .join(base.select(col(idCol).as("qid"), col(vecCol).as("_qv")), Seq("qid"))
+        .join(base.select(col(idCol).as("cid"), col(vecCol).as("_cv")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+          round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6)
+            .as("cosine"))
+      exact.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+    }
   }
 
   /** Auto-scaled planes per table: the bucket count tracks corpus

@@ -285,4 +285,62 @@ class VectorsSpec extends SparkSpec {
     val b2 = e.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b")).as[Long].collect()
     assert(b1.sameElements(b2))
   }
+
+  test("PQ codes are in range and training is write-order-independent") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) && cbs.forall(_.forall(_.length == 8)))
+    // same codebooks from a space-sorted rewrite of the corpus (the
+    // hash-ordered-sample guarantee extends to the PQ trainer)
+    val sorted = e.orderBy(element_at(col("embedding"), 1))
+    val cbsSorted = Vectors.trainPqCodebooks(sorted, "embedding", dim = 64, m = 8, kSub = 16)
+    (cbs, cbsSorted).zipped.foreach { (a, b) =>
+      assert(java.util.Arrays.deepEquals(
+        a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]]))
+    }
+    val codes = e.select(Vectors.pqCodes(col("embedding"), cbs).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("PQ encode matches a plain Scala per-subspace argmin") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(100)
+    val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+    val got = e.select(col("vec_id"), Vectors.pqCodes(col("embedding"), cbs).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, cs) =>
+      val v = vecs(id).map(_.toDouble)
+      cs.zipWithIndex.foreach { case (code, j) =>
+        val sub = v.slice(j * 8, (j + 1) * 8)
+        val dists = cbs(j).map(c => c.zip(sub).map { case (ci, xi) => (xi - ci) * (xi - ci) }.sum)
+        val expected = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(code == expected, s"id=$id j=$j got=$code expected=$expected")
+      }
+    }
+  }
+
+  test("IVF-PQ top-k recall vs brute force on real embeddings") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 4)
+    val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+    val adc = Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs, nProbe = 2, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val adcRecall = (brute & adc).size.toDouble / brute.size
+    // these synthetic embeddings are near-isotropic — the hard case
+    // for 8×16 codebooks; ADC alone is a shortlist generator here
+    assert(adcRecall > 0.15, s"adcRecall=$adcRecall")
+    // the deployment shape: exact rerank of the ADC top-50 shortlist
+    // recovers most of the IVF probe ceiling (~0.71 on this corpus)
+    val reranked = Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+        nProbe = 2, k = 5, rerank = 50)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val rrRecall = (brute & reranked).size.toDouble / brute.size
+    assert(rrRecall > 0.55, s"rrRecall=$rrRecall")
+    assert(rrRecall > adcRecall + 0.2, s"rerank must add recall: $adcRecall -> $rrRecall")
+  }
 }

@@ -21,10 +21,13 @@ class PlanAuditSpec extends SparkSpec {
     *   boundary-frame range join became visible to the audit when the
     *   bench/verify path stopped checkpointing the final frame
     *   (flagship dump=false, r6) — same deliberate BNLJ as
-    *   m3_iqr_outlier_clean. */
+    *   m3_iqr_outlier_clean.
+    * - tx_temperature_mix: the single-row (N, Σ√n) normalizer rides
+    *   back onto the stratum-count frame (stratum cardinality × 1
+    *   row), same shape as tx_domain_mix's minimum. */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
-    "tx_domain_mix", "ep2_flagship")
+    "tx_domain_mix", "tx_temperature_mix", "ep2_flagship")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -154,6 +154,25 @@ class PropertySpec extends AnyFunSuite {
     assert(nonFinal.count() > 0) // the invariant actually bit on data
   }
 
+  test("packReport: waste bounded by one window, mass conserved, fill consistent") {
+    import graft.operators.Text
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 512
+    val rep = Text.packReport(docs, "doc_id", "text", "lang", budget).collect()
+    assert(rep.nonEmpty)
+    val totalToks = docs
+      .agg(sum(Text.tokenCount(col("text")).cast("long"))).head.getLong(0)
+    assert(rep.map(_.getAs[Long]("token_mass")).sum == totalToks)
+    rep.foreach { r =>
+      // only the final window of a shard may be partial
+      assert(r.getAs[Long]("tail_waste") >= 0 && r.getAs[Long]("tail_waste") < budget)
+      val f = r.getAs[Double]("fill_frac")
+      assert(f > 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_windows") * budget ==
+        r.getAs[Long]("token_mass") + r.getAs[Long]("tail_waste"))
+    }
+  }
+
   test("balancedMix: achieved mix matches quotas exactly at sf0.001") {
     import graft.operators.Text
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

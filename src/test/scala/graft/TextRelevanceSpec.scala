@@ -78,6 +78,32 @@ class TextRelevanceSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("temperatureMix: tau=0.5 flattens the mix toward the tail, quotas exact") {
+    // big: 90 docs, small: 10 docs. Natural share 90/10; sqrt share
+    // sqrt(90):sqrt(10) ≈ 3:1 — the tail's share triples.
+    val d = (0L until 100L).map(i =>
+      (i, if (i < 90) "big" else "small")).toDF("doc_id", "lang")
+    val out = Text.temperatureMix(d, "doc_id", "lang", targetFraction = 0.5)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // quotas = floor(50 * sqrt(n_d) / (sqrt(90)+sqrt(10))), naturally
+    // capped at the stratum's own size (small: quota 12 > n=10 -> 10)
+    val z = math.sqrt(90.0) + math.sqrt(10.0)
+    assert(byLang("big") == math.floor(100 * 0.5 * math.sqrt(90.0) / z).toLong)
+    assert(byLang("small") ==
+      math.min(10L, math.floor(100 * 0.5 * math.sqrt(10.0) / z).toLong))
+    // tail kept-rate must exceed head kept-rate (the point of tau<1)
+    assert(byLang("small") / 10.0 > byLang("big") / 90.0)
+    // deterministic rerun
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Text.temperatureMix(d, "doc_id", "lang", targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // tau=1 is proportional sampling: quotas == floor(T * n_d / N)
+    val prop = Text.temperatureMix(d, "doc_id", "lang", targetFraction = 0.5, tau = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(prop("big") == 45L && prop("small") == 5L)
+  }
+
   test("packWindows: docs chunked into budget windows, spans split") {
     val d = Seq(
       (1L, "t1 t2 t3", "a"),          // 3 tokens -> [0,3)
