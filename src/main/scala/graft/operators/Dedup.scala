@@ -73,7 +73,17 @@ object Dedup {
     * signature math (explicit partition count: AQE would coalesce
     * this byte-small but CPU-heavy stage to one task — the r01 31.5s
     * minhash bench entry was exactly that); one compiled band-keys
-    * eval per row. Left lazy — callers decide materialization. */
+    * eval per row.
+    *
+    * The (id, bands) frame is MATERIALIZED before the explode:
+    * `posexplode` makes the optimizer infer `size(bands) > 0 AND
+    * isnotnull(bands)` (InferFiltersFromGenerate) and push that
+    * predicate below the spread exchange into the scan stage — which
+    * is single-partition at bench scale — evaluating the signature
+    * kernel TWO extra times, serially (measured 3.4 CPU-s pinned to
+    * one task per md5-family run at sf0.1). The checkpoint pins the
+    * kernel to exactly one eval in the wide post-spread stage; the
+    * inferred filter then runs on materialized arrays. */
   private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int, numHashes: Int, bandSize: Int,
                          poly: Boolean): DataFrame = {
@@ -82,23 +92,34 @@ object Dedup {
         graft.functions.Expressions.minHashBandsPoly(col(textCol), shingleSize, numHashes, bandSize)
       else
         graft.functions.Expressions.minHashBands(col(textCol), shingleSize, numHashes, bandSize)
-    graft.core.Tables.spread(
+    val bands = graft.core.Tables.spread(
         df.select(col(idCol).as("_id"), col(textCol)), col(idCol))
       .select(col("_id"), bandsExpr.as("_bands"))
-      .select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
+      .localCheckpoint()
+    bands.select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
   }
 
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 5, numHashes: Int = 8,
                             bandSize: Int = 2, poly: Boolean = false): DataFrame = {
-    // the small (id, band, key) projection is materialized so the
-    // self-join doesn't recompute signatures on both sides
+    // bandedKeys checkpoints the (id, bands) frame internally, so the
+    // self-join's two sides re-explode materialized arrays — the
+    // signatures are never recomputed
     val banded = bandedKeys(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
-      .localCheckpoint()
     val a = banded.select(col("_band"), col("_key"), col("_id").as("a"))
     val b = banded.select(col("_band"), col("_key"), col("_id").as("b"))
-    a.join(b, Seq("_band", "_key")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // spread BEFORE the dedup aggregate, not after: the aggregate then
+    // RELIES on this exchange's (a,b) hash partitioning, which makes
+    // it load-bearing — the optimizer cannot elide it (a repartition
+    // that only feeds broadcast joins + a final sort gets removed as
+    // redundant, which is how the r6 spread silently died) and AQE
+    // never coalesces user-specified repartitions. Downstream
+    // consumers (the jaccard verify join — whose kernel Catalyst
+    // pushes into the join condition — and CC) inherit the full-width
+    // layout from the aggregate.
+    val pairs = a.join(b, Seq("_band", "_key")).where(col("a") < col("b"))
+      .select("a", "b")
+    graft.core.Tables.spread(pairs, col("a"), col("b")).distinct()
   }
 
   /** Candidate pairs verified with exact shingle Jaccard ≥ threshold
@@ -109,18 +130,35 @@ object Dedup {
                            poly: Boolean = false): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
     // join the raw texts back (cheaper to move than shingle arrays)
-    // and verify with the compiled shingle-jaccard kernel
-    val txt = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"))
+    // and verify with the compiled shingle-jaccard kernel.
+    //
+    // Spread the PAIRS before the text joins: the candidate frame is
+    // byte-small but ShingleJaccard-heavy, so AQE coalesces it to ONE
+    // task (316 CPU-s on one thread measured at sf0.1 — VERDICT r05
+    // #2). The r6 fix spread AFTER the joins, which stopped working
+    // the moment Catalyst pushed the jaccard threshold INTO the
+    // broadcast join as a join condition (the kernel then runs in the
+    // join stage, in the probe side's 1-partition layout, and the
+    // now-empty downstream repartition is optimizer-eliminated ahead
+    // of the final sort's range exchange). Repartitioning the probe
+    // side itself is robust to that: broadcast joins preserve their
+    // streamed side's partitioning, so wherever the kernel lands —
+    // join condition or projection — it runs at full width.
+    // Both pair AND text sides are spread: AQE broadcast-swaps this
+    // join (pairs are KBs), so the TEXTS become the streamed side and
+    // the jaccard — which Catalyst pushes into the join condition —
+    // runs at the text scan's width. At 100 TB that width is thousands
+    // of partitions; at bench scale the corpus is ONE parquet row
+    // group, so without the spread the verify serializes onto one
+    // task (the r6 spread-after-join fix died when the filter moved
+    // into the join). The text spread is the same corpus shuffle
+    // bandedKeys already pays for the signature stage.
+    val txt = graft.core.Tables.spread(
+      df.select(col(idCol).as("_tid"), col(textCol).as("_txt")), col("_tid"))
     val joined = cands
       .join(txt.select(col("_tid").as("a"), col("_txt").as("_ta")), Seq("a"))
       .join(txt.select(col("_tid").as("b"), col("_txt").as("_tb")), Seq("b"))
-    // spread BEFORE the Jaccard eval: the candidate-pair join output
-    // is byte-small but ShingleJaccard-heavy, so AQE coalesces the
-    // verify stage to ONE task (316 CPU-s on one thread measured at
-    // sf0.1 — VERDICT r05 #2). An explicit repartition is exempt from
-    // AQE coalescing and pins the verify at full width; the extra
-    // shuffle moves only the candidate texts.
-    graft.core.Tables.spread(joined, col("a"), col("b"))
+    joined
       .select(col("a"), col("b"),
         graft.functions.Expressions.shingleJaccard(col("_ta"), col("_tb"), shingleSize)
           .as("jaccard"))
@@ -170,14 +208,17 @@ object Dedup {
     def bk(df: DataFrame, as: String) =
       bandedKeys(df, idCol, textCol, shingleSize, numHashes, bandSize, poly)
         .withColumnRenamed("_id", as)
-    val cand = bk(batch, "_new").join(bk(existing, "_old"), Seq("_band", "_key"))
-      .select("_new", "_old").distinct()
+    // same load-bearing spread-before-distinct as
+    // minhashCandidatePairs: the dedup aggregate pins the full-width
+    // layout the downstream Jaccard verify join inherits
+    val cand = graft.core.Tables.spread(
+        bk(batch, "_new").join(bk(existing, "_old"), Seq("_band", "_key"))
+          .select("_new", "_old"), col("_new"), col("_old"))
+      .distinct()
     val te = existing.select(col(idCol).as("_old"), col(textCol).as("_to"))
     val tb = batch.select(col(idCol).as("_new"), col(textCol).as("_tn"))
-    // same verify-stage spread as minhashVerifiedPairs: pin the
-    // Jaccard eval at full width against AQE's byte-based coalesce
-    graft.core.Tables.spread(
-        cand.join(tb, Seq("_new")).join(te, Seq("_old")), col("_new"), col("_old"))
+    cand
+      .join(tb, Seq("_new")).join(te, Seq("_old"))
       .select(col("_new"), col("_old"),
         graft.functions.Expressions.shingleJaccard(col("_tn"), col("_to"), shingleSize)
           .as("jaccard"))

@@ -16,9 +16,12 @@ object ProfileQueries {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // GRAFT_STAGES=1: per-stage task counts + run times — pinpoints
-    // serialized stages (numTasks 1-2) vs genuinely expensive ones
+    // GRAFT_STAGES=<wall-secs threshold>: per-stage task counts + run
+    // times — pinpoints serialized stages (numTasks 1-2) vs genuinely
+    // expensive ones ("1" keeps the historical 0.3 s cutoff)
     if (sys.env.contains("GRAFT_STAGES")) {
+      val thresh = sys.env("GRAFT_STAGES").toDoubleOption
+        .filter(_ != 1.0).getOrElse(0.3)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
@@ -26,9 +29,12 @@ object ProfileQueries {
             val si = sc.stageInfo
             val wall = (for {s <- si.submissionTime; c <- si.completionTime}
               yield (c - s) / 1e3).getOrElse(-1.0)
-            if (wall > 0.3)
+            if (wall > thresh) {
+              val rdds = si.rddInfos.map(r =>
+                r.scope.map(_.name).getOrElse(r.name)).distinct.mkString("<-")
               println(f"[stage ${si.stageId}%4d] tasks=${si.numTasks}%4d " +
-                f"wall=$wall%6.2f s  cpuMs=${si.taskMetrics.executorRunTime}%8d  ${si.name.take(60)}")
+                f"wall=$wall%6.2f s  cpuMs=${si.taskMetrics.executorRunTime}%8d  ${rdds.take(120)}")
+            }
           }
         })
     }
