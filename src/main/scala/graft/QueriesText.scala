@@ -536,6 +536,22 @@ object QueriesText {
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
         .orderBy("a", "b"))
 
+  /** Stateful streaming near-dedup, batch-mode execution: the SAME
+    * `flatMapGroupsWithState` transform StatefulStreamsSpec drives
+    * under readStream runs here on the static corpus, and must equal
+    * the declarative banded-join pipeline — so it shares
+    * dd_minhash_lsh_poly's oracle verbatim (same kernel, same
+    * buckets, same verify arithmetic; only the execution engine —
+    * stream state vs shuffle join — differs). */
+  private val stNearDup = Q(
+    "st_stream_neardup",
+    Some(s"""WITH $polyPairCtes
+          SELECT a, b, jaccard FROM v WHERE jaccard >= 0.25 ORDER BY a, b"""),
+    (s, dir) =>
+      graft.streaming.Streams.nearDupPairs(t(s, dir, "documents"), threshold = 0.25)
+        .dropDuplicates("a", "b")
+        .orderBy("a", "b"))
+
   /** Incremental near-dedup: the ~10% id-bucket slice plays the
     * incoming crawl batch; flag batch docs that near-duplicate the
     * existing corpus (band-bucket join batch × existing, exact
@@ -991,8 +1007,8 @@ object QueriesText {
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txRepetition, txFused, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
-    ddExact, ddUrl, ddMinhash, ddMinhashPoly, ddDupGroups, ddDecontaminate,
-    ddIncremental,
+    ddExact, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
+    ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
     ep4Corpus)

@@ -128,6 +128,73 @@ object Streams {
       .toDF("user_id", "running_total", "milestone")
   }
 
+  /** Stateful streaming near-dedup: documents arrive as a stream and
+    * every doc that near-duplicates ANY previously-seen doc is flagged
+    * the moment it arrives — the streaming twin of the crawl-ingestion
+    * pattern ([[graft.operators.Dedup.incrementalNearDups]]), with the
+    * corpus index living in stream STATE instead of a side table.
+    *
+    * Shape: the compiled poly/LCG MinHash band keys are computed in
+    * the scan (same kernel as the batch path), rows group by (band,
+    * key) bucket, and `flatMapGroupsWithState` keeps each bucket's
+    * seen (id, text) list as state — docs ever meet only inside an
+    * LSH bucket, so state per key is O(bucket occupancy), the same
+    * quantity the batch banded join shuffles. Matches are verified
+    * with the exact shingle-Jaccard kernel and emitted as canonical
+    * (a = min id, b = max id) pairs; a pair colliding in several
+    * bands emits per band — `dropDuplicates("a","b")` downstream is
+    * the streaming-safe dedup (at production scale: add a state TTL /
+    * watermark to bound bucket state by recency, exactly where a
+    * crawl pipeline wants its dedup horizon anyway).
+    *
+    * Deterministic by construction (rows processed in id order inside
+    * each invocation, state compared in insertion-independent
+    * canonical form), so the SAME function run on a static frame
+    * equals [[graft.operators.Dedup.minhashVerifiedPairs]] — the
+    * registered st_stream_neardup query hash-checks that against the
+    * dd_minhash_lsh_poly DuckDB oracle, and StatefulStreamsSpec
+    * asserts streaming (multi-micro-batch) == batch. */
+  def nearDupPairs(docs: DataFrame, threshold: Double,
+                   shingleSize: Int = 5, numHashes: Int = 8,
+                   bandSize: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("text"),
+        posexplode(graft.functions.Expressions.minHashBandsPoly(
+          col("text"), shingleSize, numHashes, bandSize)).as(Seq("_band", "_key")))
+      .select(col("_band"), col("_key"), col("doc_id"), col("text"))
+      .as[(Int, String, Long, String)]
+    // the exact verify kernel, evaluated Scala-side on state entries —
+    // the same arithmetic the compiled expression and the DuckDB
+    // oracle run (inter / (|a| + |b| - inter) on k-shingle sets)
+    val sj = graft.functions.Expressions.ShingleJaccard(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("", StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create("", StringType), shingleSize)
+    def fn(bucket: (Int, String), rows: Iterator[(Int, String, Long, String)],
+           state: GroupState[List[(Long, String)]]): Iterator[(Long, Long, Double)] = {
+      var seen = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      rows.toSeq.sortBy(_._3).foreach { case (_, _, id, text) =>
+        if (!seen.exists(_._1 == id)) {
+          seen.foreach { case (oid, otext) =>
+            val j = sj.kernel(
+              org.apache.spark.unsafe.types.UTF8String.fromString(text),
+              org.apache.spark.unsafe.types.UTF8String.fromString(otext))
+            if (j >= threshold)
+              out += ((math.min(id, oid), math.max(id, oid), j))
+          }
+          seen = (id, text) :: seen
+        }
+      }
+      state.update(seen)
+      out.iterator
+    }
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("a", "b", "jaccard")
+  }
+
   /** Read the events table as a (bounded) stream: same parquet file,
     * streaming source semantics. The file-source schema is taken from
     * a batch read of the same directory (streaming requires an explicit

@@ -63,6 +63,8 @@ class EdgeCaseSpec extends SparkSpec {
     // packing / mixing / MAD on empty frames -> empty, no throw
     assert(Text.packWindows(none, "doc_id", "text", "lang", 8).count() == 0)
     assert(Text.balancedMix(none, "doc_id", "lang", Seq("en" -> 1)).count() == 0)
+    assert(Text.temperatureMix(none, "doc_id", "lang", 0.5).count() == 0)
+    assert(Text.packReport(none, "doc_id", "text", "lang", 8).count() == 0)
     assert(graft.operators.Outliers.madOutliers(
       Seq((1L, "g", 1.0)).toDF("id", "k", "v").where(lit(false)),
       Seq("k"), col("v"), 3.0).count() == 0)

@@ -22,4 +22,43 @@ class StatefulStreamsSpec extends SparkSpec {
     assert(out.map(_._3) == List(1L, 3L))   // milestones crossed: 1, then straight to 3
     assert(out.last._2 == 320.0)
   }
+
+  test("streaming near-dedup across micro-batches == batch verified pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = core.Tables.load(spark, sf001, "documents")
+    val batch = graft.operators.Dedup.minhashVerifiedPairs(
+        docs, "doc_id", "text", threshold = 0.25,
+        shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // split the corpus into two parquet files and force one file per
+    // micro-batch, so matches must cross BATCH boundaries through the
+    // bucket state (not just within one invocation)
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream")
+    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$dir/p0")
+    docs.where(col("doc_id") % 2 === 1).write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_neardup_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          java.nio.file.Files.copy(f, srcDir.resolve(s"$n.parquet")); n += 1
+        }
+    }
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.nearDupPairs(stream, threshold = 0.25)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("neardup_out")
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+  }
 }

@@ -64,6 +64,37 @@ class TablesSpec extends SparkSpec {
       s"events.ts epoch-µs range [${r.getLong(0)}, ${r.getLong(1)}] outside sanity window")
   }
 
+  test("all tables load with the column names every query depends on") {
+    // name-level tripwire for the remaining nine tables (the events
+    // encoding change proved the driver regenerates testdata between
+    // rounds): fail in `sbt test` if a regeneration renames/drops a
+    // column the registry references.
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val problems = expected.flatMap { case (t, cols) =>
+      val have = Tables.load(spark, sf001, t).columns.toSet
+      cols.filterNot(have).map(c => s"$t.$c")
+    }
+    assert(problems.isEmpty, s"missing columns after testdata regeneration: ${problems.mkString(", ")}")
+    // embeddings must stay Array[Float]-shaped, dim 64 (the ANN family
+    // hardcodes the dim in queries and oracles)
+    val emb = Tables.load(spark, sf001, "embeddings")
+    assert(emb.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true) ||
+      emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    assert(emb.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+  }
+
   test("normalizeTs handles long-nanos and NTZ inputs identically") {
     val micros = 1700000000000000L
     val fromLong = Tables.normalizeTs(Seq(micros * 1000L).toDF("ts"))
