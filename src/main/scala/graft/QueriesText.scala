@@ -609,6 +609,70 @@ object QueriesText {
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
         .orderBy("doc_id"))
 
+  /** Duplicate-group size report over dd_dup_groups: groups per size
+    * + docs held — the dedup-health gate. Oracle: same recursive
+    * closure, two stacked aggregates. */
+  private val ddGroupStats = Q(
+    "dd_group_stats",
+    Some(s"""WITH RECURSIVE $polyPairCtes,
+          p2 AS (SELECT a, b FROM v WHERE jaccard >= 0.25),
+          edges AS (SELECT a AS x, b AS y FROM p2
+            UNION ALL SELECT b AS x, a AS y FROM p2),
+          nodes AS (SELECT DISTINCT x AS id FROM edges),
+          r(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.y, r.label FROM r JOIN edges e ON r.id = e.x),
+          cc AS (SELECT id, min(label) AS canonical FROM r GROUP BY id),
+          g AS (SELECT coalesce(cc.canonical, d.doc_id) AS canonical_id
+            FROM d LEFT JOIN cc ON d.doc_id = cc.id),
+          sizes AS (SELECT canonical_id, count(*) AS group_size
+            FROM g GROUP BY canonical_id)
+          SELECT group_size, count(*) AS n_groups,
+            group_size * count(*) AS n_docs
+          FROM sizes GROUP BY group_size ORDER BY group_size"""),
+    (s, dir) =>
+      Dedup.dupGroupStats(
+          Dedup.duplicateGroups(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4,
+            poly = true))
+        .orderBy("group_size"))
+
+  /** Semantic duplicate groups: embedding-cosine pairs (hyperplane
+    * LSH buckets, round-6 cosine ≥ 0.4) → connected components →
+    * canonical vec per group — the paraphrase/translation dedup
+    * exact-text methods cannot do. Oracle: the dd_embcos_lsh keyed
+    * CTEs + the dd_dup_groups recursive closure. */
+  private val ddSemantic = Q(
+    "dd_semantic_groups",
+    Some {
+      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+      s"""WITH RECURSIVE keyed AS ($tableRows),
+          cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+              x.embedding AS av, y.embedding AS bv
+            FROM keyed x JOIN keyed y ON x.tbl = y.tbl AND x.key = y.key
+            WHERE x.vec_id < y.vec_id),
+          scored AS (SELECT DISTINCT a, b, ${cosSql("av", "bv")} AS cosine
+            FROM cand),
+          p2 AS (SELECT a, b FROM scored WHERE cosine >= 0.4),
+          edges AS (SELECT a AS x, b AS y FROM p2
+            UNION ALL SELECT b AS x, a AS y FROM p2),
+          nodes AS (SELECT DISTINCT x AS id FROM edges),
+          r(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.y, r.label FROM r JOIN edges e ON r.id = e.x),
+          cc AS (SELECT id, min(label) AS canonical FROM r GROUP BY id)
+          SELECT em.vec_id, coalesce(cc.canonical, em.vec_id) AS canonical_id,
+            (em.vec_id != coalesce(cc.canonical, em.vec_id)) AS is_dup
+          FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.id
+          ORDER BY em.vec_id"""
+    },
+    (s, dir) =>
+      Dedup.semanticDupGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, tables = 8, planes = 6)
+        .orderBy("vec_id"))
+
   /** Benchmark decontamination: the deterministic ~2% id-bucket slice
     * (sampleBucket < 20) plays the eval set; a training doc is
     * contaminated iff it shares any word 4-gram with it. Inverted-
@@ -1008,7 +1072,7 @@ object QueriesText {
     txRepetition, txFused, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
-    ddDecontaminate, ddIncremental,
+    ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
     ep4Corpus)

@@ -264,6 +264,14 @@ object syntax {
                           threshold: Double): DataFrame =
       Vectors.lshNearDupPairs(df, idCol, vecCol, dim, threshold)
 
+    /** Semantic duplicate groups over an embedding column. */
+    def semanticDupGroups(idCol: String, vecCol: String, dim: Int,
+                          threshold: Double): DataFrame =
+      Dedup.semanticDupGroups(df, idCol, vecCol, dim, threshold)
+
+    /** Group-size report over a duplicateGroups-shaped frame. */
+    def dupGroupStats(): DataFrame = Dedup.dupGroupStats(df)
+
     /** Single-pass ANALYZE-style column profile. */
     def profileColumns(cols: Seq[String]): DataFrame =
       graft.core.Tables.profile(df, cols)

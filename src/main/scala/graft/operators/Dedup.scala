@@ -177,10 +177,32 @@ object Dedup {
   def duplicateGroups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 5,
                       numHashes: Int = 8, bandSize: Int = 2,
-                      poly: Boolean = false): DataFrame = {
-    val pairs = minhashVerifiedPairs(df, idCol, textCol, threshold,
-        shingleSize, numHashes, bandSize, poly)
-      .select(col("a"), col("b")).localCheckpoint()
+                      poly: Boolean = false): DataFrame =
+    canonicalGroups(df, idCol,
+      minhashVerifiedPairs(df, idCol, textCol, threshold,
+          shingleSize, numHashes, bandSize, poly)
+        .select(col("a"), col("b")).localCheckpoint())
+
+  /** Semantic (embedding-space) duplicate groups: the same
+    * pairs→components→canonical pipeline as [[duplicateGroups]], but
+    * the pair graph is cosine similarity over LSH-bucketed embeddings
+    * ([[Vectors.lshNearDupPairs]]) instead of shingle Jaccard — the
+    * dedup that catches paraphrases and translations exact-text
+    * methods cannot. Same scale shape end-to-end: hyperplane-bucket
+    * candidates, codegen'd cosine verify, large-star/small-star CC. */
+  def semanticDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        tables: Int = 8, planes: Int = 6): DataFrame =
+    canonicalGroups(df, idCol,
+      Vectors.lshNearDupPairs(df, idCol, vecCol, dim, threshold, tables, planes)
+        .select(col("a"), col("b")).localCheckpoint())
+
+  /** Shared tail of the group-canonicalization family: undirect the
+    * verified pair graph, run connected components, and give every
+    * row its component-min canonical id (rows with no near-dup are
+    * their own canonical). */
+  private def canonicalGroups(df: DataFrame, idCol: String,
+                              pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("_a"), col("b").as("_b"))
       .unionByName(pairs.select(col("b").as("_a"), col("a").as("_b")))
     val nodes = edges.select(col("_a").as("_id")).distinct()
@@ -191,6 +213,21 @@ object Dedup {
         coalesce(col("_label"), col(idCol)).as("canonical_id"))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
+
+  /** Duplicate-group size report over a [[duplicateGroups]] /
+    * [[semanticDupGroups]] frame: how many groups of each size, and
+    * how many documents they hold — the dedup-health view a curation
+    * run gates on (a fat tail of giant groups means the threshold or
+    * the banding is off; group_size 1 rows are the unduplicated
+    * remainder). Two stacked group-cardinality aggregates — nothing
+    * detail-sized crosses the wire twice. */
+  def dupGroupStats(groups: DataFrame): DataFrame =
+    groups.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
 
   /** Incremental near-dedup: flag NEW-batch documents that are
     * near-duplicates of an EXISTING corpus — the crawl-ingestion

@@ -286,6 +286,32 @@ class VectorsSpec extends SparkSpec {
     assert(b1.sameElements(b2))
   }
 
+  test("semanticDupGroups: cosine-connected components get min-id canonicals") {
+    // 0 ≈ 1 ≈ 2 (one chain-connected group), 3 orthogonal
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.02f, 0f, 0f)),
+      (1L, Array(1.0f, 0.00f, 0f, 0f)),
+      (2L, Array(0.98f, -0.02f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDupGroups(vecs, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, tables = 4, planes = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 0L, false), (1L, 0L, true), (2L, 0L, true), (3L, 3L, false)))
+  }
+
+  test("dupGroupStats: sizes partition the corpus") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val groups = Dedup.duplicateGroups(docs, "doc_id", "text",
+      threshold = 0.25, numHashes = 8, bandSize = 4, poly = true)
+    val stats = Dedup.dupGroupStats(groups).collect()
+    val total = stats.map(_.getAs[Long]("n_docs")).sum
+    assert(total == docs.count()) // every doc is in exactly one group
+    assert(stats.exists(r => r.getAs[Long]("group_size") > 1)) // dedup actually bit
+    stats.foreach(r => assert(
+      r.getAs[Long]("n_docs") == r.getAs[Long]("group_size") * r.getAs[Long]("n_groups")))
+  }
+
   test("PQ codes are in range and training is write-order-independent") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
