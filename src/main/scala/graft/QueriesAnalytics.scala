@@ -224,6 +224,29 @@ object QueriesAnalytics {
         .agg(dsum(col("value"), 6))
         .orderBy("user_id"))
 
-  val all: Seq[Q] = Seq(q3, q5, evJson, evRolling, evPii, aggRollup, aggCube,
+  /** A19: key-skew diagnostics — the pre-flight report that decides
+    * whether a join/agg key needs salting (j13) before a cluster run.
+    * Top-10 heavy hitters with shares + the max/mean skew ratio.
+    * Exact counts, round-6 ratios, key-string tie-break. */
+  private val a19Skew = Q(
+    "a19_skew_report",
+    Some("""WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n
+              FROM lineitem GROUP BY key),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS rows_total,
+              count(*) AS n_keys, max(n) AS max_n FROM c),
+            top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10),
+            r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+              FROM top)
+            SELECT rank, key, n,
+              round(CAST(n AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) AS share,
+              n_keys,
+              round(CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                / CAST(rows_total AS DOUBLE), 6) AS skew_ratio
+            FROM r CROSS JOIN t ORDER BY rank"""),
+    (s, dir) =>
+      graft.operators.Skew.skewReport(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
+        .orderBy("rank"))
+
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evPii, aggRollup, aggCube,
     u4Unpivot, aggPivot)
 }

@@ -275,5 +275,9 @@ object syntax {
     /** Single-pass ANALYZE-style column profile. */
     def profileColumns(cols: Seq[String]): DataFrame =
       graft.core.Tables.profile(df, cols)
+
+    /** Key-skew diagnostics: top-k heavy hitters + max/mean ratio. */
+    def skewReport(keyCol: String, topK: Int = 10): DataFrame =
+      Skew.skewReport(df, keyCol, topK)
   }
 }

@@ -32,4 +32,36 @@ object Skew {
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Key-skew diagnostics: the report that decides whether a join/agg
+    * key needs [[saltedJoin]] (or a coarser key) BEFORE burning a
+    * cluster run on it. One group-cardinality count aggregate, a
+    * distributed top-k (orderBy+limit = TakeOrdered — the full counts
+    * frame is never globally sorted), and a single-row totals frame
+    * riding back on a broadcast:
+    *
+    *   rank | key | n | share | n_keys | skew_ratio
+    *
+    * `share` = key's fraction of all rows; `skew_ratio` = max group
+    * size / mean group size (1.0 = perfectly uniform; ≫ 1 = salt it).
+    * Exact integer counts, round-6 ratios, ties by key string — fully
+    * oracle-mirrorable. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("_rows"), count(lit(1)).as("n_keys"),
+      max(col("n")).as("_max"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("key"))).cast("long"))
+    ranked.crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n").cast("double") / col("_rows").cast("double"), 6).as("share"),
+        col("n_keys"),
+        round(col("_max").cast("double") * col("n_keys").cast("double")
+          / col("_rows").cast("double"), 6).as("skew_ratio"))
+      .orderBy("rank")
+  }
 }

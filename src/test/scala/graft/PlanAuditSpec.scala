@@ -24,10 +24,12 @@ class PlanAuditSpec extends SparkSpec {
     *   m3_iqr_outlier_clean.
     * - tx_temperature_mix: the single-row (N, Σ√n) normalizer rides
     *   back onto the stratum-count frame (stratum cardinality × 1
-    *   row), same shape as tx_domain_mix's minimum. */
+    *   row), same shape as tx_domain_mix's minimum.
+    * - a19_skew_report: the single-row totals frame rides back onto
+    *   the ≤topK heavy-hitter rows. */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
-    "tx_domain_mix", "tx_temperature_mix", "ep2_flagship")
+    "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "ep2_flagship")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -29,6 +29,23 @@ class SkewSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.where(col("k") === 99 && col("w").isNull).count() == 1)
   }
+
+  test("skewReport: heavy hitter surfaces with exact share and ratio") {
+    import spark.implicits._
+    // key 7 holds 60 of 100 rows; 40 singleton keys
+    val df = ((1 to 60).map(_ => 7L) ++ (100L until 140L)).toDF("k")
+    val rep = Skew.skewReport(df, "k", topK = 3).collect()
+    assert(rep.length == 3)
+    val top = rep(0)
+    assert(top.getAs[Long]("rank") == 1L && top.getAs[String]("key") == "7")
+    assert(top.getAs[Long]("n") == 60L)
+    assert(top.getAs[Double]("share") == 0.6)
+    assert(top.getAs[Long]("n_keys") == 41L)
+    // skew_ratio = max / mean = 60 / (100/41) = 24.6
+    assert(top.getAs[Double]("skew_ratio") == 24.6)
+    // rank-2/3: singleton keys, tie-broken by key string ascending
+    assert(rep(1).getAs[String]("key") == "100" && rep(2).getAs[String]("key") == "101")
+  }
 }
 
 class LshScalingSpec extends SparkSpec {
