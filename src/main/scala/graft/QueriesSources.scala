@@ -304,5 +304,24 @@ object QueriesSources {
         .orderBy("doc_id", "dim")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, st1, st2, st3, mm1, mm2, mm3)
+  /** Multimodal: STUB nearest-neighbor resize — out[i] =
+    * blob[(i·n)/16] over the byte raster; the index math both engines
+    * mirror exactly (the corpus bytes are the utf-8 text stand-in, so
+    * the oracle picks the same positions with substr/ascii). */
+  private val mm4 = Q(
+    "mm_resize",
+    Some("""WITH f AS (SELECT doc_id, length(text) AS n, CAST(i.range AS BIGINT) AS i
+              FROM documents, range(16) i)
+            SELECT f.doc_id, f.i,
+              CAST(ascii(substr(d.text, CAST((f.i * f.n) // 16 + 1 AS INT), 1))
+                AS BIGINT) AS byte_val
+            FROM f JOIN documents d USING (doc_id)
+            ORDER BY doc_id, i"""),
+    (s, dir) =>
+      Multimodal.resizeStub(
+          Multimodal.withBlob(t(s, dir, "documents"), "text"), "doc_id", "blob",
+          outBytes = 16)
+        .orderBy("doc_id", "i"))
+
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

@@ -59,6 +59,22 @@ object Multimodal {
       }(encoder)
   }
 
+  /** STUB "resize": nearest-neighbor downsample of the byte raster to
+    * `outBytes` samples — out[i] = blob[(i·n) / outBytes] — the image
+    * resize plumbing shape (a real deployment swaps the byte pick for
+    * a codec resample over the same index math). Pure column
+    * expressions in the scan stage: integer index arithmetic + a
+    * 1-byte substr per sample, no UDF, no shuffle. */
+  def resizeStub(df: DataFrame, idCol: String, blobCol: String,
+                 outBytes: Int = 16): DataFrame =
+    df.select(col(idCol), octet_length(col(blobCol)).as("_n"), col(blobCol))
+      .select(col(idCol), col("_n"), col(blobCol),
+        posexplode(sequence(lit(0L), lit(outBytes - 1L))).as(Seq("_p", "i")))
+      .select(col(idCol), col("i"),
+        ascii(decode(col(blobCol).substr(
+            ((col("i") * col("_n")) / outBytes).cast(IntegerType) + 1, lit(1)),
+          "UTF-8")).cast(LongType).as("byte_val"))
+
   /** STUB frame sampling: every `every`-th fixed-size chunk of the
     * payload (video keyframe-sampling shape; one output row per
     * sampled "frame"). Pure column expressions — no UDF. */

@@ -299,4 +299,15 @@ class MultimodalSpec extends SparkSpec {
       assert(cnt == expected, s"doc $id")
     }
   }
+
+  test("resizeStub picks nearest-neighbor bytes by exact index math") {
+    import spark.implicits._
+    val text = "abcdefgh" // n=8, outBytes=4 -> indices 0,2,4,6 -> a,c,e,g
+    val df = Multimodal.withBlob(Seq((1L, text)).toDF("doc_id", "text"), "text")
+    val out = Multimodal.resizeStub(df, "doc_id", "blob", outBytes = 4)
+      .orderBy("i").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 'a'.toLong), (1L, 1L, 'c'.toLong),
+      (1L, 2L, 'e'.toLong), (1L, 3L, 'g'.toLong)))
+  }
 }
