@@ -265,6 +265,26 @@ object QueriesText {
         tc AS (SELECT doc_id, term, count(*) AS tf FROM tok
           WHERE length(term) > 0 GROUP BY doc_id, term)"""
 
+  /** Unigram-frequency commonness score (the log-free LM-quality
+    * proxy): mean corpus frequency (ppm) over a doc's token
+    * occurrences. Exact-double rationals + decimal occurrence sum —
+    * fully hash-mirrorable. */
+  private val txCommonness = Q(
+    "tx_commonness",
+    Some(s"""WITH $termCountCtes,
+          g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY term),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g),
+          j AS (SELECT tc.doc_id, tc.tf,
+            CAST(g.cnt AS DOUBLE) * 1000000.0 / CAST(t.total AS DOUBLE) AS freq
+            FROM tc JOIN g USING (term) CROSS JOIN t)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            round(${graft.core.Det.sqlDsum("tf * freq", 6)}
+              / CAST(sum(tf) AS BIGINT), 6) AS commonness
+          FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) =>
+      Text.commonnessScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+
   /** TF-IDF top-3 terms per document, ranked by the round-6 score so
     * a last-ulp ln() difference can't flip the ranking. */
   private val txTfidf = Q(
@@ -1069,7 +1089,8 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txFused, txSplit, txCorpus, txTfidf, txBm25, txVocab, txPack,
+    txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
+    txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,

@@ -243,6 +243,10 @@ object syntax {
     def vocabulary(idCol: String, textCol: String, k: Int): DataFrame =
       Text.vocabTopK(df, idCol, textCol, k)
 
+    /** Unigram-frequency commonness quality score per document. */
+    def commonnessScore(idCol: String, textCol: String): DataFrame =
+      Text.commonnessScore(df, idCol, textCol)
+
     // ---- temporal surface ----
 
     /** As-of join: latest `right` row at-or-before each row's ts. */

@@ -408,6 +408,35 @@ object Text {
       .where(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Unigram-frequency "commonness" score per document: the mean,
+    * over token occurrences, of the token's corpus frequency in parts
+    * per million — the frequency-based cousin of CCNet-style LM
+    * quality filtering (docs dominated by tokens the corpus has never
+    * seen — OCR noise, gibberish, boilerplate IDs — score low; fluent
+    * prose scores high). No ln(): the score is pure exact-double
+    * rational arithmetic (count·1e6 stays < 2^53) plus a decimal-exact
+    * occurrence sum, so it hash-matches across engines where a log
+    * would be at the mercy of libm's last ulp.
+    *
+    * Scale: one term aggregate (vocab-sized), an equi-join back on the
+    * high-cardinality term key, a single-row total broadcast, one
+    * per-doc aggregate — the TF-IDF shuffle shape. */
+  def commonnessScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = termCounts(df, idCol, textCol)
+    val global = tc.groupBy(col("term")).agg(sum(col("tf")).as("_cnt"))
+    val tot = global.agg(sum(col("_cnt")).as("_total"))
+    val j = tc.join(global, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("tf"),
+        (col("_cnt").cast(DoubleType) * lit(1000000.0)
+          / col("_total").cast(DoubleType)).as("_freq"))
+    j.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(graft.core.Det.dsum(col("tf") * col("_freq"), 6)
+          / sum(col("tf")), 6).as("commonness"))
+  }
+
   /** TF-IDF top-k terms per document: tf/dl · ln(N/df), ranked by the
     * round-6 score (so cross-engine last-ulp noise cannot flip the
     * ranking), ties by term. dl and df come from windows over the

@@ -26,10 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     *   back onto the stratum-count frame (stratum cardinality × 1
     *   row), same shape as tx_domain_mix's minimum.
     * - a19_skew_report: the single-row totals frame rides back onto
-    *   the ≤topK heavy-hitter rows. */
+    *   the ≤topK heavy-hitter rows.
+    * - tx_commonness: the single-row corpus-total rides back onto the
+    *   term-count frame (same shape as tx_tfidf's N). */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
-    "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "ep2_flagship")
+    "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
+    "ep2_flagship")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

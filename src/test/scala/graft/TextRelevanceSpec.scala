@@ -78,6 +78,25 @@ class TextRelevanceSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("commonnessScore: fluent text outranks rare-token noise") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zxqv wblat prkzn vvqx jjwz")) // tokens the corpus never repeats
+      .toDF("doc_id", "text")
+    val out = Text.commonnessScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val scores = out.map(_.getAs[Double]("commonness"))
+    assert(scores(0) > scores(2) && scores(1) > scores(2),
+      s"common-word docs must outscore the rare-token doc: ${scores.toSeq}")
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 6L, 5L))
+    // every token of doc 3 appears exactly once in a 17-token corpus:
+    // commonness = 1e6/17 exactly, rounded to 6
+    val expected = BigDecimal(1000000.0 / 17)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(scores(2) - expected) < 1e-9, s"${scores(2)} vs $expected")
+  }
+
   test("temperatureMix: tau=0.5 flattens the mix toward the tail, quotas exact") {
     // big: 90 docs, small: 10 docs. Natural share 90/10; sqrt share
     // sqrt(90):sqrt(10) ≈ 3:1 — the tail's share triples.
