@@ -278,8 +278,8 @@ object QueriesText {
             CAST(g.cnt AS DOUBLE) * 1000000.0 / CAST(t.total AS DOUBLE) AS freq
             FROM tc JOIN g USING (term) CROSS JOIN t)
           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-            round(${graft.core.Det.sqlDsum("tf * freq", 6)}
-              / CAST(sum(tf) AS BIGINT), 6) AS commonness
+            floor(${graft.core.Det.sqlDsum("tf * freq", 6)}
+              / CAST(sum(tf) AS BIGINT) * 1000000.0 + 0.5) / 1000000.0 AS commonness
           FROM j GROUP BY doc_id ORDER BY doc_id"""),
     (s, dir) =>
       Text.commonnessScore(t(s, dir, "documents"), "doc_id", "text")

@@ -431,10 +431,15 @@ object Text {
       .select(col(idCol), col("tf"),
         (col("_cnt").cast(DoubleType) * lit(1000000.0)
           / col("_total").cast(DoubleType)).as("_freq"))
+    // floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the mean is a
+    // division with an unbounded decimal expansion, and the engines'
+    // round() dialects disagree on boundary values (7/5000 rows at
+    // sf0.1 flipped by exactly 1e-6) — floor over identical doubles
+    // cannot (the quantizeInt8 recipe).
+    val mean = graft.core.Det.dsum(col("tf") * col("_freq"), 6) / sum(col("tf"))
     j.groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(graft.core.Det.dsum(col("tf") * col("_freq"), 6)
-          / sum(col("tf")), 6).as("commonness"))
+        (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("commonness"))
   }
 
   /** TF-IDF top-k terms per document: tf/dl · ln(N/df), ranked by the

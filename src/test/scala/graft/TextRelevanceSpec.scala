@@ -91,9 +91,9 @@ class TextRelevanceSpec extends SparkSpec {
       s"common-word docs must outscore the rare-token doc: ${scores.toSeq}")
     assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 6L, 5L))
     // every token of doc 3 appears exactly once in a 17-token corpus:
-    // commonness = 1e6/17 exactly, rounded to 6
-    val expected = BigDecimal(1000000.0 / 17)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // commonness = 1e6/17, half-up-quantized to the 1e-6 grid via the
+    // cross-engine floor recipe
+    val expected = math.floor(1000000.0 / 17 * 1000000.0 + 0.5) / 1000000.0
     assert(math.abs(scores(2) - expected) < 1e-9, s"${scores(2)} vs $expected")
   }
 
