@@ -65,6 +65,10 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Text.balancedMix(none, "doc_id", "lang", Seq("en" -> 1)).count() == 0)
     assert(Text.temperatureMix(none, "doc_id", "lang", 0.5).count() == 0)
     assert(Text.packReport(none, "doc_id", "text", "lang", 8).count() == 0)
+    assert(Text.commonnessScore(none, "doc_id", "text").count() == 0)
+    assert(graft.operators.Skew.skewReport(none, "lang").count() == 0)
+    assert(Dedup.dupGroupStats(
+      Dedup.duplicateGroups(none, "doc_id", "text", 0.5)).count() == 0)
     assert(graft.operators.Outliers.madOutliers(
       Seq((1L, "g", 1.0)).toDF("id", "k", "v").where(lit(false)),
       Seq("k"), col("v"), 3.0).count() == 0)
