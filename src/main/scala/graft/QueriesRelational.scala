@@ -349,6 +349,26 @@ object QueriesRelational {
         .orderBy("k")
     })
 
+  /** X-J14: Bloom-prefiltered semi join — the explicit runtime-filter
+    * pattern: a Bloom filter over the filtered dimension's keys probes
+    * INSIDE the fact scan (compiled expression, no UDF), the exact
+    * left-semi join removes false positives, so the result is exactly
+    * the semi join while ~80% of the fact rows die before any
+    * exchange. Oracle: the plain IN-subquery semi join. */
+  private val j14 = Q(
+    "j14_bloom_prefilter",
+    Some("""SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+            WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey"""),
+    (s, dir) =>
+      Joins.bloomSemiJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING"),
+          "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey"))
+
   val all: Seq[Q] = Seq(p2, p5, p6, p8a, p8b, p9, p10, p11, j2, j6, j7,
-    j8a, j8b, j10, j13, u1, u2, u3, o1, m5, c1, c9)
+    j8a, j8b, j10, j13, j14, u1, u2, u3, o1, m5, c1, c9)
 }

@@ -141,6 +141,37 @@ object QueriesSources {
 
   /** Streaming surface, tumbling windows: hourly per-type counts
     * (batch flavor here; StreamsSpec drives readStream). */
+  /** X-S14: DYNAMIC partition pruning — the fact table is hive-
+    * partitioned on the join key, and the dimension side's filter
+    * values are only known at runtime (a LIKE over the type column),
+    * so static pruning can't help; Spark's DPP inserts a
+    * `dynamicpruningexpression` on the fact scan, reusing the dim
+    * broadcast, and only the matching partition directories are read
+    * at all. At 100 TB this is the difference between scanning 2 of
+    * 5 date/type partitions and scanning everything; the plan is
+    * asserted in PartitionPruneSpec. Oracle: the equivalent
+    * IN-subquery semi join on the unpartitioned table. */
+  private val s14 = Q(
+    "s14_dpp_prune",
+    Some(s"""SELECT event_type, count(*) AS n, ${Det.sqlDsum("value", 6)} AS v_sum
+             FROM events WHERE event_type IN
+               (SELECT DISTINCT event_type FROM events WHERE event_type LIKE '%r%')
+             GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_events_dpp").getAbsolutePath
+      Tables.load(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.load(s, dir, "events")
+        .where(col("event_type").like("%r%"))
+        .select("event_type").distinct()
+      fact.join(dim, Seq("event_type"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("v_sum"))
+        .orderBy("event_type")
+    })
+
   private val st1 = Q(
     "st_hourly_counts",
     Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -323,5 +354,5 @@ object QueriesSources {
           outBytes = 16)
         .orderBy("doc_id", "i"))
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, st1, st2, st3, mm1, mm2, mm3, mm4)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, Tables}
-import graft.ml.{Jenks, Odr}
+import graft.ml.{Jenks, Odr, Ols}
 import graft.operators.{Clustering, GroupOps, Joins, Outliers, Spatial}
 
 /** SURVEY §2.3 spatial joins + §2.9 ML-flavored operators.
@@ -333,5 +333,34 @@ object QueriesSpatial {
         lit(fit.sb0).as("sig_b0"), lit(fit.sb1).as("sig_b1"), lit(fit.n).as("n"))
     })
 
-  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6)
+  /** X-M7: fully-distributed OLS (two predictors) — one moment
+    * aggregate (exact decimal sums), Cramer closed form, R² via the
+    * SSE identity. Nothing detail-sized leaves the executors (the
+    * scale path M4's driver-side sample fit can't take). */
+  /** Inputs are floor-quantized to short decimal grids (x2 integer,
+    * y 2 decimals) so every cross-moment product terminates within
+    * the Det scale — un-quantized, (integer × 5-decimal) products
+    * land exactly ON scale-4 half-quanta, where Spark's exact-
+    * expansion HALF_UP and DuckDB's multiply-then-round cast resolve
+    * the near-tie differently (the r5 decimal-cast tie trap; ~800
+    * flipped quanta in x2y observed at sf0.01). floor over identical
+    * doubles cannot diverge. */
+  private val m7 = Q(
+    "m7_ols_fit",
+    Some(Ols.olsSql("lineitem",
+      "l_quantity",
+      "floor(l_discount * 100 + 0.5)",
+      "floor(l_extendedprice / 10.0 + 0.5) / 100.0")),
+    (s, dir) => {
+      val fit = Ols.olsFit2(
+        t(s, dir, "lineitem"),
+        col("l_quantity"),
+        floor(col("l_discount") * 100 + 0.5).cast("double"),
+        floor(col("l_extendedprice") / 10.0 + 0.5).cast("double") / 100.0)
+      t(s, dir, "lineitem").limit(1).select(
+        lit(fit.b0).as("b0"), lit(fit.b1).as("b1"), lit(fit.b2).as("b2"),
+        lit(fit.r2).as("r2"), lit(fit.n).as("n"))
+    })
+
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6, m7)
 }

@@ -1088,6 +1088,78 @@ object QueriesText {
           ORDER BY qid, cosine DESC, cid"""
     })
 
+  /** Sliding-window chunking with overlap (window 64, stride 48 ⇒
+    * 16-token overlap): the RAG/passage prep. Pure scan-stage math —
+    * sequence of starts, one posexplode, slice; no shuffle. */
+  private val txChunk = Q(
+    "tx_chunk_overlap",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          c AS (SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 48)) AS start, toks
+            FROM t)
+          SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+            CAST(start AS BIGINT) AS start_tok,
+            CAST(len(list_slice(toks, start + 1, least(start + 64, len(toks)))) AS BIGINT)
+              AS chunk_tokens,
+            array_to_string(list_slice(toks, start + 1, least(start + 64, len(toks))), ' ')
+              AS chunk_text
+          FROM c ORDER BY doc_id, chunk_idx"""),
+    (s, dir) =>
+      Text.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"))
+
+  /** Blocklist term filter with per-doc hit counts (the toxicity/
+    * boilerplate cut, auditable). Scan-stage column math. */
+  private val p14Blocklist = Q(
+    "p14_blocklist",
+    Some(s"""SELECT doc_id,
+            CAST(len(list_filter($toksSql, x -> x IN ('slow', 'skew', 'spill'))) AS BIGINT)
+              AS n_blocked,
+            len(list_filter($toksSql, x -> x IN ('slow', 'skew', 'spill'))) > 0 AS blocked
+          FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      Text.blocklistHits(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("slow", "skew", "spill"))
+        .orderBy("doc_id"))
+
+  /** Keep-BEST dedup canonicalization: near-dup groups (the
+    * dd_dup_groups pipeline) resolved to the highest-quality member
+    * instead of the min id — what production curation actually keeps.
+    * Oracle: the recursive-closure CTEs + a quality rank window. */
+  private val ddKeepBest = Q(
+    "dd_keep_best",
+    Some(s"""WITH RECURSIVE $polyPairCtes,
+          p2 AS (SELECT a, b FROM v WHERE jaccard >= 0.25),
+          edges AS (SELECT a AS x, b AS y FROM p2
+            UNION ALL SELECT b AS x, a AS y FROM p2),
+          nodes AS (SELECT DISTINCT x AS id FROM edges),
+          r(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.y, r.label FROM r JOIN edges e ON r.id = e.x),
+          cc AS (SELECT id, min(label) AS canonical FROM r GROUP BY id),
+          g AS (SELECT d0.doc_id, coalesce(cc.canonical, d0.doc_id) AS canonical_id
+            FROM documents d0 LEFT JOIN cc ON d0.doc_id = cc.id),
+          q AS (SELECT doc_id, $qualityInlineSql AS quality FROM documents),
+          jq AS (SELECT g.canonical_id, g.doc_id, q.quality
+            FROM g JOIN q USING (doc_id)),
+          rk AS (SELECT canonical_id, doc_id, quality,
+              ROW_NUMBER() OVER (PARTITION BY canonical_id
+                ORDER BY quality DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY canonical_id) AS group_size
+            FROM jq)
+          SELECT canonical_id, doc_id AS kept_id, quality AS kept_score, group_size
+          FROM rk WHERE rn = 1 ORDER BY canonical_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = Dedup.duplicateGroups(docs, "doc_id", "text",
+        threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
+      val scores = docs.select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))
+      Dedup.keepBestPerGroup(groups, scores, "doc_id", "quality")
+        .orderBy("canonical_id")
+    })
+
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
     txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
     txVocab, txPack,
@@ -1096,5 +1168,6 @@ object QueriesText {
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
+    txChunk, p14Blocklist, ddKeepBest,
     ep4Corpus)
 }

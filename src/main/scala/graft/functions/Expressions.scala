@@ -569,6 +569,33 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership probe over a LONG key — the runtime-
+    * filter / semi-join-prefilter primitive: a dimension-side
+    * `BloomFilter` (built once, KBs even for millions of keys) rides
+    * to every scan task inside the plan's reference array, and the
+    * probe runs IN the parquet scan stage, dropping non-matching fact
+    * rows before they ever reach an exchange. No false negatives, so
+    * an exact join downstream only removes false positives — output
+    * is exact while shuffle volume shrinks by the join selectivity.
+    * Codegen'd (one `mightContainLong` call per row, fused into the
+    * scan's whole-stage span). */
+  case class BloomMightContainLong(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(kernel(input.asInstanceOf[Long]))
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(v: Long): Boolean = bloom.mightContainLong(v)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bloomMightContain", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers (classic-mode Column <-> Expression bridge)
   def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
     Bridge.column(
@@ -597,4 +624,8 @@ object Expressions {
 
   def simHash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def bloomMightContain(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(c), bloom))
 }

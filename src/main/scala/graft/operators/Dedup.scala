@@ -229,6 +229,34 @@ object Dedup {
       .select(col("group_size"), col("n_groups"),
         (col("group_size") * col("n_groups")).as("n_docs"))
 
+  /** Keep-BEST canonicalization: where [[duplicateGroups]] keeps the
+    * min-id doc of every duplicate group, production curation keeps
+    * the highest-QUALITY copy (the cleanest extraction of a page that
+    * was crawled five ways). Takes the groups frame and a per-doc
+    * score frame; returns one row per group with the kept doc, its
+    * score, and the group size — ties broken by min id so the choice
+    * is total and engine-independent.
+    *
+    * Scale: one join on the doc id + one rank window partitioned by
+    * canonical_id (high-cardinality — group count ~ doc count), then
+    * a group-sized aggregate. Nothing detail-sized is collected or
+    * crossed. */
+  def keepBestPerGroup(groups: DataFrame, scores: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = groups.select(col(idCol), col("canonical_id"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined
+      .select(col("canonical_id"), col(idCol), col(scoreCol),
+        row_number().over(w).as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("canonical_id"))).as("group_size"))
+      .where(col("_rn") === 1)
+      .select(col("canonical_id"), col(idCol).as("kept_id"),
+        col(scoreCol).as("kept_score"), col("group_size"))
+  }
+
   /** Incremental near-dedup: flag NEW-batch documents that are
     * near-duplicates of an EXISTING corpus — the crawl-ingestion
     * pattern (in production the existing side's band keys are

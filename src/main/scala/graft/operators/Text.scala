@@ -397,6 +397,55 @@ object Text {
         round(col("token_mass").cast(DoubleType)
           / (col("n_windows") * budget).cast(DoubleType), 6).as("fill_frac"))
 
+  // ------------------------------------------------ chunking / blocklist
+
+  /** Sliding-window chunking with overlap: cut each document's token
+    * stream into windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ consecutive chunks overlap by
+    * window − stride tokens) — the RAG / context-window prep that
+    * turns documents into retrievable passages. One row per
+    * (doc, chunk) with the chunk's token span and re-joined text.
+    *
+    * Scale: pure scan-stage math — a `sequence` of the chunk starts,
+    * one `posexplode`, `slice` on the already-split token array. No
+    * shuffle, no join; the fan-out is ~n_tokens/stride per doc. A doc
+    * shorter than one window yields exactly one (possibly short)
+    * chunk. Integer arithmetic + string ops only: exact in both
+    * engines. */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, window: Int,
+                   stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toked = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    toked
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        size(slice(col("_toks"), col("start_tok") + 1, lit(window)))
+          .cast(LongType).as("chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("start_tok") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
+  /** Per-document blocklist report: occurrences (with multiplicity)
+    * of any blocklist term among the whitespace tokens, plus the
+    * keep/drop flag — the toxicity/NSFW/boilerplate term-filter shape
+    * every curation pipeline runs. `where(!blocked)` is the filter;
+    * keeping the hit count makes the cut auditable. Scan-stage column
+    * math (the blocklist is a literal array — at 100 TB a large
+    * blocklist becomes a broadcast join on the exploded token, same
+    * result); no shuffle. */
+  def blocklistHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+      size(filter(tokens(col(textCol)), x => x.isInCollection(terms)))
+        .cast(LongType).as("n_blocked"))
+      .withColumn("blocked", col("n_blocked") > 0)
+
   // ------------------------------------------------ relevance / vocab
 
   /** Exploded per-(doc, term) counts — the base frame for TF-IDF,

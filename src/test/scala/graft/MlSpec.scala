@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ml.{Jenks, Odr}
+import graft.ml.{Jenks, Odr, Ols}
 
 class JenksSpec extends AnyFunSuite {
 
@@ -148,5 +148,42 @@ class OdrSpec extends SparkSpec {
     val fwd = Odr.demingFit(pts.toDF("u", "z"), col("u"), col("z"), delta = 1.0)
     val inv = Odr.demingFit(pts.map(p => (p._2, p._1)).toDF("u", "z"), col("u"), col("z"), delta = 1.0)
     assert(math.abs(fwd.b1 * inv.b1 - 1.0) < 0.01)
+  }
+}
+
+class OlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recovers an exact two-predictor plane with R2 = 1") {
+    val pts = (1 to 300).map { i =>
+      val x1 = (i % 17).toDouble; val x2 = (i % 7).toDouble
+      (x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2)
+    }
+    val fit = Ols.olsFit2(pts.toDF("x1", "x2", "y"), col("x1"), col("x2"), col("y"))
+    assert(math.abs(fit.b0 - 2.0) < 1e-6, s"b0=${fit.b0}")
+    assert(math.abs(fit.b1 - 3.0) < 1e-7, s"b1=${fit.b1}")
+    assert(math.abs(fit.b2 - (-1.5)) < 1e-7, s"b2=${fit.b2}")
+    assert(fit.r2 > 0.999999 && fit.n == 300)
+  }
+
+  test("noisy plane recovered within tolerance") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 4000).map { _ =>
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 5
+      (x1, x2, 1.0 + 0.5 * x1 + 2.0 * x2 + rnd.nextGaussian() * 0.1)
+    }
+    val fit = Ols.olsFit2(pts.toDF("x1", "x2", "y"), col("x1"), col("x2"), col("y"))
+    assert(math.abs(fit.b1 - 0.5) < 0.01, s"b1=${fit.b1}")
+    assert(math.abs(fit.b2 - 2.0) < 0.01, s"b2=${fit.b2}")
+    assert(fit.r2 > 0.99)
+  }
+
+  test("collinear predictors: zero-det guard returns finite coefficients") {
+    val pts = (1 to 100).map { i => (i.toDouble, 2.0 * i, 3.0 + i.toDouble) }
+    val fit = Ols.olsFit2(pts.toDF("x1", "x2", "y"), col("x1"), col("x2"), col("y"))
+    // x2 = 2*x1 exactly -> det ~ 0; decimal quantization may leave a
+    // denormal-ish det, so just require finite outputs (no NaN/Inf)
+    assert(!fit.b0.isNaN && !fit.b1.isNaN && !fit.b2.isNaN)
+    assert(!fit.b0.isInfinite && !fit.b1.isInfinite && !fit.b2.isInfinite)
   }
 }

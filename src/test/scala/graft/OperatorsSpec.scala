@@ -311,3 +311,64 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 'e'.toLong), (1L, 3L, 'g'.toLong)))
   }
 }
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Dedup, Joins, Text}
+
+  test("chunkWindows: spans tile the token stream with the declared overlap") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Text.chunkWindows(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // starts 0,3,6,9; last chunk truncated to 1 token
+    assert(out.map(_._2) == Seq(0L, 3L, 6L, 9L))
+    assert(out.map(_._3) == Seq(4L, 4L, 4L, 1L))
+    assert(out.head._4 == "t1 t2 t3 t4")
+    assert(out(1)._4 == "t4 t5 t6 t7") // 1-token overlap (window - stride)
+    assert(out.last._4 == "t10")
+  }
+
+  test("chunkWindows: doc shorter than one window yields exactly one chunk") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = Text.chunkWindows(df, "doc_id", "text", window = 64, stride = 48).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("chunk_tokens") == 2L)
+  }
+
+  test("blocklistHits: counts multiplicity, flags any hit") {
+    val df = Seq((1L, "bad word bad"), (2L, "all clean here")).toDF("doc_id", "text")
+    val out = Text.blocklistHits(df, "doc_id", "text", Seq("bad", "worse"))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 2L, true), (2L, 0L, false)))
+  }
+
+  test("keepBestPerGroup: keeps the max-score member, ties by min id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.5))
+      .toDF("doc_id", "quality")
+    val out = Dedup.keepBestPerGroup(groups, scores, "doc_id", "quality")
+      .orderBy("canonical_id").as[(Long, Long, Double, Long)].collect().toSeq
+    // group 1: 2 and 3 tie at 0.9 -> min id 2; group 4: 4 and 5 tie -> 4
+    assert(out == Seq((1L, 2L, 0.9, 3L), (4L, 4L, 0.5, 2L)))
+  }
+
+  test("bloomSemiJoin equals the exact semi join (no false negatives by construction)") {
+    val fact = Tables.load(spark, sf001, "orders")
+    val dim = Tables.load(spark, sf001, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val viaBloom = Joins.bloomSemiJoin(fact, dim, "o_custkey", "c_custkey")
+      .select("o_orderkey").as[Long].collect().toSet
+    val exact = fact.join(dim.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(viaBloom == exact && exact.nonEmpty)
+  }
+
+  test("bloomSemiJoin: empty dimension -> empty result, no throw") {
+    val fact = Tables.load(spark, sf001, "orders")
+    val dim = Tables.load(spark, sf001, "customer").where(lit(false))
+    assert(Joins.bloomSemiJoin(fact, dim, "o_custkey", "c_custkey").count() == 0)
+  }
+}

@@ -56,7 +56,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("tail: CSV dump (S10) roundtrips the result row count") {
-    val n = out.count()
+    // dump explicitly: flagship defaults to dump = false, and relying
+    // on EntrySmokeSpec having dumped already is suite-order-dependent
+    val n = Pipeline.flagship(spark, sf001, dump = true).count()
     val dumped = spark.read.option("header", "true")
       .csv(new java.io.File(sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath)
     assert(dumped.count() == n)

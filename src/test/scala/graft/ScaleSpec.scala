@@ -109,6 +109,50 @@ class PartitionPruneSpec extends SparkSpec {
     val totalFiles = spark.read.parquet(out).inputFiles.length
     assert(numFiles < totalFiles && numFiles >= 1, s"read $numFiles of $totalFiles")
   }
+
+  test("DYNAMIC partition pruning: runtime dim filter prunes fact partitions") {
+    // the s14_dpp_prune shape: partition values to keep are only
+    // known after running the dim-side filter, so the pruning must be
+    // a dynamicpruningexpression on the fact scan, not a static
+    // PartitionFilter
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dpp_spec").getAbsolutePath
+    Tables.load(spark, sf001, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = Tables.load(spark, sf001, "events")
+      .where(col("event_type").like("%r%"))
+      .select("event_type").distinct()
+    val joined = fact.join(dim, Seq("event_type"), "left_semi")
+      .select("event_id", "event_type")
+    val rows = joined.collect()
+    // semantic parity with the unpartitioned semi join
+    val expected = Tables.load(spark, sf001, "events")
+      .where(col("event_type").like("%r%")).count()
+    assert(rows.length == expected && expected > 0)
+    // the executed plan must carry the dynamic pruning subquery on
+    // the fact scan
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"), planStr.take(2000))
+    // and only the matching partition directories were touched
+    // (AQE wraps subtrees in query stages whose plans are fields, not
+    // children — walk through AdaptiveSparkPlanExec/QueryStageExec)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scans = allNodes(joined.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("graft_dpp_spec") => f
+    }
+    assert(scans.nonEmpty)
+    val numFiles = scans.head.metrics("numFiles").value
+    val totalFiles = fact.inputFiles.length
+    assert(numFiles < totalFiles && numFiles >= 1, s"read $numFiles of $totalFiles")
+  }
 }
 
 class BucketedSpec extends SparkSpec {
