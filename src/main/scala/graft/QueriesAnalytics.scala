@@ -112,6 +112,51 @@ object QueriesAnalytics {
         .orderBy("user_id", "ts", "event_id")
     })
 
+  /** X-EV4: ordered-step funnel (view → click → purchase, each step
+    * within 7 days of the previous step's first completion) — the
+    * product-analytics staple. Three user-keyed min aggregates, each
+    * joined back onto the event stream; every frame that moves is
+    * user-cardinality, and at 100 TB the three aggregates shuffle on
+    * the same user key so AQE co-partitions them. Timestamps are
+    * exact micros — no float anywhere. */
+  private val evFunnel = Q(
+    "ev_funnel",
+    Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t1
+                AND e.ts <= t1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                AND e.ts <= t2.t2 + INTERVAL 7 DAY GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1
+              UNION ALL SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM t2
+              UNION ALL SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM t3)
+            ORDER BY step"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("_t1"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .where(col("event_type") === "click" && col("ts") > col("_t1") &&
+          col("ts") <= col("_t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("_t2"))
+      val t3 = ev.join(t2, Seq("user_id"))
+        .where(col("event_type") === "purchase" && col("ts") > col("_t2") &&
+          col("ts") <= col("_t2") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("_t3"))
+      def stepCount(df: DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("event_type"), col("n_users"))
+      stepCount(t1, 1, "view")
+        .unionByName(stepCount(t2, 2, "click"))
+        .unionByName(stepCount(t3, 3, "purchase"))
+        .orderBy("step")
+    })
+
   /** PII scrubbing over event payloads: user ids are rendered into
     * email/phone shapes (derived from real columns — the corpus
     * itself is digit-free), then redacted most-specific-first so the
@@ -247,6 +292,6 @@ object QueriesAnalytics {
       graft.operators.Skew.skewReport(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
         .orderBy("rank"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evPii, aggRollup, aggCube,
-    u4Unpivot, aggPivot)
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel, evPii,
+    aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -369,6 +369,25 @@ object QueriesRelational {
         .select("o_orderkey", "o_custkey", "o_orderpriority")
         .orderBy("o_orderkey"))
 
+  /** X-U5: INTERSECT ALL (bag semantics — min multiplicity per row),
+    * completing the set-op family (U1 union all, U2 except all). The
+    * reference has no INTERSECT (SURVEY §2.7); at scale this is one
+    * hash aggregate per side + a count-min merge, same shuffle shape
+    * as exceptAll. */
+  private val u5 = Q(
+    "u5_intersect_all",
+    Some("""SELECT o_custkey FROM
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+               INTERSECT ALL
+               SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            ORDER BY o_custkey"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") > 100000).select("o_custkey")
+        .intersectAll(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+
   val all: Seq[Q] = Seq(p2, p5, p6, p8a, p8b, p9, p10, p11, j2, j6, j7,
-    j8a, j8b, j10, j13, j14, u1, u2, u3, o1, m5, c1, c9)
+    j8a, j8b, j10, j13, j14, u1, u2, u3, u5, o1, m5, c1, c9)
 }

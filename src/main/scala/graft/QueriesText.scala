@@ -1122,6 +1122,43 @@ object QueriesText {
           terms = Seq("slow", "skew", "spill"))
         .orderBy("doc_id"))
 
+  /** Asymmetric containment pairs: |A∩B|/|A| over word-3-gram sets,
+    * catching near-SUBSET duplication (quoted/boilerplate inclusion)
+    * that symmetric Jaccard scores near zero. Candidates by prefix
+    * filtering over the global rarity order (PPJoin family — MinHash
+    * bands structurally cannot find subset pairs; char-5 shingles on
+    * this corpus fan the prefix join out 164× vs word grams); verify
+    * is exact set intersection, int/int divisions, no rounding. */
+  private val ddContainment = Q(
+    "dd_containment",
+    Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          dd AS (SELECT doc_id, list_distinct(${ngramsOf("toks", 3)}) AS sh FROM tt),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM dd),
+          dfq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+          rk AS (SELECT ex.doc_id, ex.g, ROW_NUMBER() OVER
+              (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.g) AS rn
+            FROM ex JOIN dfq USING (g)),
+          sz AS (SELECT doc_id, len(sh) AS n FROM dd),
+          pre AS (SELECT rk.doc_id AS pa, rk.g FROM rk
+            JOIN sz ON rk.doc_id = sz.doc_id
+            WHERE rk.rn <= floor((1.0 - 0.6) * sz.n) + 1),
+          cand AS (SELECT DISTINCT least(pre.pa, ex.doc_id) AS a,
+              greatest(pre.pa, ex.doc_id) AS b
+            FROM pre JOIN ex ON pre.g = ex.g WHERE pre.pa != ex.doc_id),
+          j AS (SELECT cand.a, cand.b,
+              len(list_intersect(da.sh, db.sh)) AS inter,
+              len(da.sh) AS na, len(db.sh) AS nb
+            FROM cand JOIN dd da ON cand.a = da.doc_id
+              JOIN dd db ON cand.b = db.doc_id)
+          SELECT a, b, inter / na AS containment_ab,
+            inter / nb AS containment_ba, na, nb
+          FROM j WHERE inter / na >= 0.6 OR inter / nb >= 0.6
+          ORDER BY a, b"""),
+    (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.6, ngram = 3)
+        .orderBy("a", "b"))
+
   /** Keep-BEST dedup canonicalization: near-dup groups (the
     * dd_dup_groups pipeline) resolved to the highest-quality member
     * instead of the min id — what production curation actually keeps.
@@ -1168,6 +1205,6 @@ object QueriesText {
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
-    txChunk, p14Blocklist, ddKeepBest,
+    txChunk, p14Blocklist, ddKeepBest, ddContainment,
     ep4Corpus)
 }

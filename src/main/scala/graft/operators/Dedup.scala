@@ -229,6 +229,78 @@ object Dedup {
       .select(col("group_size"), col("n_groups"),
         (col("group_size") * col("n_groups")).as("n_docs"))
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| over
+    * the char-shingle sets. Jaccard misses near-SUBSET duplication —
+    * a short doc quoted wholesale inside a long one scores
+    * |A|/|B| ≈ 0 Jaccard but containment 1.0 — the boilerplate-
+    * inclusion / quote-expansion case crawl dedup needs.
+    *
+    * MinHash-LSH CANNOT generate these candidates (its collision
+    * probability IS the Jaccard, which is ~0 for subset pairs — a
+    * first-cut implementation banding the usual signatures missed
+    * every planted subset pair in ContainmentSpec). The scale-correct
+    * candidate stage is PREFIX FILTERING over a global rarity order
+    * (the PPJoin family): order each doc's shingles by ascending
+    * corpus document-frequency (rarest first, shingle text as the
+    * total tie-break), keep each doc's first ⌊(1−t)·n⌋+1 — if
+    * C(A→B) ≥ t, not all of A's prefix can miss B (pigeonhole), so
+    * joining PREFIX shingles against the full inverted index finds
+    * every qualifying pair in either direction. Rarity ordering keeps
+    * the join fan-out bounded: prefix shingles are precisely the ones
+    * with small document frequency.
+    *
+    * Verify = exact set intersection on the shingle arrays; both
+    * directed containments are int/int divisions — bit-exact across
+    * engines, no rounding recipe.
+    *
+    * The shingle unit is WORD n-grams, not char k-grams: prefix
+    * filtering's cost is Σ df(prefix shingle), and char-5-grams on a
+    * low-diversity corpus have document frequencies in the hundreds
+    * (measured: 136M candidate pairs at sf0.1, 70 s) while word
+    * 3-grams over the same corpus max out at df=14 (0.8M candidates,
+    * 164× less). Rarity-ordered prefixes only help when the shingle
+    * space itself is diverse.
+    *
+    * Scale: one df aggregate on the shingle key + one rank window per
+    * doc (the TF-IDF shuffle shape), candidate join keyed by shingle
+    * (work ∝ prefix·df collisions, never |corpus|²), verified pairs
+    * only carry shingle arrays. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.core.Tables.spread(
+        df.select(col(idCol).as("_sid"), col(textCol).as("_t")), col("_sid"))
+      .select(col("_sid"), Text.wordShingles(col("_t"), ngram).as("_sh"))
+      .localCheckpoint()
+    val ex = sh.select(col("_sid"), explode(col("_sh")).as("_g"))
+    val dfreq = ex.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val ranked = ex.join(dfreq, Seq("_g"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_sid").orderBy(col("_df"), col("_g"))))
+    val prefix = ranked
+      .join(sh.select(col("_sid"), size(col("_sh")).as("_n")), Seq("_sid"))
+      .where(col("_rn") <= floor((lit(1.0) - threshold) * col("_n")) + 1)
+      .select(col("_sid").as("_pa"), col("_g"))
+    val cand = graft.core.Tables.spread(
+        prefix.join(ex.select(col("_sid").as("_pb"), col("_g")), Seq("_g"))
+          .where(col("_pa") =!= col("_pb"))
+          .select(least(col("_pa"), col("_pb")).as("a"),
+            greatest(col("_pa"), col("_pb")).as("b")),
+        col("a"), col("b"))
+      .distinct()
+    val j = cand
+      .join(sh.select(col("_sid").as("a"), col("_sh").as("_sha")), Seq("a"))
+      .join(sh.select(col("_sid").as("b"), col("_sh").as("_shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("_sha"), col("_shb"))).as("_inter"),
+        size(col("_sha")).as("_na"), size(col("_shb")).as("_nb"))
+    j.select(col("a"), col("b"),
+        (col("_inter") / col("_na")).as("containment_ab"),
+        (col("_inter") / col("_nb")).as("containment_ba"),
+        col("_na").cast(LongType).as("na"), col("_nb").cast(LongType).as("nb"))
+      .where(col("containment_ab") >= threshold || col("containment_ba") >= threshold)
+  }
+
   /** Keep-BEST canonicalization: where [[duplicateGroups]] keeps the
     * min-id doc of every duplicate group, production curation keeps
     * the highest-QUALITY copy (the cleanest extraction of a page that

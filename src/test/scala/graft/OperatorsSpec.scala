@@ -372,3 +372,61 @@ class CurationOpsSpec extends SparkSpec {
     assert(Joins.bloomSemiJoin(fact, dim, "o_custkey", "c_custkey").count() == 0)
   }
 }
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("containment catches a near-subset pair that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "completely unrelated text body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.8,
+      ngram = 3).collect()
+    // the (1,2) pair: every shingle of the short doc appears in the long one
+    val p = pairs.find(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L)
+    assert(p.isDefined, s"pairs=${pairs.mkString(",")}")
+    assert(p.get.getAs[Double]("containment_ab") > 0.9)
+    // while symmetric Jaccard on the same pair is low
+    val j = Dedup.minhashVerifiedPairs(df, "doc_id", "text", threshold = 0.0,
+        shingleSize = 5, numHashes = 8, bandSize = 2, poly = true)
+      .where(col("a") === 1 && col("b") === 2).collect()
+    assert(j.forall(_.getAs[Double]("jaccard") < 0.5))
+  }
+}
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel steps require strict order within the step window") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes the full funnel in order
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-02 10:00:00"), "click"),
+      (1L, ts("2026-01-03 10:00:00"), "purchase"),
+      // user 2 clicks BEFORE viewing -> stops at step 1
+      (2L, ts("2026-01-02 10:00:00"), "view"),
+      (2L, ts("2026-01-01 10:00:00"), "click"),
+      // user 3 clicks 8 days after the view -> outside the 7-day window
+      (3L, ts("2026-01-01 10:00:00"), "view"),
+      (3L, ts("2026-01-09 10:00:01"), "click"),
+      // user 4 never views
+      (4L, ts("2026-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("_t1"))
+    val t2 = ev.join(t1, Seq("user_id"))
+      .where(col("event_type") === "click" && col("ts") > col("_t1") &&
+        col("ts") <= col("_t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min(col("ts")).as("_t2"))
+    val t3 = ev.join(t2, Seq("user_id"))
+      .where(col("event_type") === "purchase" && col("ts") > col("_t2") &&
+        col("ts") <= col("_t2") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min(col("ts")).as("_t3"))
+    assert(t1.count() == 3)                         // users 1,2,3 viewed
+    assert(t2.select("user_id").as[Long].collect().toSet == Set(1L))
+    assert(t3.select("user_id").as[Long].collect().toSet == Set(1L))
+  }
+}
