@@ -157,6 +157,55 @@ object QueriesAnalytics {
         .orderBy("step")
     })
 
+  /** X-EV5: cohort retention matrix — users cohorted by first-event
+    * date, distinct actives per (cohort, week offset), retention
+    * share. All integer dates/counts; one user-keyed aggregate + one
+    * user-keyed join; the output is cohorts × offsets, bounded at any
+    * scale. */
+  private val evRetention = Q(
+    "ev_retention",
+    Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+              FROM events GROUP BY user_id),
+            o AS (SELECT DISTINCT f.user_id, f.cohort_date,
+                CAST(floor(date_diff('day', f.cohort_date, CAST(e.ts AS DATE))
+                  / 7.0) AS BIGINT) AS week_offset
+              FROM events e JOIN f ON e.user_id = f.user_id),
+            c AS (SELECT cohort_date, week_offset, count(*) AS n_users
+              FROM o GROUP BY cohort_date, week_offset),
+            s AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_date) AS cohort_size FROM c)
+            SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+              week_offset, n_users, cohort_size,
+              floor(CAST(n_users AS DOUBLE) * 1000000.0 / cohort_size + 0.5)
+                / 1000000.0 AS retention
+            FROM s ORDER BY cohort_date, week_offset"""),
+    (s, dir) =>
+      graft.operators.Temporal.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts", bucketDays = 7)
+        .orderBy("cohort_date", "week_offset"))
+
+  /** X-EV6: first-order event-type transition matrix — counts and
+    * per-source shares of user-consecutive (from → to) pairs, the
+    * Markov-chain view of the stream. One user-keyed window shuffle;
+    * |types|²-bounded output. */
+  private val evTransitions = Q(
+    "ev_transitions",
+    Some("""WITH nx AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+              WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+            s AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS n_from FROM c)
+            SELECT from_type, to_type, n, n_from,
+              floor(CAST(n AS DOUBLE) * 1000000.0 / n_from + 0.5)
+                / 1000000.0 AS share
+            FROM s ORDER BY from_type, to_type"""),
+    (s, dir) =>
+      graft.operators.Temporal.eventTransitions(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type"))
+
   /** PII scrubbing over event payloads: user ids are rendered into
     * email/phone shapes (derived from real columns — the corpus
     * itself is digit-free), then redacted most-specific-first so the
@@ -292,6 +341,7 @@ object QueriesAnalytics {
       graft.operators.Skew.skewReport(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
         .orderBy("rank"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel, evPii,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
+    evRetention, evTransitions, evPii,
     aggRollup, aggCube, u4Unpivot, aggPivot)
 }

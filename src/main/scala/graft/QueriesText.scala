@@ -1159,6 +1159,36 @@ object QueriesText {
           threshold = 0.6, ngram = 3)
         .orderBy("a", "b"))
 
+  /** X-DD14: cross-corpus duplicated-span coverage — fraction of each
+    * document's tokens lying inside a word 8-gram that occurs more
+    * than once corpus-wide (the MassiveText boilerplate signal;
+    * tx_repetition's dup-3gram fraction is the within-doc sibling).
+    * Positional grams zip by parallel unnest in the oracle, exactly
+    * mirroring posexplode. */
+  private val ddDupSpan = Q(
+    "dd_dupspan",
+    Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tt),
+          g AS (SELECT doc_id,
+              unnest(range(0, greatest(n_tokens - 7, 0))) AS pos,
+              unnest(list_transform(range(0, greatest(n_tokens - 7, 0)),
+                i -> array_to_string(
+                  toks[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' '))) AS gram
+            FROM b),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+          cov AS (SELECT DISTINCT doc_id, p FROM
+            (SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS p
+             FROM g JOIN dup USING (gram))),
+          cnt AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
+          SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+            CASE WHEN b.n_tokens = 0 THEN 0.0
+              ELSE floor(CAST(coalesce(cnt.n_cov, 0) AS DOUBLE) * 1000000.0
+                / b.n_tokens + 0.5) / 1000000.0 END AS dup_span_fraction
+          FROM b LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"))
+
   /** Keep-BEST dedup canonicalization: near-dup groups (the
     * dd_dup_groups pipeline) resolved to the highest-quality member
     * instead of the min id — what production curation actually keeps.
@@ -1205,6 +1235,6 @@ object QueriesText {
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,
-    txChunk, p14Blocklist, ddKeepBest, ddContainment,
+    txChunk, p14Blocklist, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)
 }

@@ -392,6 +392,50 @@ object Dedup {
   /** 64-bit SimHash per document (md5-derived token hashes, sign-of-
     * sum bits) via the compiled SimHash64 expression: one narrow map,
     * no explode/shuffle. Not oracle-mirrorable; covered by DedupSpec. */
+  /** Cross-document duplicated-span coverage (the MassiveText-style
+    * "fraction of text inside duplicated n-grams" signal, computed
+    * CORPUS-WIDE rather than within one document — [[Text.dupNgramFraction]]
+    * is the within-doc sibling): a token position is covered when it
+    * lies inside any word n-gram that occurs more than once in the
+    * whole corpus; the score is covered positions / total tokens.
+    * High coverage flags boilerplate (headers, license blocks,
+    * templated pages) that exact and near dedup both miss because the
+    * surrounding document differs.
+    *
+    * Scale shape: positional n-grams are a narrow scan-stage explode
+    * (rows = tokens); the global occurrence count is one hash
+    * aggregate with map-side partials; only DUPLICATED grams (a small
+    * fraction of a healthy corpus) explode into positions, then a
+    * (doc, position) distinct + per-doc count. Nothing is ever
+    * all-pairs and no driver state exists. The (id, tokens) frame is
+    * materialized once so the gram projection isn't re-evaluated
+    * below the exchange by InferFiltersFromGenerate (NOTES r7 rule:
+    * explode after an expensive projection). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val base = graft.core.Tables.spread(
+        df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+          .withColumn("n_tokens", size(col("_toks")).cast(LongType)),
+        col(idCol))
+      .localCheckpoint()
+    val grams = base.select(col(idCol), posexplode(
+        when(col("n_tokens") >= n,
+          expr(s"transform(sequence(0, int(n_tokens) - $n), i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as(Seq("_pos", "_gram")))
+    val dup = grams.groupBy("_gram").agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > 1).select("_gram")
+    val covered = grams.join(dup, Seq("_gram"))
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_p"))
+      .distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("_ncov"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          floor(coalesce(col("_ncov"), lit(0L)).cast(DoubleType) * 1e6
+            / col("n_tokens") + 0.5) / 1e6).as("dup_span_fraction"))
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Tables.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),

@@ -92,4 +92,60 @@ object Temporal {
       .where(col("_rk") <= k)
       .withColumnRenamed("_rk", "rank_in_group")
   }
+
+  /** Cohort retention matrix: users cohorted by the DATE of their
+    * first event; for each (cohort_date, bucket offset) the distinct
+    * users still active, the cohort size, and the retention share.
+    *
+    * Scale shape: one user-keyed aggregate (first-seen date), one
+    * user-keyed join back onto the stream (both sides shuffle on the
+    * same key — AQE co-partitions; the first-seen side is
+    * user-cardinality, often broadcastable), then a distinct +
+    * aggregate whose output is bounded by cohorts × offsets. All
+    * arithmetic is integer dates/counts; the single share division
+    * uses the floor(x·1e6+0.5) emission recipe. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketDays: Int = 7): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val offsets = events.join(first, Seq(userCol))
+      .select(col(userCol), col("cohort_date"),
+        floor(datediff(to_date(col(tsCol)), col("cohort_date")) / lit(bucketDays.toDouble))
+          .cast(LongType).as("week_offset"))
+      .distinct()
+    val counts = offsets.groupBy("cohort_date", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val wCohort = Window.partitionBy("cohort_date")
+    counts
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wCohort))
+      .withColumn("retention",
+        floor(col("n_users").cast(DoubleType) * 1e6 / col("cohort_size") + 0.5) / 1e6)
+      // Emit the cohort as 'yyyy-MM-dd' text: a DATE column round-trips
+      // asymmetrically through the two engines' parquet/pandas paths
+      // (date32 -> python objects vs datetime64), which the hash
+      // compare would flag even though the values agree.
+      .withColumn("cohort_date", date_format(col("cohort_date"), "yyyy-MM-dd"))
+  }
+
+  /** First-order (Markov) event-type transition counts: for each
+    * user-consecutive event pair, count (from_type → to_type) and the
+    * per-source transition share. One shuffle on the user key for the
+    * lead() window; the aggregate output is |types|² — bounded at any
+    * input size. `tieBreak` makes same-timestamp ordering
+    * deterministic across engines. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val next = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val counts = next.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    counts
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .withColumn("share",
+        floor(col("n").cast(DoubleType) * 1e6 / col("n_from") + 0.5) / 1e6)
+  }
 }

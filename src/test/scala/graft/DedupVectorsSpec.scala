@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
       .as[Double].collect()
     assert(j(0) == 1.0 && j(1) == 0.0)
   }
+
+  test("dupSpanCoverage: corpus-repeated 8-gram spans, short docs are 0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h p q"),     // shares the 8-gram at pos 0 -> 8/10
+      (2L, "z a b c d e f g h"),       // same 8-gram at pos 1 -> 8/9
+      (3L, "k l m n o u v w x y"),     // all grams unique -> 0
+      (4L, "s t u"))                   // shorter than 8 tokens -> 0
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 8)
+      .select("doc_id", "n_tokens", "dup_span_fraction")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, f) => id -> ((n, f)) }.toMap
+    assert(out(1L) == (10L, 0.8))
+    assert(out(2L) == (9L, 0.888889)) // floor(8e6/9 + 0.5) / 1e6
+    assert(out(3L) == (10L, 0.0))
+    assert(out(4L) == (3L, 0.0))
+  }
 }
 
 class VectorsSpec extends SparkSpec {

@@ -91,4 +91,40 @@ class TemporalSpec extends SparkSpec {
       .collect().toSet
     assert(out == Set(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 1L)))
   }
+
+  test("cohortRetention: cohort by first date, weekly offsets, shares") {
+    // user 1: first 2024-01-01, active again day 8 (week 1)
+    // user 2: first 2024-01-01 only (two events same day -> one row)
+    // user 3: first 2024-01-09, active day 23 (week 2)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-09 09:00:00"),
+      (2L, "2024-01-01 23:00:00"), (2L, "2024-01-01 23:30:00"),
+      (3L, "2024-01-09 08:00:00"), (3L, "2024-01-23 08:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Temporal.cohortRetention(ev, "user_id", "ts", bucketDays = 7)
+      .select("cohort_date", "week_offset", "n_users", "cohort_size", "retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-09", 0L, 1L, 1L, 1.0),
+      ("2024-01-09", 2L, 1L, 1L, 1.0)))
+  }
+
+  test("eventTransitions: consecutive pairs per user, shares sum to 1") {
+    val ev = Seq(
+      (1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "c"),
+      (2L, 4L, "v"), (2L, 5L, "p"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, event_id)"))
+    val out = Temporal.eventTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .select("from_type", "to_type", "n", "n_from", "share")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    // user1: v->c, c->c; user2: v->p
+    assert(out == Set(
+      ("v", "c", 1L, 2L, 0.5), ("v", "p", 1L, 2L, 0.5),
+      ("c", "c", 1L, 1L, 1.0)))
+  }
 }
