@@ -354,5 +354,51 @@ object QueriesSources {
           outBytes = 16)
         .orderBy("doc_id", "i"))
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, st1, st2, st3, mm1, mm2, mm3, mm4)
+  /** X-S15: bucketed tables + shuffle-free co-located join. Both
+    * sides are written `bucketBy(8, key)` into the same bucket
+    * layout, so the sort-merge join consumes the scans' bucket
+    * partitioning directly — ZERO Exchange in the join subtree
+    * (asserted in PartitionPruneSpec), and the follow-up per-order
+    * aggregate reuses the same partitioning (grouping keys ⊇ hash
+    * key). At 100 TB this is THE repeated-join answer: pay the
+    * bucketed write once, then every orderkey join/aggregate over
+    * the table runs shuffle-free. The write happens on first use per
+    * scale dir (like the S7 snapshot); `.hint("merge")` keeps the
+    * demonstration honest where AQE would broadcast the small side.
+    * Oracle: the identical join on the unbucketed tables. */
+  private val s15 = Q(
+    "s15_bucketed_join",
+    Some(s"""SELECT o.o_orderkey, o.o_custkey, count(*) AS n_items,
+               ${Det.sqlDsum("l.l_extendedprice")} AS sum_price
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             GROUP BY o.o_orderkey, o.o_custkey ORDER BY o_orderkey"""),
+    (s, dir) => bucketedJoin(s, dir))
+
+  /** Builds (once per scale dir) the bucketed copies and runs the
+    * co-located join; also the subject of PartitionPruneSpec's
+    * no-Exchange plan assertion. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketed
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def ensure(name: String, df: => DataFrame, bucketCol: String): String = {
+      val tbl = s"${name}_$key"
+      if (!s.catalog.tableExists(tbl)) Bucketed.write(df, tbl, bucketCol, 8)
+      tbl
+    }
+    val ot = ensure("orders_bkt",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "o_orderkey")
+    val lt = ensure("lineitem_bkt",
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      "l_orderkey")
+    val o = s.table(ot)
+    val l = s.table(lt)
+    o.hint("merge").join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"), o("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

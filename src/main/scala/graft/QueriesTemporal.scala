@@ -175,6 +175,60 @@ object QueriesTemporal {
         .orderBy("click_id", "purchase_id")
     })
 
+  /** X-EV7: gap-based sessionization (30-min inactivity boundary) —
+    * the web/product-analytics primitive batch pipelines rebuild
+    * daily at fact scale. One user-keyed shuffle; the per-session
+    * aggregate reuses the window's partitioning (no second exchange
+    * — grouping keys are a superset of the hash keys). Exact micro
+    * timestamps throughout. */
+  private val evSessionize = Q(
+    "ev_sessionize",
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+              CAST(sum(new_s) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o)
+            SELECT user_id, session_id, min(ts) AS session_start,
+              max(ts) AS session_end, count(*) AS n_events,
+              max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""),
+    (s, dir) =>
+      Temporal.sessionize(t(s, dir, "events"), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = "event_id")
+        .orderBy("user_id", "session_id"))
+
+  /** X-W6: distribution-rank window suite — percent_rank, cume_dist,
+    * ntile(4) per group over a deterministic total order. All three
+    * are rank-arithmetic (ints + one exact IEEE division), so they
+    * hash-match cross-engine; one window shuffle on the group key. */
+  private val w6Ranks = Q(
+    "w6_rank_suite",
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume,
+              ntile(4) OVER w AS quartile
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+            ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast(org.apache.spark.sql.types.LongType).as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
   val all: Seq[Q] = Seq(j11Asof, j12Range, w4TopK, stSliding,
-    w5TimeWindow, stAttribution)
+    w5TimeWindow, stAttribution, evSessionize, w6Ranks)
 }

@@ -470,6 +470,22 @@ object QueriesText {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_key"))
 
+  /** X-DD16: soft dedup — duplicates are down-weighted (1/n_copies)
+    * instead of dropped, preserving the group's unit training mass.
+    * Hash aggregate + same-key join back; detail rows shuffle once. */
+  private val ddSoft = Q(
+    "dd_soft_weights",
+    Some("""WITH k AS (SELECT doc_id, md5(lower(text)) AS content_key
+              FROM documents),
+            c AS (SELECT content_key, count(*) AS n_copies FROM k
+              GROUP BY content_key)
+            SELECT k.doc_id, k.content_key, c.n_copies,
+              floor(1000000.0 / n_copies + 0.5) / 1000000.0 AS weight
+            FROM k JOIN c USING (content_key) ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.softWeights(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+
   /** MinHash + LSH near-dedup: shingle → 8 minhashes → 2 bands →
     * bucket-join candidates → exact-Jaccard verify. Never compares
     * all pairs. */
@@ -1231,7 +1247,7 @@ object QueriesText {
     txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
-    ddExact, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
+    ddExact, ddSoft, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     ssQuant,

@@ -34,6 +34,21 @@ object Dedup {
     df.groupBy(Text.canonicalUrl(col(urlCol)).as("url_key"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** Soft dedup: instead of dropping duplicates, every document keeps
+    * a sampling weight 1/n_copies of its exact-content group, so the
+    * group's total training mass equals one copy (the
+    * down-weighting alternative to hard removal). One hash aggregate
+    * + a join back on the same key — both sides shuffle on
+    * content_key, so AQE co-partitions them; the count side is
+    * group-cardinality (usually broadcastable). */
+  def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), contentKey(col(textCol)).as("content_key"))
+    val counts = keyed.groupBy("content_key").agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, Seq("content_key"))
+      .withColumn("weight", floor(lit(1e6) / col("n_copies") + 0.5) / 1e6)
+      .select(col(idCol), col("content_key"), col("n_copies"), col("weight"))
+  }
+
   /** MinHash signature of a shingle-set column: for each of
     * `numHashes` hash functions, the minimum md5(seed:shingle).
     * Hex-string min == numeric min of the 128-bit hash — no integer

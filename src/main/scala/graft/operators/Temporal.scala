@@ -128,6 +128,34 @@ object Temporal {
       .withColumn("cohort_date", date_format(col("cohort_date"), "yyyy-MM-dd"))
   }
 
+  /** Gap-based batch sessionization: a user's events are split into
+    * sessions wherever the gap to the previous event exceeds
+    * `gapSeconds`; one summary row per session.
+    *
+    * Scale shape: ONE shuffle total. The lag()/running-sum windows
+    * hash-partition on the user key, and the per-session aggregate's
+    * required clustering (user, session) is already satisfied by that
+    * partitioning (hash on a subset of the grouping keys), so the
+    * groupBy adds no exchange — verified in the formatted plan. All
+    * arithmetic is exact micros; no floats anywhere. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val us = unix_micros(col(tsCol))
+    val flagged = events.select(
+        col(userCol), col(tsCol), col(tieBreak),
+        when(us - lag(us, 1).over(w) > gapSeconds * 1000000L ||
+          lag(us, 1).over(w).isNull, 1L).otherwise(0L).as("_new"))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"))
+  }
+
   /** First-order (Markov) event-type transition counts: for each
     * user-consecutive event pair, count (from_type → to_type) and the
     * per-source transition share. One shuffle on the user key for the

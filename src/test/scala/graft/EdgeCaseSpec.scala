@@ -74,6 +74,26 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("k"), col("v"), 3.0).count() == 0)
   }
 
+  test("sessionize: empty input and single-event users") {
+    val ev = Seq((1L, "2024-01-01 10:00:00", 100L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", ts("ts_s")).drop("ts_s")
+    assert(Temporal.sessionize(ev.where(lit(false)), "user_id", "ts",
+      1800, "event_id").count() == 0)
+    val one = Temporal.sessionize(ev, "user_id", "ts", 1800, "event_id").collect()
+    assert(one.length == 1 &&
+      one(0).getAs[Long]("n_events") == 1L &&
+      one(0).getAs[Long]("duration_us") == 0L &&
+      one(0).getAs[Long]("session_id") == 1L)
+  }
+
+  test("softWeights: empty corpus -> empty; all-unique corpus -> weight 1") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(Dedup.softWeights(docs.where(lit(false)), "doc_id", "text").count() == 0)
+    val w = Dedup.softWeights(docs, "doc_id", "text").collect()
+    assert(w.forall(_.getAs[Double]("weight") == 1.0))
+  }
+
   test("profile on an empty table still reports one row per column") {
     val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
     val out = Tables.profile(df, Seq("a", "b")).collect()

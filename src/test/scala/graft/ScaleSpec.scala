@@ -174,4 +174,19 @@ class BucketedSpec extends SparkSpec {
     val expected = li.join(o, Seq("l_orderkey")).count()
     assert(joined.count() == expected)
   }
+
+  test("s15 registered query: join AND per-order aggregate reuse bucket partitioning") {
+    val df = QueriesSources.bucketedJoin(spark, sf001)
+    df.collect()
+    // the only permitted hash exchange would come from the final
+    // ORDER BY (range partitioning) — the join and the groupBy must
+    // both consume the scans' bucket layout
+    assert(Bucketed.isShuffleFree(df), df.queryExecution.executedPlan.toString)
+    // parity with the plain-layout equivalent
+    val o = Tables.load(spark, sf001, "orders")
+    val l = Tables.load(spark, sf001, "lineitem")
+    val expected = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey")).count().count()
+    assert(df.count() == expected)
+  }
 }
