@@ -1104,6 +1104,46 @@ object QueriesText {
           ORDER BY qid, cosine DESC, cid"""
     })
 
+  /** X-M8: distributed k-means cluster report — deterministic
+    * driver-sample training (the IVF quantizer), then the full-corpus
+    * assignment + per-cluster (size, mean quantized distance) as one
+    * compiled scan pass + a k-row aggregate. Oracle generated at
+    * Verify time with the trained centroids inlined as literals,
+    * assignment and distance mirrored op-for-op. */
+  private val m8Kmeans = Q(
+    "m8_kmeans",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      Vectors.kmeansReport(e, "vec_id", "embedding", cents)
+        .orderBy("cell")
+    },
+    sqlGen = Some { (s, dir) =>
+      val cents = Vectors.trainIvfCentroids(
+        t(s, dir, "embeddings"), "embedding", nCentroids = 8)
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      val distExpr =
+        """list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+      s"""WITH cents AS (SELECT * FROM (VALUES
+              $centRows) AS t(cell, cvec)),
+          d AS (SELECT e.vec_id, c.cell, $distExpr AS dist
+            FROM embeddings e CROSS JOIN cents c),
+          ranked AS (SELECT vec_id, cell, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+            FROM d),
+          a AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+              floor(sqrt(dist) * 1e6 + 0.5) / 1e6 AS dist_q
+            FROM ranked WHERE crn = 1)
+          SELECT cell, count(*) AS n,
+            ${graft.core.Det.sqlDavgLong("dist_q", 6)} AS mean_dist
+          FROM a GROUP BY cell ORDER BY cell"""
+    })
+
   /** Sliding-window chunking with overlap (window 64, stride 48 ⇒
     * 16-token overlap): the RAG/passage prep. Pure scan-stage math —
     * sequence of starts, one posexplode, slice; no shuffle. */
@@ -1250,7 +1290,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
-    ssQuant,
+    m8Kmeans, ssQuant,
     txChunk, p14Blocklist, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)
 }

@@ -196,6 +196,42 @@ object Vectors {
                         iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] =
     kmeansFit(hashOrderedSample(df, vecCol, sampleSize), nCentroids, iterations)
 
+  /** X-M8: distributed k-means cluster report. Training runs on the
+    * deterministic hash-ordered driver sample (maximin init + fixed
+    * Lloyd iterations — the same quantizer the IVF index uses); the
+    * DISTRIBUTED part is the full-corpus pass: every vector assigned
+    * to its nearest centroid by the compiled [[graft.functions.Expressions.NearestCells]]
+    * kernel, then one k-row aggregate of (size, mean distance). At
+    * 100 TB the centroids ride into the scan as expression literals —
+    * no join, no broadcast table — and the only shuffle is k rows of
+    * partial moments. Distances are quantized on the 1e-6 grid with
+    * the floor recipe, so the mean is a long-sum [[graft.core.Det.davgLong]]
+    * both engines agree on bit-for-bit. */
+  def kmeansReport(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.Expressions.nearestCells
+    val base = graft.core.Tables.spread(
+      df.select(col(idCol), col(vecCol)), col(idCol))
+    val centLit = array(centroids.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val assigned = base.select(
+      nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
+      col(vecCol))
+    // (x - c)^2 folded left-to-right in double — the NearestCells
+    // loop order, so the value is the exact distance the assignment
+    // itself minimized (and the SQL mirror reproduces).
+    val cvec = element_at(centLit, col("_cell") + 1)
+    val d2 = aggregate(
+      zip_with(toDoubles(col(vecCol)), cvec, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val distQ = floor(sqrt(d2) * 1e6 + 0.5) / 1e6
+    assigned
+      .select(col("_cell").cast(LongType).as("cell"), distQ.as("_dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Det.davgLong(col("_dist"), 6).as("mean_dist"))
+  }
+
   /** Product-quantization codebooks: the `dim`-dimensional space is
     * split into `m` contiguous subspaces of dim/m dimensions, and an
     * independent kSub-centroid k-means codebook is trained per

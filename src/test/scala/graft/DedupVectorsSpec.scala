@@ -174,6 +174,44 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansReport: sizes partition the corpus, means match brute force") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 4)
+    val rep = Vectors.kmeansReport(e, "vec_id", "embedding", cents)
+      .orderBy("cell").collect()
+    val total = e.count()
+    assert(rep.map(_.getAs[Long]("n")).sum == total)
+    assert(rep.forall(_.getAs[Double]("mean_dist") >= 0.0))
+    // brute-force check on the full (small) corpus: assignment argmin
+    // + quantized mean distance per cluster
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val byCell = vecs.groupBy { case (_, v) =>
+      val ds = cents.map { c =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = v(i).toDouble - c(i); d += t * t; i += 1 }
+        d
+      }
+      ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }
+    rep.foreach { r =>
+      val cell = r.getAs[Long]("cell").toInt
+      val members = byCell(cell)
+      assert(r.getAs[Long]("n") == members.length)
+      val qdists = members.map { case (_, v) =>
+        var d = 0.0; var i = 0
+        while (i < cents(cell).length) {
+          val t = v(i).toDouble - cents(cell)(i); d += t * t; i += 1
+        }
+        math.floor(math.sqrt(d) * 1e6 + 0.5) / 1e6
+      }
+      val mean = (qdists.map(x => math.round(x * 1e6)).sum.toDouble /
+        qdists.length) / 1e6
+      assert(math.abs(r.getAs[Double]("mean_dist") - mean) < 1e-12,
+        s"cell=$cell got=${r.getAs[Double]("mean_dist")} expected=$mean")
+    }
+  }
+
   test("compiled CosineSim == composable zip_with/aggregate cosine") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings").limit(100)
     val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
