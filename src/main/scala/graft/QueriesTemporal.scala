@@ -81,6 +81,46 @@ object QueriesTemporal {
         .orderBy("event_id", "err_id")
     })
 
+  /** X-J15: interval × interval OVERLAP join — high-severity error
+    * windows (30 min) against signup-influence windows (60 min);
+    * pairs where the windows intersect, with the exact overlap span.
+    * The claim-cell rule (emit only in the cell holding the overlap's
+    * first instant) makes the cell-bucketed equi-join duplicate-free
+    * WITHOUT a distinct shuffle — both sides can be fact-sized. */
+  private val j15Overlap = Q(
+    "j15_interval_overlap",
+    Some("""WITH a AS (SELECT event_id AS err_id, ts AS a_start,
+              ts + INTERVAL 30 MINUTE AS a_end
+              FROM events WHERE event_type = 'error' AND value > 90),
+            b AS (SELECT event_id AS signup_id, ts AS b_start,
+              ts + INTERVAL 60 MINUTE AS b_end
+              FROM events WHERE event_type = 'signup' AND value > 80)
+            SELECT a.err_id, b.signup_id,
+              greatest(a.a_start, b.b_start) AS overlap_start,
+              least(a.a_end, b.b_end) AS overlap_end,
+              epoch_us(least(a.a_end, b.b_end))
+                - epoch_us(greatest(a.a_start, b.b_start)) AS overlap_us
+            FROM a JOIN b ON a.a_start < b.b_end AND b.b_start < a.a_end
+            ORDER BY err_id, signup_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errs = ev.where(col("event_type") === "error" && col("value") > 90)
+        .select(col("event_id").as("err_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_end"))
+      val signups = ev.where(col("event_type") === "signup" && col("value") > 80)
+        .select(col("event_id").as("signup_id"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 60 MINUTES")).as("b_end"))
+      Temporal.intervalOverlapJoin(errs, "a_start", "a_end",
+          signups, "b_start", "b_end", bucketSeconds = 1800L)
+        .select(col("err_id"), col("signup_id"),
+          greatest(col("a_start"), col("b_start")).as("overlap_start"),
+          least(col("a_end"), col("b_end")).as("overlap_end"),
+          (unix_micros(least(col("a_end"), col("b_end")))
+            - unix_micros(greatest(col("a_start"), col("b_start"))))
+            .as("overlap_us"))
+        .orderBy("err_id", "signup_id")
+    })
+
   /** W4: top-k per group — the 3 highest-price lineitems per
     * supplier, deterministic tie-break. One window pass, shuffle on
     * the (high-cardinality) group key. */
@@ -229,6 +269,6 @@ object QueriesTemporal {
         .orderBy("l_orderkey", "l_linenumber")
     })
 
-  val all: Seq[Q] = Seq(j11Asof, j12Range, w4TopK, stSliding,
+  val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, w4TopK, stSliding,
     w5TimeWindow, stAttribution, evSessionize, w6Ranks)
 }

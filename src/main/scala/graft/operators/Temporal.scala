@@ -81,6 +81,31 @@ object Temporal {
       .drop("_cell")
   }
 
+  /** Interval × interval OVERLAP join: every (a, b) pair with
+    * `a.start < b.end AND b.start < a.end`. Like [[rangeJoin]] both
+    * sides explode into the fixed-width time cells they cover and
+    * equi-join on the cell id — but an overlapping pair shares EVERY
+    * cell the overlap spans, so the naive form emits duplicates. The
+    * claim-cell rule dedups for free: a pair is emitted only in the
+    * cell containing `max(a.start, b.start)` (the overlap's first
+    * instant — inside both intervals, hence a cell both sides
+    * exploded into, and unique per pair). No distinct pass, no
+    * shuffle beyond the cell equi-join, candidates ∝ cells covered. */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    def cells(s: String, e: String) = sequence(
+      floor(col(s).cast(DoubleType) / bucketSeconds).cast(LongType),
+      floor(col(e).cast(DoubleType) / bucketSeconds).cast(LongType))
+    val ae = a.withColumn("_cell", explode(cells(aStart, aEnd)))
+    val be = b.withColumn("_cell", explode(cells(bStart, bEnd)))
+    ae.join(be, Seq("_cell"))
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("_cell") === floor(greatest(col(aStart), col(bStart))
+          .cast(DoubleType) / bucketSeconds).cast(LongType))
+      .drop("_cell")
+  }
+
   /** Top-k rows per group by `order` (largest first, deterministic
     * tie-break columns required in `order`) — the "best k per key"
     * idiom as one window pass; partial top-k runs map-side via the

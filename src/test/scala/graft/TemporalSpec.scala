@@ -58,6 +58,33 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
   }
 
+  test("intervalOverlapJoin: strict boundaries, claim-cell emits each pair once") {
+    val a = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),  // spans 4 cells
+      (2L, "2024-01-01 09:00:00", "2024-01-01 09:30:00"))  // touches 20's start
+      .toDF("aid", "s_s", "e_s")
+      .withColumn("a_start", to_timestamp(col("s_s")))
+      .withColumn("a_end", to_timestamp(col("e_s"))).drop("s_s", "e_s")
+    val b = Seq(
+      (20L, "2024-01-01 09:30:00", "2024-01-01 11:00:00"),  // overlaps 1 across cells
+      (21L, "2024-01-01 11:59:00", "2024-01-01 13:00:00"),  // 1-minute overlap with 1
+      (22L, "2024-01-01 12:00:00", "2024-01-01 12:30:00"))  // touching a_end: no overlap
+      .toDF("bid", "s_s", "e_s")
+      .withColumn("b_start", to_timestamp(col("s_s")))
+      .withColumn("b_end", to_timestamp(col("e_s"))).drop("s_s", "e_s")
+    val rows = Temporal.intervalOverlapJoin(a, "a_start", "a_end",
+        b, "b_start", "b_end", 1800L)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    // exactly once per overlapping pair — the claim-cell rule dedups
+    assert(rows.length == rows.toSet.size, "duplicate pair emitted")
+    assert(rows.toSet == Set((1L, 20L), (1L, 21L)))
+    // plan: cell equi-join, never a nested-loop
+    val plan = Temporal.intervalOverlapJoin(a, "a_start", "a_end",
+        b, "b_start", "b_end", 1800L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("rangeJoin plan: bucketed equi-join, no BroadcastNestedLoopJoin") {
     val ev = core.Tables.load(spark, sf001, "events")
     val clicks = ev.where(col("event_type") === "click").select("event_id", "ts")
