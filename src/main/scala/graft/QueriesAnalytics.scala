@@ -341,7 +341,34 @@ object QueriesAnalytics {
       graft.operators.Skew.skewReport(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
         .orderBy("rank"))
 
+  /** X-M9: deterministic distributed PageRank over the part
+    * co-purchase graph (parts linked when they appear in the same
+    * order — pairs bounded by items-per-order², never corpus²).
+    * Three synchronous rounds; every contribution is 1e-12-grid
+    * quantized and summed as exact decimals, so the ranks are
+    * bit-identical at any parallelism AND mirror op-for-op in the
+    * unrolled SQL oracle. The scale path: iteration = one
+    * node-keyed join + one node-keyed aggregate, nothing driver-side
+    * beyond the node count. */
+  private val m9PageRank = Q(
+    "m9_pagerank",
+    Some(graft.operators.Graph.pageRankSql(
+      """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""",
+      iterations = 3)),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(e, iterations = 3)
+        .orderBy("node")
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
-    evRetention, evTransitions, evPii,
+    evRetention, evTransitions, evPii, m9PageRank,
     aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -374,6 +374,42 @@ object QueriesSources {
              GROUP BY o.o_orderkey, o.o_custkey ORDER BY o_orderkey"""),
     (s, dir) => bucketedJoin(s, dir))
 
+  /** X-S16: small-file compaction planner — the operational pass every
+    * long-lived 100 TB table needs. Reads the months-partitioned copy
+    * per FILE (`input_file_name`, one aggregate row per physical
+    * file), flags files under the target row count, and assigns
+    * files to compaction bins by a running-sum window (greedy fill to
+    * ~target rows per output file). The layout is deterministic (the
+    * partitioned copy writes exactly one file per month — repartition
+    * on the partition column), so the oracle derives identical truth
+    * from the base table without touching the scratch dir. */
+  private val s16 = Q(
+    "s16_compaction_plan",
+    Some("""WITH c AS (SELECT month(o_orderdate) AS mon,
+              count(*) AS n_rows FROM orders GROUP BY mon),
+            w AS (SELECT mon, n_rows, n_rows < 2500 AS is_small,
+              CAST(floor((sum(n_rows) OVER (ORDER BY mon
+                  ROWS UNBOUNDED PRECEDING) - n_rows) / 2500.0) AS BIGINT)
+                AS compact_bin
+              FROM c)
+            SELECT * FROM w ORDER BY mon"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dataDir = ordersAsFiles(s, dir)
+      val perFile = s.read.parquet(dataDir)
+        .groupBy(input_file_name().as("path"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(regexp_extract(col("path"), "mon=(\\d+)", 1)
+          .cast(LongType).as("mon"), col("n_rows"))
+      val w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      perFile
+        .withColumn("is_small", col("n_rows") < 2500)
+        .withColumn("compact_bin",
+          floor((sum(col("n_rows")).over(w) - col("n_rows")) / 2500.0))
+        .orderBy("mon")
+    })
+
   /** Builds (once per scale dir) the bucketed copies and runs the
     * co-located join; also the subject of PartitionPruneSpec's
     * no-Exchange plan assertion. */
@@ -400,5 +436,5 @@ object QueriesSources {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, st1, st2, st3, mm1, mm2, mm3, mm4)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

@@ -122,3 +122,39 @@ class ClusteringSpec extends SparkSpec {
     check(pts, eps = 10.0, minSamples = 3)
   }
 }
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Graph
+
+  test("pageRank: mass conservation, symmetry, hub dominance") {
+    // 4-spoke star, symmetric edges: hub must outrank spokes, spokes equal
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 5)
+    // symmetric-edge graphs have no dangling mass: sum stays ~1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.values.sum)
+    assert(Seq(2L, 3L, 4L, 5L).map(r).distinct.size == 1)
+    assert(r(1L) > r(2L) * 2)
+  }
+
+  test("pageRank: deterministic under repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val und = (0 until 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val a = Graph.pageRank(edges, 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.pageRank(edges.repartition(17), 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // bit-identical, not approximately equal — the decimal-sum design
+    assert(a == b)
+  }
+
+  test("pageRank: empty edge frame") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst").where(lit(false))
+    assert(Graph.pageRank(edges, 3).count() == 0)
+  }
+}
