@@ -355,10 +355,12 @@ object QueriesAnalytics {
     Some(graft.operators.Graph.pageRankSql(
       """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          FROM lineitem a JOIN lineitem b
-           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""",
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey % 10 = 0""",
       iterations = 3)),
     (s, dir) => {
       val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
@@ -368,7 +370,48 @@ object QueriesAnalytics {
         .orderBy("node")
     })
 
+  /** X-M10: triangle count + global clustering coefficient on the
+    * part co-purchase graph, via degree-ordered orientation (each
+    * triangle counted once from its smallest corner; hub wedge work
+    * bounded by oriented out-degree ≈ degeneracy, not deg² — the
+    * skew-survival property). The oracle counts p<q<r triads
+    * directly; counts are exact integers, the one ratio uses the
+    * 1e-6 floor grid. */
+  private val m10Triangles = Q(
+    "m10_triangles",
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+              WHERE a.l_orderkey % 10 = 0),
+            e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e),
+            deg AS (SELECT node, count(*) AS deg FROM
+              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY node),
+            tri AS (SELECT count(*) AS n_triangles
+              FROM e0 x JOIN e0 y ON y.a = x.a AND y.b > x.b
+                JOIN e0 z ON z.a = x.b AND z.b = y.b),
+            tot AS (SELECT count(*) AS n_nodes,
+                CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              CASE WHEN n_wedges > 0 THEN
+                floor(n_triangles * CAST(3 AS DOUBLE) / n_wedges * 1e6 + 0.5) / 1e6
+              ELSE CAST(0 AS DOUBLE) END AS global_cc
+            FROM tot CROSS JOIN tri"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graph.triangleStats(e)
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
-    evRetention, evTransitions, evPii, m9PageRank,
+    evRetention, evTransitions, evPii, m9PageRank, m10Triangles,
     aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -61,6 +61,58 @@ object Graph {
     ranks
   }
 
+  /** Triangle count + global clustering coefficient via DEGREE-ORDERED
+    * orientation — the classic scale trick: each undirected edge is
+    * directed from its (degree, id)-smaller endpoint to the larger,
+    * so every triangle is counted exactly once from its smallest
+    * corner and a hub of degree d generates wedges bounded by the
+    * ORIENTED out-degree (≈ graph degeneracy), not d² — the
+    * difference between feasible and not on skewed 100 TB graphs.
+    * Wedge↔edge matching is one equi-join on the (v, w) pair.
+    * Returns one row: nodes, undirected edges, wedges (Σ C(deg,2)),
+    * triangles, clustering coefficient 3·tri/wedges (1e-6 floor
+    * grid). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) -> high; carry the endpoint degrees so the
+    // wedge pass can order out-neighbor pairs without another join
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("_db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("_da").as("dd")))
+          .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+      .localCheckpoint()
+    // out-neighbor pairs of u, emitted once in orientation order: the
+    // closing edge of a triangle is then exactly (src = v, dst = w)
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("_dv"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("_dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(struct(col("_dv"), col("v")) < struct(col("_dw"), col("w")))
+      .select(col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast(LongType).as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast(LongType).as("n_wedges"))
+    totals.crossJoin(nTri).select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      when(col("n_wedges") > 0,
+        floor(col("n_triangles") * 3.0 / col("n_wedges") * 1e6 + 0.5) / 1e6)
+        .otherwise(0.0).as("global_cc"))
+  }
+
   /** The same computation as DuckDB SQL (iterations unrolled), for
     * the oracle: `edgesSql` must yield (src, dst). Every float op
     * mirrors [[pageRank]]: IEEE division, 1e-12 floor quantization,

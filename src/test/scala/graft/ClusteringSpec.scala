@@ -157,4 +157,32 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L)).toDF("src", "dst").where(lit(false))
     assert(Graph.pageRank(edges, 3).count() == 0)
   }
+
+  test("triangleStats: K4, triangle-free star, random graph vs brute force") {
+    def stats(und: Seq[(Long, Long)]) = {
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      Graph.triangleStats(edges).collect()(0)
+    }
+    val k4 = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4.getAs[Long]("n_triangles") == 4L)
+    assert(k4.getAs[Long]("n_edges") == 6L && k4.getAs[Long]("n_nodes") == 4L)
+    assert(k4.getAs[Double]("global_cc") == 1.0)   // 3·4 / 12 wedges
+    val star = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    assert(star.getAs[Long]("n_triangles") == 0L &&
+      star.getAs[Double]("global_cc") == 0.0)
+    val rnd = new scala.util.Random(13)
+    val und = (0 until 300)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val got = stats(und).getAs[Long]("n_triangles")
+    val es = und.toSet
+    val ids = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var expected = 0L
+    for {
+      i <- ids; j <- ids if j > i; k <- ids if k > j
+      if es((i, j)) && es((i, k)) && es((j, k))
+    } expected += 1
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
