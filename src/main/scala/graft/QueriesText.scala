@@ -515,6 +515,43 @@ object QueriesText {
           threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4)
         .orderBy("a", "b"))
 
+  /** X-DD17: LSH estimator-quality report — per candidate pair, the
+    * signature-agreement estimate vs the exact shingle Jaccard. The
+    * banding-config health gate; see Dedup.lshQualityReport. */
+  private val ddLshQuality = Q(
+    "dd_lsh_quality",
+    Some {
+      val sigs = (0 until 8)
+        .map(j => s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS s$j")
+        .mkString(", ")
+      val agree = (0 until 8)
+        .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+          sig AS (SELECT doc_id, sh, $sigs FROM d),
+          bands AS (
+            SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS key FROM sig),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id < y.doc_id),
+          q AS (SELECT cand.a, cand.b,
+            CAST($agree AS DOUBLE) / 8 AS est_jaccard,
+            len(list_intersect(sa.sh, sb.sh))
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              AS exact_jaccard
+            FROM cand JOIN sig sa ON cand.a = sa.doc_id
+              JOIN sig sb ON cand.b = sb.doc_id)
+          SELECT a, b, est_jaccard, exact_jaccard,
+            abs(est_jaccard - exact_jaccard) AS abs_err
+          FROM q ORDER BY a, b"""
+    },
+    (s, dir) =>
+      Dedup.lshQualityReport(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, numHashes = 8, bandSize = 4)
+        .orderBy("a", "b"))
+
   /** MinHash + LSH near-dedup, polynomial/LCG hash family — the
     * ENGINE path for scale (VERDICT r01 #1): Horner shingle codes +
     * per-hash LCG replace 8 md5 compress calls per shingle with a few
@@ -1178,6 +1215,38 @@ object QueriesText {
           terms = Seq("slow", "skew", "spill"))
         .orderBy("doc_id"))
 
+  /** X-P15: schema-contract enforcement — null/empty/domain/
+    * consistency rules over the documents batch, one aggregate pass,
+    * one report row per rule. All counts exact integers. */
+  private val p15Contract = Q(
+    "p15_contract",
+    Some("""WITH a AS (SELECT count(*) AS n_rows,
+              CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+              CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+              CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN
+                ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+              CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text)
+                THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+              CAST(sum(CASE WHEN source IS NULL OR NOT regexp_matches(source,
+                '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v4
+              FROM documents)
+            SELECT r.rule, r.n_violations, a.n_rows, r.n_violations = 0 AS ok
+            FROM a CROSS JOIN LATERAL (VALUES
+              ('doc_id_null', v0), ('text_empty', v1), ('lang_domain', v2),
+              ('n_chars_consistent', v3), ('source_format', v4))
+              AS r(rule, n_violations)
+            ORDER BY rule"""),
+    (s, dir) =>
+      Tables.contractReport(t(s, dir, "documents"), Seq(
+          "doc_id_null" -> col("doc_id").isNull,
+          "text_empty" -> (col("text").isNull || length(col("text")) === 0),
+          "lang_domain" -> (col("lang").isNull ||
+            !col("lang").isin("en", "de", "fr", "es", "zh")),
+          "n_chars_consistent" -> !(col("n_chars") <=> length(col("text"))),
+          "source_format" -> (col("source").isNull ||
+            !col("source").rlike("^src[0-9]+$"))))
+        .orderBy("rule"))
+
   /** Asymmetric containment pairs: |A∩B|/|A| over word-3-gram sets,
     * catching near-SUBSET duplication (quoted/boilerplate inclusion)
     * that symmetric Jaccard scores near zero. Candidates by prefix
@@ -1287,10 +1356,10 @@ object QueriesText {
     txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
-    ddExact, ddSoft, ddUrl, ddMinhash, ddMinhashPoly, stNearDup, ddDupGroups,
+    ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     m8Kmeans, ssQuant,
-    txChunk, p14Blocklist, ddKeepBest, ddContainment, ddDupSpan,
+    txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)
 }

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -164,5 +164,22 @@ object Tables {
         col(s"_mn_$c").as("min_val"), col(s"_mx_$c").as("max_val"))
     }: _*))
     one.select(stacked.as("_p")).select("_p.*")
+  }
+
+  /** X-P15: schema-contract enforcement report — named violation
+    * predicates evaluated in ONE aggregate pass over the table (a
+    * rule per column would re-scan 100 TB per rule), unpivoted to a
+    * (rule, n_violations, n_rows, ok) row each. The ingestion gate:
+    * `ok` all-true admits the batch. */
+  def contractReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"_v$i")
+    } :+ count(lit(1)).as("_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"_v$i").as("n_violations"),
+        col("_rows").as("n_rows"), (col(s"_v$i") === 0L).as("ok"))
+    }: _*))
+    one.select(stacked.as("_r")).select("_r.*")
   }
 }

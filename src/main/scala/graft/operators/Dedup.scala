@@ -180,6 +180,43 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** X-DD17: LSH estimator-quality report — for every band-candidate
+    * pair, the signature-agreement estimate (matching minhash
+    * positions / numHashes, the statistic LSH banding implicitly
+    * thresholds) next to the exact shingle Jaccard and the absolute
+    * error. THE health gate for a banding config on a concrete
+    * corpus: if |est − exact| drifts, the band count/size is lying
+    * about recall. Candidate pairs only — never all pairs; the
+    * per-position signature uses the compiled band kernel with
+    * bandSize 1 (md5 of one minhash ≍ the minhash itself), so the
+    * estimate costs one compiled eval per doc. est is k/numHashes
+    * with numHashes a power of two — exact in both engines. */
+  def lshQualityReport(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 5, numHashes: Int = 8,
+                       bandSize: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize,
+      numHashes, bandSize, poly = false)
+    val sigs = graft.core.Tables.spread(
+        df.select(col(idCol).as("_sid"), col(textCol).as("_stxt")), col(idCol))
+      .select(col("_sid"),
+        graft.functions.Expressions.minHashBands(col("_stxt"), shingleSize,
+          numHashes, 1).as("_sig"),
+        col("_stxt"))
+      .localCheckpoint()
+    val j = cands
+      .join(sigs.select(col("_sid").as("a"), col("_sig").as("_sa"),
+        col("_stxt").as("_ta")), Seq("a"))
+      .join(sigs.select(col("_sid").as("b"), col("_sig").as("_sb"),
+        col("_stxt").as("_tb")), Seq("b"))
+    j.select(col("a"), col("b"),
+        (aggregate(zip_with(col("_sa"), col("_sb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast(DoubleType) / numHashes).as("est_jaccard"),
+        graft.functions.Expressions.shingleJaccard(col("_ta"), col("_tb"),
+          shingleSize).as("exact_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
   /** Duplicate groups — the step that makes near-dedup actionable:
     * connected components over the verified near-dup pair graph
     * assign every document a canonical id (the min doc id of its

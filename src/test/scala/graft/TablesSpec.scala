@@ -95,6 +95,26 @@ class TablesSpec extends SparkSpec {
     assert(emb.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("contractReport counts violations per rule, one pass") {
+    val df = Seq(
+      (Some(1L), Some("abc"), Some("en")),
+      (None, Some(""), Some("xx")),          // id null, text empty, lang bad
+      (Some(3L), None, None))                // text null, lang null
+      .toDF("id", "text", "lang")
+    val rep = Tables.contractReport(df, Seq(
+        "id_null" -> col("id").isNull,
+        "text_empty" -> (col("text").isNull || length(col("text")) === 0),
+        "lang_domain" -> (col("lang").isNull || !col("lang").isin("en", "de"))))
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("ok"))).toMap
+    assert(rep("id_null") == (1L, false))
+    assert(rep("text_empty") == (2L, false))
+    assert(rep("lang_domain") == (2L, false))
+    val clean = Tables.contractReport(df.where(col("id") === 1),
+      Seq("id_null" -> col("id").isNull)).collect()
+    assert(clean(0).getAs[Boolean]("ok"))
+  }
+
   test("normalizeTs handles long-nanos and NTZ inputs identically") {
     val micros = 1700000000000000L
     val fromLong = Tables.normalizeTs(Seq(micros * 1000L).toDF("ts"))
