@@ -436,5 +436,24 @@ object QueriesSources {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, st1, st2, st3, mm1, mm2, mm3, mm4)
+  /** X-S17: z-order (Morton) clustering key — the multi-column
+    * data-skipping layout: sorting by the interleaved z-value keeps
+    * per-file min/max narrow on BOTH join/filter columns at once, so
+    * parquet footer stats skip files for predicates on either
+    * (ZOrderSpec measures the range shrink vs a one-column sort).
+    * The query validates the bit math cross-engine on real keys. */
+  private val s17 = Q(
+    "s17_zorder_key",
+    Some(s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+               ${graft.core.ZOrder.zValueSql("l_suppkey", "l_partkey")} AS zval
+             FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey"),
+          graft.core.ZOrder.zValue(col("l_suppkey"), col("l_partkey"))
+            .as("zval"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

@@ -28,11 +28,13 @@ class PlanAuditSpec extends SparkSpec {
     * - a19_skew_report: the single-row totals frame rides back onto
     *   the ≤topK heavy-hitter rows.
     * - tx_commonness: the single-row corpus-total rides back onto the
-    *   term-count frame (same shape as tx_tfidf's N). */
+    *   term-count frame (same shape as tx_tfidf's N).
+    * - m10_triangles: the 1-row degree-totals frame crosses the 1-row
+    *   triangle count for the final report — 1 × 1 by construction. */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
-    "ep2_flagship")
+    "ep2_flagship", "m10_triangles")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -175,6 +175,41 @@ class BucketedSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("z-order layout: secondary-column file ranges shrink vs one-column sort") {
+    import graft.core.ZOrder
+    // interleave sanity: (a=0b101, b=0b011) -> z = 0b 01 11 01 -> wait,
+    // bit i of a at 2i, of b at 2i+1: a=5(101),b=3(011):
+    //   pos0=a0=1, pos1=b0=1, pos2=a1=0, pos3=b1=1, pos4=a2=1, pos5=b2=0
+    //   z = 1 + 2 + 0 + 8 + 16 = 27
+    val z = spark.range(1).select(
+      ZOrder.zValue(lit(5L), lit(3L)).as("z")).head.getLong(0)
+    assert(z == 27L, z)
+
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_partkey")
+    def perFilePartkeySpread(sorted: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_zorder_$tag").getAbsolutePath
+      sorted.write.mode("overwrite").parquet(out)
+      val spreads = spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("spread"))
+        .collect().map(_.getAs[Long]("spread").toDouble)
+      spreads.sum / spreads.length
+    }
+    // 8 range partitions each way; same file count, same rows
+    val bySupp = li.repartitionByRange(8, col("l_suppkey"), col("l_orderkey"))
+    val byZ = li
+      .withColumn("_z", ZOrder.zValue(col("l_suppkey"), col("l_partkey")))
+      .repartitionByRange(8, col("_z")).drop("_z")
+    val suppSpread = perFilePartkeySpread(bySupp, "supp")
+    val zSpread = perFilePartkeySpread(byZ, "z")
+    // sorting by suppkey alone leaves partkey unclustered (≈ full
+    // range per file); the z-layout must cut the per-file partkey
+    // range substantially — this is exactly the footer-stats skip
+    assert(zSpread < suppSpread * 0.75, s"z=$zSpread supp=$suppSpread")
+  }
+
   test("s15 registered query: join AND per-order aggregate reuse bucket partitioning") {
     val df = QueriesSources.bucketedJoin(spark, sf001)
     df.collect()
