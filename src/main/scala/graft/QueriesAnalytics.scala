@@ -411,7 +411,61 @@ object QueriesAnalytics {
       graft.operators.Graph.triangleStats(e)
     })
 
+  /** X-EV8: day-over-day distribution drift of the event-type mix,
+    * as total-variation distance — the monitoring gate that catches a
+    * pipeline silently changing its input mix. Shares and the TV sum
+    * are a FIXED-ORDER scalar expression over the pivoted daily row
+    * (never a float aggregate), so the result is bit-deterministic
+    * with no rounding; the only shuffles are the daily count
+    * aggregate and one day-ordered window over days-cardinality
+    * rows. */
+  private val evDrift = Q(
+    "ev_drift_tv", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val counts = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(",\n              ")
+      val shares = types.map(t =>
+        s"CAST(n_$t AS DOUBLE) / total AS p_$t").mkString(", ")
+      val lags = types.map(t =>
+        s"lag(p_$t) OVER (ORDER BY day) AS q_$t").mkString(", ")
+      val tv = types.map(t => s"abs(p_$t - q_$t)").mkString(" + ")
+      Some(s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+              $counts,
+              count(*) AS total
+            FROM events GROUP BY day),
+          s AS (SELECT day, total, $shares FROM d),
+          l AS (SELECT day, total, ${types.map(t => s"p_$t").mkString(", ")},
+              $lags FROM s)
+          SELECT strftime(day, '%Y-%m-%d') AS day, total,
+            CASE WHEN q_click IS NULL THEN NULL
+              ELSE CAST(0.5 AS DOUBLE) * ($tv) END AS tv_drift
+          FROM l ORDER BY day""")
+    },
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggCols = types.map(ty => sum(when(col("event_type") === ty, 1L)
+        .otherwise(0L)).as(s"n_$ty")) :+ count(lit(1)).as("total")
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val withShares = types.foldLeft(daily) { (df, ty) =>
+        df.withColumn(s"p_$ty", col(s"n_$ty").cast(DoubleType) / col("total"))
+      }
+      val w = Window.orderBy("day")
+      val withLags = types.foldLeft(withShares) { (df, ty) =>
+        df.withColumn(s"q_$ty", lag(col(s"p_$ty"), 1).over(w))
+      }
+      val tv = types.map(ty => abs(col(s"p_$ty") - col(s"q_$ty")))
+        .reduce(_ + _)
+      withLags.select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("total"),
+          when(col("q_click").isNull, lit(null).cast(DoubleType))
+            .otherwise(lit(0.5) * tv).as("tv_drift"))
+        .orderBy("day")
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
-    evRetention, evTransitions, evPii, m9PageRank, m10Triangles,
+    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, evDrift,
     aggRollup, aggCube, u4Unpivot, aggPivot)
 }
