@@ -283,5 +283,41 @@ object syntax {
     /** Key-skew diagnostics: top-k heavy hitters + max/mean ratio. */
     def skewReport(keyCol: String, topK: Int = 10): DataFrame =
       Skew.skewReport(df, keyCol, topK)
+
+    /** X-EV7 gap-based sessionization. */
+    def sessionize(userCol: String, tsCol: String, gapSeconds: Long,
+                   tieBreak: String): DataFrame =
+      Temporal.sessionize(df, userCol, tsCol, gapSeconds, tieBreak)
+
+    /** X-J15 interval-overlap join (claim-cell dedup). */
+    def overlapJoin(aStart: String, aEnd: String, other: DataFrame,
+                    bStart: String, bEnd: String,
+                    bucketSeconds: Long): DataFrame =
+      Temporal.intervalOverlapJoin(df, aStart, aEnd, other, bStart, bEnd,
+        bucketSeconds)
+
+    /** X-DD16 soft dedup: down-weight duplicates to unit group mass. */
+    def softDedupWeights(idCol: String, textCol: String): DataFrame =
+      Dedup.softWeights(df, idCol, textCol)
+
+    /** X-DD17 LSH banding-config health report. */
+    def lshQualityReport(idCol: String, textCol: String): DataFrame =
+      Dedup.lshQualityReport(df, idCol, textCol)
+
+    /** X-M8 distributed k-means report over an embedding column. */
+    def kmeansReport(idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame =
+      Vectors.kmeansReport(df, idCol, vecCol, centroids)
+
+    /** X-M9 PageRank over a (src, dst) edge frame. */
+    def pageRank(iterations: Int, damping: Double = 0.85): DataFrame =
+      Graph.pageRank(df, iterations, damping)
+
+    /** X-M10 triangle census over a (src, dst) edge frame. */
+    def triangleStats(): DataFrame = Graph.triangleStats(df)
+
+    /** X-P15 one-pass schema-contract report. */
+    def contractReport(rules: Seq[(String, Column)]): DataFrame =
+      graft.core.Tables.contractReport(df, rules)
   }
 }

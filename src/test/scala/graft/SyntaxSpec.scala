@@ -94,4 +94,24 @@ class SyntaxSpec extends SparkSpec {
     assert(mixed.groupBy("lang").count().as[(String, Long)].collect().toMap ==
       Map("en" -> 1L, "es" -> 1L))
   }
+
+  test("session/graph/contract fluent surface") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 100L),
+      (1L, "2024-01-01 10:10:00", 101L),
+      (1L, "2024-01-01 12:00:00", 102L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    assert(ev.sessionize("user_id", "ts", 1800, "event_id").count() == 2)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(edges.pageRank(2).count() == 3)
+    assert(edges.triangleStats().head.getAs[Long]("n_triangles") == 1L)
+    val rep = ev.contractReport(Seq("uid_null" -> col("user_id").isNull))
+    assert(rep.head.getAs[Boolean]("ok"))
+    val docs = Seq((1L, "aaa bbb ccc"), (2L, "aaa bbb ccc"))
+      .toDF("doc_id", "text")
+    val w = docs.softDedupWeights("doc_id", "text").collect()
+    assert(w.forall(_.getAs[Double]("weight") == 0.5))
+  }
 }
