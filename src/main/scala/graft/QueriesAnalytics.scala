@@ -465,7 +465,35 @@ object QueriesAnalytics {
         .orderBy("day")
     })
 
+  /** X-M11: degree distribution of the co-purchase graph — the
+    * graph-shaped companion of a19's key-skew report (a heavy tail
+    * here is the signal to orient/salt before graph joins). Two
+    * aggregates; output bounded by distinct degrees. */
+  private val m11Degrees = Q(
+    "m11_degree_dist",
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+              WHERE a.l_orderkey % 10 = 0),
+            e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e),
+            deg AS (SELECT node, count(*) AS deg FROM
+              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY node)
+            SELECT deg, count(*) AS n_nodes FROM deg
+            GROUP BY deg ORDER BY deg"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graph.degreeDistribution(e).orderBy("deg")
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
-    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, evDrift,
-    aggRollup, aggCube, u4Unpivot, aggPivot)
+    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
+    evDrift, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -61,6 +61,21 @@ object Graph {
     ranks
   }
 
+  /** Degree distribution of an undirected edge frame: one row per
+    * distinct degree with the node count — the graph-shaped skew
+    * diagnostic (a heavy tail here says: orient before wedges, salt
+    * before joins). Two aggregates, output ∝ distinct degrees. */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Triangle count + global clustering coefficient via DEGREE-ORDERED
     * orientation — the classic scale trick: each undirected edge is
     * directed from its (degree, id)-smaller endpoint to the larger,
