@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: replicates the sf0.1 tables k× into a
+  * /tmp scale dir as INDEPENDENT shards (every key offset by a
+  * shard-sized stride; document text gets a per-shard suffix so
+  * near-dup pair counts scale linearly like a real growing corpus,
+  * not quadratically like naive duplication), then times a
+  * representative query subset at 1× and k×. A scale-honest operator
+  * shows ≈ linear wall-clock growth; anything super-linear is a
+  * shuffle/skew bug the small-SF bench can't see.
+  *
+  * Usage: runMain graft.tools.ScaleStudy [k] [name1,name2,...]
+  */
+object ScaleStudy {
+
+  private val Stride = 100000000L // > any key in sf0.1
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(4)
+    val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
+      "a3_group_stats", "tpch_q3ish", "tpch_q5ish", "j11_asof_join",
+      "ev_sessionize", "w4_topk_group", "dd_exact", "dd_minhash_lsh_poly",
+      "tx_tfidf", "ss_topk_lsh", "m9_pagerank", "ev_funnel",
+      "a10_drop_duplicates", "j12_range_join"))
+    val src = "/root/testdata/sf0.1"
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_scale_x$k"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_DONE"))) {
+      graft.core.Tables.all.foreach { t =>
+        val df = graft.core.Tables.load(spark, src, t)
+        val shards = (0 until k).map(i => shard(df, t, i))
+        shards.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        System.err.println(s"[scale] $t x$k written")
+      }
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dst/_DONE"))
+    }
+
+    def time(dir: String, name: String): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1)
+    }
+    println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  (linear = $k%d.0)")
+    names.foreach { n =>
+      val t1 = time(src, n)
+      val tk = time(dst, n)
+      println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    }
+  }
+
+  /** Offset every *key-like* long column by shard stride; suffix the
+    * text corpus per shard. Dimension tables with tiny fixed domains
+    * (region/nation) are shared, not replicated — their keys are
+    * referenced by offset fact rows, so those columns keep the raw
+    * value modulo stride at read time in the fact tables below. */
+  private def shard(df: DataFrame, table: String, i: Int): DataFrame = {
+    if (i == 0) return df
+    val off = Stride * i
+    table match {
+      case "region" | "nation" if i > 0 => df.limit(0) // shared dims
+      case "documents" =>
+        df.withColumn("doc_id", col("doc_id") + off)
+          .withColumn("text", concat(col("text"), lit(s" shard$i")))
+      case "embeddings" =>
+        df.withColumn("vec_id", col("vec_id") + off)
+      case "events" =>
+        df.withColumn("event_id", col("event_id") + off)
+          .withColumn("user_id", col("user_id") + off)
+      case "customer" =>
+        df.withColumn("c_custkey", col("c_custkey") + off)
+      case "supplier" =>
+        df.withColumn("s_suppkey", col("s_suppkey") + off)
+      case "part" =>
+        df.withColumn("p_partkey", col("p_partkey") + off)
+      case "orders" =>
+        df.withColumn("o_orderkey", col("o_orderkey") + off)
+          .withColumn("o_custkey", col("o_custkey") + off)
+      case "lineitem" =>
+        df.withColumn("l_orderkey", col("l_orderkey") + off)
+          .withColumn("l_partkey", col("l_partkey") + off)
+          .withColumn("l_suppkey", col("l_suppkey") + off)
+      case _ => df
+    }
+  }
+}

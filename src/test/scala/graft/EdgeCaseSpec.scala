@@ -94,6 +94,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(w.forall(_.getAs[Double]("weight") == 1.0))
   }
 
+  test("overlap join, triangle census, degree dist: empty inputs") {
+    val iv = Seq((1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("iid", "s_s", "e_s")
+      .withColumn("a_start", ts("s_s")).withColumn("a_end", ts("e_s"))
+      .drop("s_s", "e_s")
+    val none = iv.where(lit(false))
+      .select(col("iid").as("jid"), col("a_start").as("b_start"),
+        col("a_end").as("b_end"))
+    assert(Temporal.intervalOverlapJoin(iv, "a_start", "a_end",
+      none, "b_start", "b_end", 1800L).count() == 0)
+    val noEdges = Seq((1L, 2L)).toDF("src", "dst").where(lit(false))
+    val tri = graft.operators.Graph.triangleStats(noEdges).collect()(0)
+    assert(tri.getAs[Long]("n_triangles") == 0L &&
+      tri.getAs[Double]("global_cc") == 0.0)
+    assert(graft.operators.Graph.degreeDistribution(noEdges).count() == 0)
+  }
+
+  test("lshQualityReport: empty corpus and no-candidate corpus") {
+    val docs = Seq((1L, "first unique text here about exchanges"),
+      (2L, "second entirely different words on partitions"))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshQualityReport(docs.where(lit(false)), "doc_id", "text")
+      .count() == 0)
+    // dissimilar docs: no band collision -> empty report, no throw
+    assert(Dedup.lshQualityReport(docs, "doc_id", "text").count() == 0)
+  }
+
   test("profile on an empty table still reports one row per column") {
     val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
     val out = Tables.profile(df, Seq("a", "b")).collect()
