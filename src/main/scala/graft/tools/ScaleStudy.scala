@@ -72,8 +72,16 @@ object ScaleStudy {
     table match {
       case "region" | "nation" if i > 0 => df.limit(0) // shared dims
       case "documents" =>
+        // a per-shard character substitution makes CROSS-shard copies
+        // genuinely dissimilar (a mere suffix leaves Jaccard ≈ 0.97,
+        // so dup pairs — and near-dedup wall time — grow
+        // quadratically with k; the first run of this tool measured
+        // exactly that, ratio 5.4 at k=4). Within-shard dup structure
+        // is preserved, so pair counts scale linearly like a real
+        // growing corpus.
+        val rot = "aeiou".drop(i % 5) + "aeiou".take(i % 5)
         df.withColumn("doc_id", col("doc_id") + off)
-          .withColumn("text", concat(col("text"), lit(s" shard$i")))
+          .withColumn("text", translate(col("text"), "aeiou", rot))
       case "embeddings" =>
         df.withColumn("vec_id", col("vec_id") + off)
       case "events" =>
