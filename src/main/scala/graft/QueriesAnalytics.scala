@@ -493,7 +493,96 @@ object QueriesAnalytics {
       graft.operators.Graph.degreeDistribution(e).orderBy("deg")
     })
 
+  /** X-EP5: the user-360 flagship — one wide per-user profile
+    * composed from the event operators: lifetime stats, purchase
+    * totals (decimal-exact), session counts/durations (the EV7
+    * operator), and the furthest funnel stage reached (the EV4
+    * windows). EVERY aggregate and join in the composite keys on
+    * user_id, so at 100 TB the whole pipeline is ONE shuffle key:
+    * the aggregates co-partition, the joins between them are
+    * co-partitioned merges, and nothing detail-sized moves twice. */
+  private val ep5User360 = Q(
+    "ep5_user360",
+    Some(s"""WITH base AS (SELECT user_id,
+              strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_date,
+              strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_date,
+              count(*) AS n_events,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+              ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+                AS purchase_value
+            FROM events GROUP BY user_id),
+          o AS (SELECT user_id, ts, event_id,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sid AS (SELECT user_id, ts,
+              CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o),
+          sess0 AS (SELECT user_id, session_id,
+              max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+            FROM sid GROUP BY user_id, session_id),
+          sess AS (SELECT user_id, count(*) AS n_sessions,
+              CAST(sum(dur_us) AS BIGINT) AS total_session_us
+            FROM sess0 GROUP BY user_id),
+          t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+              AND e.ts <= t1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+          t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              AND e.ts <= t2.t2 + INTERVAL 7 DAY GROUP BY e.user_id)
+          SELECT b.user_id, b.first_date, b.last_date, b.n_events,
+            b.n_purchases, b.purchase_value, s.n_sessions,
+            s.total_session_us,
+            CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+          FROM base b JOIN sess s ON b.user_id = s.user_id
+            LEFT JOIN t1 ON b.user_id = t1.user_id
+            LEFT JOIN t2 ON b.user_id = t2.user_id
+            LEFT JOIN t3 ON b.user_id = t3.user_id
+          ORDER BY b.user_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.groupBy("user_id").agg(
+        date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("first_date"),
+        date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("last_date"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0))).as("purchase_value"))
+      val sess = graft.operators.Temporal
+        .sessionize(ev, "user_id", "ts", 1800, "event_id")
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("duration_us")).as("total_session_us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("_t1"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .where(col("event_type") === "click" && col("ts") > col("_t1") &&
+          col("ts") <= col("_t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("_t2"))
+      val t3 = ev.join(t2, Seq("user_id"))
+        .where(col("event_type") === "purchase" && col("ts") > col("_t2") &&
+          col("ts") <= col("_t2") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("_t3"))
+      base.join(sess, Seq("user_id"))
+        .join(t1.withColumn("_s1", lit(1)).drop("_t1"), Seq("user_id"), "left")
+        .join(t2.withColumn("_s2", lit(2)).drop("_t2"), Seq("user_id"), "left")
+        .join(t3.withColumn("_s3", lit(3)).drop("_t3"), Seq("user_id"), "left")
+        .withColumn("funnel_stage",
+          coalesce(col("_s3"), col("_s2"), col("_s1"), lit(0)))
+        .drop("_s1", "_s2", "_s3")
+        .orderBy("user_id")
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
-    evDrift, aggRollup, aggCube, u4Unpivot, aggPivot)
+    evDrift, ep5User360, aggRollup, aggCube, u4Unpivot, aggPivot)
 }
