@@ -31,7 +31,8 @@ object Graph {
     * edge sets (co-occurrence graphs) none exist. Returns
     * (node, rank). */
   def pageRank(edges: DataFrame, iterations: Int,
-               damping: Double = 0.85, scale: Int = 12): DataFrame = {
+               damping: Double = 0.85, scale: Int = 12,
+               checkpointEvery: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -45,7 +46,7 @@ object Graph {
     val teleport = (1.0 - damping) / n
     val f = math.pow(10, scale)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"),
           (floor(col("rank") / col("_deg").cast(DoubleType) * f + 0.5) / f)
@@ -56,7 +57,11 @@ object Graph {
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("_s"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+      // a checkpoint per round is an eager materialization job each
+      // time; lineage only needs cutting every few rounds (long-run
+      // plan-depth control), so short runs stay ONE job
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
