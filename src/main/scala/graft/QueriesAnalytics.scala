@@ -582,7 +582,46 @@ object QueriesAnalytics {
         .orderBy("user_id")
     })
 
+  /** X-EV9: CEP-lite strict-sequence detection — view→click→purchase
+    * with NO intervening event, the lightweight MATCH_RECOGNIZE /
+    * Flink-CEP shape (EV4's funnel allows gaps; this is the strict
+    * variant). One user-keyed window pass with lead(1)/lead(2);
+    * never a self-join. */
+  private val evCep = Q(
+    "ev_cep_pattern",
+    Some("""WITH s AS (SELECT user_id, event_id, ts, event_type,
+              lead(event_type, 1) OVER w AS t1,
+              lead(event_type, 2) OVER w AS t2,
+              lead(event_id, 1) OVER w AS id1,
+              lead(event_id, 2) OVER w AS id2,
+              lead(ts, 2) OVER w AS ts2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id AS view_id, id1 AS click_id,
+              id2 AS purchase_id, ts AS view_ts,
+              epoch_us(ts2) - epoch_us(ts) AS span_us
+            FROM s
+            WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+            ORDER BY user_id, view_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("_t1"),
+          lead(col("event_type"), 2).over(w).as("_t2"),
+          lead(col("event_id"), 1).over(w).as("_id1"),
+          lead(col("event_id"), 2).over(w).as("_id2"),
+          lead(col("ts"), 2).over(w).as("_ts2"))
+        .where(col("event_type") === "view" && col("_t1") === "click" &&
+          col("_t2") === "purchase")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("_id1").as("click_id"), col("_id2").as("purchase_id"),
+          col("ts").as("view_ts"),
+          (unix_micros(col("_ts2")) - unix_micros(col("ts"))).as("span_us"))
+        .orderBy("user_id", "view_id")
+    })
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
-    evDrift, ep5User360, aggRollup, aggCube, u4Unpivot, aggPivot)
+    evDrift, ep5User360, evCep, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -941,6 +941,75 @@ object QueriesText {
           dim = 64, k = 3, tables = 8, planesOverride = 6)
         .orderBy(col("qid"), col("cosine").desc, col("cid")))
 
+  /** X-SS6: ANN recall evaluation as a first-class operator — LSH
+    * top-3 measured against the exact brute-force top-3 on the %20
+    * query subset: per-query hit fraction, mean recall, perfect-query
+    * count. The eval loop a production ANN index runs after every
+    * re-build; both rankings round-6 + cid-tie-broken, so the
+    * intersection counts are engine-exact, and recall i/3 is one IEEE
+    * division (then 1e-6-floor + long-sum mean). */
+  private val ssRecall = Q(
+    "ss_recall_report",
+    Some {
+      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id % 20 = 0),
+          c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+          bscored AS (SELECT q.qid, c.cid, ${cosSql("qv", "cv")} AS cosine
+            FROM q, c WHERE q.qid != c.cid),
+          brute AS (SELECT qid, cid FROM (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS rn FROM bscored)
+            WHERE rn <= 3),
+          keyed AS ($tableRows),
+          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+              a.embedding AS qv, b.embedding AS cv
+            FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
+            WHERE a.vec_id != b.vec_id),
+          lscored AS (SELECT DISTINCT qid, cid,
+              ${cosSql("qv", "cv")} AS cosine FROM cand),
+          lsh AS (SELECT qid, cid FROM (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS rn FROM lscored)
+            WHERE qid % 20 = 0 AND rn <= 3),
+          hits AS (SELECT b.qid,
+              CAST(count(l.cid) AS BIGINT) AS n_hits
+            FROM brute b LEFT JOIN lsh l
+              ON b.qid = l.qid AND b.cid = l.cid
+            GROUP BY b.qid),
+          rq AS (SELECT qid,
+              floor(CAST(n_hits AS DOUBLE) / 3 * 1e6 + 0.5) / 1e6 AS recall
+            FROM hits)
+          SELECT count(*) AS n_queries,
+            ${graft.core.Det.sqlDavgLong("recall", 6)} AS mean_recall,
+            CAST(sum(CASE WHEN recall = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_perfect
+          FROM rq"""
+    },
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
+          e, "vec_id", "embedding", k = 3)
+        .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      val lsh = Vectors.lshTopK(e, "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8, planesOverride = 6)
+        .where(col("qid") % 20 === 0)
+        .select(col("qid"), col("cid").as("_lcid"))
+      val hits = brute.join(lsh,
+          brute("qid") === lsh("qid") && brute("cid") === lsh("_lcid"),
+          "left")
+        .groupBy(brute("qid"))
+        .agg(count(col("_lcid")).as("n_hits"))
+      hits.select(col("qid"),
+          (floor(col("n_hits").cast(org.apache.spark.sql.types.DoubleType)
+            / 3 * 1e6 + 0.5) / 1e6).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          graft.core.Det.davgLong(col("recall"), 6).as("mean_recall"),
+          sum(when(col("recall") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
+    })
+
   /** Embedding near-dup with LSH-bucket blocking — no label column
     * required (the r01 verdict flagged the label-blocked variant as
     * only as scalable as its blocking key; this one blocks on the
@@ -1359,7 +1428,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
-    m8Kmeans, ssQuant,
+    m8Kmeans, ssRecall, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)
 }

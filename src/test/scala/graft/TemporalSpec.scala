@@ -58,6 +58,25 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
   }
 
+  test("sessionize == Spark's native session_window on real events") {
+    val ev = core.Tables.load(spark, sf001, "events")
+    val ours = Temporal.sessionize(ev, "user_id", "ts", 1800, "event_id")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    // native session_window: window.end = last event + gap, so the
+    // comparable "end" is max(ts) inside the window
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(ours == native, s"ours=${ours.size} native=${native.size}")
+  }
+
   test("intervalOverlapJoin: strict boundaries, claim-cell emits each pair once") {
     val a = Seq(
       (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),  // spans 4 cells
