@@ -587,9 +587,8 @@ object QueriesAnalytics {
     * Flink-CEP shape (EV4's funnel allows gaps; this is the strict
     * variant). One user-keyed window pass with lead(1)/lead(2);
     * never a self-join. */
-  private val evCep = Q(
-    "ev_cep_pattern",
-    Some("""WITH s AS (SELECT user_id, event_id, ts, event_type,
+  private val cepSql =
+    """WITH s AS (SELECT user_id, event_id, ts, event_type,
               lead(event_type, 1) OVER w AS t1,
               lead(event_type, 2) OVER w AS t2,
               lead(event_id, 1) OVER w AS id1,
@@ -602,7 +601,11 @@ object QueriesAnalytics {
               epoch_us(ts2) - epoch_us(ts) AS span_us
             FROM s
             WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
-            ORDER BY user_id, view_id"""),
+            ORDER BY user_id, view_id"""
+
+  private val evCep = Q(
+    "ev_cep_pattern",
+    Some(cepSql),
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events").select(
@@ -621,7 +624,21 @@ object QueriesAnalytics {
         .orderBy("user_id", "view_id")
     })
 
+  /** X-ST7: the stateful-streaming twin of ev_cep_pattern — the same
+    * strict sequence detected by flatMapGroupsWithState with O(1)
+    * per-user state (last two events). The registered query runs the
+    * state function on the static frame (Spark executes it per group
+    * in one pass) and shares the batch oracle VERBATIM;
+    * StatefulStreamsSpec drives the real multi-micro-batch engine
+    * and asserts parity. */
+  private val stCep = Q(
+    "st_stream_cep",
+    Some(cepSql),
+    (s, dir) =>
+      graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
+        .orderBy("user_id", "view_id"))
+
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
-    evDrift, ep5User360, evCep, aggRollup, aggCube, u4Unpivot, aggPivot)
+    evDrift, ep5User360, evCep, stCep, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -164,6 +164,24 @@ object QueriesTemporal {
       graft.streaming.Streams.slidingTypeCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type"))
 
+  /** X-W7: sliding-window distinct users (hourly actives every 15
+    * min) — exact distinct per overlapping window; the a15 HLL sketch
+    * is the approx path at 100 TB. */
+  private val w7Sliding = Q(
+    "w7_sliding_distinct",
+    Some("""WITH s AS (SELECT ts, user_id, unnest([0, 1, 2, 3]) AS i
+              FROM events),
+            w AS (SELECT make_timestamp(
+                (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900)
+                  * 1000000) AS window_start, user_id FROM s)
+            SELECT window_start, count(DISTINCT user_id) AS n_users,
+              count(*) AS n_events
+            FROM w GROUP BY window_start
+            ORDER BY window_start"""),
+    (s, dir) =>
+      graft.streaming.Streams.slidingActiveUsers(t(s, dir, "events"))
+        .orderBy("window_start"))
+
   /** W5: time-RANGE window frame — trailing 1-hour per-user count
     * and exact sum. The frame bound runs on integer epoch
     * MICROseconds on both engines (a seconds cast would truncate;
@@ -270,5 +288,5 @@ object QueriesTemporal {
     })
 
   val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, w4TopK, stSliding,
-    w5TimeWindow, stAttribution, evSessionize, w6Ranks)
+    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks)
 }

@@ -52,6 +52,19 @@ object Streams {
   def slidingTypeCountsStream(events: DataFrame): DataFrame =
     slidingTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** X-W7: sliding-window DISTINCT users — the "hourly active users
+    * every 15 minutes" staple. Unlike the count version, distinct
+    * state can't map-side-combine to one number: the window explode
+    * (4 rows per event) shuffles on (window, user) first — exact, and
+    * at 100 TB the approx path is a15's HLL sketch per window. */
+  def slidingActiveUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_users"),
+        col("n_events"))
+
   /** Click→purchase attribution: every purchase by the same user
     * within the hour after a click. The equi key (user_id) carries
     * the shuffle — high-cardinality at scale — and the time bound is
@@ -193,6 +206,52 @@ object Streams {
     keyed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF("a", "b", "jaccard")
+  }
+
+  /** X-ST7: stateful streaming CEP — the strict view→click→purchase
+    * sequence (the batch ev_cep_pattern) detected AS EVENTS ARRIVE:
+    * `flatMapGroupsWithState` keyed by user holds only the last two
+    * events per user (O(1) state — the minimum any 3-step strict
+    * pattern needs), so a pattern spanning micro-batches still fires.
+    * Rows are processed in (ts, event_id) order inside each
+    * invocation; per-user event-time order across batches is the
+    * source contract (a production feed adds a watermark + small
+    * reorder buffer). The static run of the same function equals the
+    * batch window-lead plan — the registered st_stream_cep query
+    * shares ev_cep_pattern's oracle verbatim, and
+    * StatefulStreamsSpec asserts multi-micro-batch == batch. */
+  def streamCepMatches(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    // state: the user's two most-recent events, newest first
+    def fn(user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+           state: GroupState[List[(Long, Long, String)]])
+        : Iterator[(Long, Long, Long, Long, java.sql.Timestamp, Long)] = {
+      var last = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, Long, Long, Long, java.sql.Timestamp, Long)]()
+      rows.toSeq.sortBy(r => (us(r._3), r._2)).foreach { case (_, id, ts, typ) =>
+        last match {
+          case (id1, _, "click") :: (id2, us2, "view") :: _ if typ == "purchase" =>
+            val viewTs = new java.sql.Timestamp(math.floorDiv(us2, 1000L))
+            viewTs.setNanos((math.floorMod(us2, 1000000L) * 1000L).toInt)
+            out += ((user, id2, id1, id, viewTs, us(ts) - us2))
+          case _ =>
+        }
+        last = ((id, us(ts), typ) :: last).take(2)
+      }
+      state.update(last)
+      out.iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "view_id", "click_id", "purchase_id", "view_ts", "span_us")
   }
 
   /** Read the events table as a (bounded) stream: same parquet file,

@@ -61,4 +61,46 @@ class StatefulStreamsSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
   }
+
+  test("streaming CEP across micro-batches == batch lead-window pattern") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = core.Tables.load(spark, sf001, "events")
+    val batch = SparkEntry.queries("ev_cep_pattern")(spark, sf001)
+      .select("user_id", "view_id", "click_id", "purchase_id", "span_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // split by event TIME (per-user in-order arrival — the source
+    // contract), one file per micro-batch, so patterns must span the
+    // batch boundary through the per-user state
+    val mid = ev.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .head.getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_cep_stream")
+    // one file per half: within a micro-batch the state fn sorts by
+    // (ts, id); ACROSS batches arrival order must follow event time
+    ev.where(unix_micros(col("ts")) <= mid).repartition(1).write.parquet(s"$dir/p0")
+    ev.where(unix_micros(col("ts")) > mid).repartition(1).write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cep_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          java.nio.file.Files.copy(f, srcDir.resolve(s"$n.parquet")); n += 1
+        }
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.streamCepMatches(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cep_out")
+      .select("user_id", "view_id", "click_id", "purchase_id", "span_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
 }
