@@ -455,5 +455,49 @@ object QueriesSources {
             .as("zval"))
         .orderBy("l_orderkey", "l_linenumber"))
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, st1, st2, st3, mm1, mm2, mm3, mm4)
+  /** X-S18: batch MERGE — a deterministic change batch (updates +100
+    * on keys ≡0 mod 7, tombstones on ≡3 mod 11, inserts re-keyed
+    * +1e8 on ≡1 mod 13) applied to the orders snapshot in one
+    * full-outer join; see operators/Merge. */
+  private val s18 = Q(
+    "s18_upsert_merge",
+    Some("""WITH ch AS (
+              SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice,
+                FALSE AS del FROM orders
+              WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 3
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice, TRUE FROM orders
+              WHERE o_orderkey % 11 = 3
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, o_totalprice, FALSE
+              FROM orders WHERE o_orderkey % 13 = 1),
+            m AS (SELECT
+              coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+              CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+              CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                ELSE s.o_totalprice END AS o_totalprice,
+              coalesce(c.del, FALSE) AS del
+              FROM orders s FULL JOIN ch c ON s.o_orderkey = c.o_orderkey)
+            SELECT o_orderkey, o_custkey, o_totalprice FROM m
+            WHERE NOT del ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val snap = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val updates = snap.where(k % 7 === 0 && k % 11 =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("_deleted", lit(false))
+      val deletes = snap.where(k % 11 === 3)
+        .withColumn("_deleted", lit(true))
+      val inserts = snap.where(k % 13 === 1)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("_deleted", lit(false))
+      graft.operators.Merge.upsert(snap,
+          updates.unionByName(deletes).unionByName(inserts),
+          key = "o_orderkey", deleteCol = "_deleted")
+        .orderBy("o_orderkey")
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4)
 }

@@ -429,4 +429,22 @@ class FunnelSpec extends SparkSpec {
     assert(t2.select("user_id").as[Long].collect().toSet == Set(1L))
     assert(t3.select("user_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("Merge.upsert: update wins, tombstone removes, insert appears, rest pass") {
+    import graft.operators.Merge
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 21.0, false),   // update
+      (3L, "c", 30.0, true),     // delete
+      (9L, "new", 90.0, false))  // insert
+      .toDF("id", "name", "v", "_del")
+    val out = Merge.upsert(snap, changes, "id", "_del")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (9L, "new", 90.0)))
+    // empty change batch: identity
+    val id = Merge.upsert(snap, changes.where(lit(false)), "id", "_del")
+    assert(id.orderBy("id").collect().toSeq ==
+      snap.orderBy("id").collect().toSeq)
+  }
 }
