@@ -121,6 +121,23 @@ object QueriesTemporal {
         .orderBy("err_id", "signup_id")
     })
 
+  /** X-S19: SCD-2 dimension history — the events stream as a keyed
+    * change feed becomes validity intervals (valid_from/valid_to/
+    * is_current) in one user-keyed window pass. */
+  private val s19Scd2 = Q(
+    "s19_scd2_history",
+    Some("""SELECT user_id, event_id, event_type AS state,
+              ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id"""),
+    (s, dir) =>
+      Temporal.scd2History(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("user_id", "event_id"))
+
   /** W4: top-k per group — the 3 highest-price lineitems per
     * supplier, deterministic tie-break. One window pass, shuffle on
     * the (high-cardinality) group key. */
@@ -288,5 +305,5 @@ object QueriesTemporal {
     })
 
   val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, w4TopK, stSliding,
-    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks)
+    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2)
 }

@@ -552,6 +552,54 @@ object QueriesText {
           shingleSize = 5, numHashes = 8, bandSize = 4)
         .orderBy("a", "b"))
 
+  /** X-DD18: dedup threshold-sensitivity sweep — every LSH candidate
+    * pair bucketed by its exact Jaccard (0.05 grid) with the
+    * cumulative pairs-kept count per threshold; the "pick the
+    * threshold" gate run before committing a corpus-wide dedup. Same
+    * candidate machinery as dd_minhash_lsh with the verify threshold
+    * at 0. */
+  private val ddSweep = Q(
+    "dd_threshold_sweep",
+    Some {
+      val sigs = (0 until 8)
+        .map(j => s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS s$j")
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $sh5Sql AS sh FROM documents),
+          sig AS (SELECT doc_id, sh, $sigs FROM d),
+          bands AS (
+            SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS key FROM sig),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id < y.doc_id),
+          v AS (SELECT cand.a, cand.b,
+            len(list_intersect(da.sh, db.sh))
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+              AS jaccard
+            FROM cand JOIN d da ON cand.a = da.doc_id
+              JOIN d db ON cand.b = db.doc_id),
+          h AS (SELECT floor(jaccard * 20) / 20 AS threshold_bin,
+              count(*) AS n_pairs FROM v GROUP BY threshold_bin)
+          SELECT threshold_bin, n_pairs,
+            CAST(sum(n_pairs) OVER (ORDER BY threshold_bin DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_kept_at_threshold
+          FROM h ORDER BY threshold_bin"""
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.minhashVerifiedPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.0, shingleSize = 5,
+        numHashes = 8, bandSize = 4)
+      val h = pairs
+        .groupBy((floor(col("jaccard") * 20) / 20).as("threshold_bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+      h.withColumn("n_kept_at_threshold",
+          sum(col("n_pairs")).over(Window.orderBy(col("threshold_bin").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("threshold_bin")
+    })
+
   /** MinHash + LSH near-dedup, polynomial/LCG hash family — the
     * ENGINE path for scale (VERDICT r01 #1): Horner shingle codes +
     * per-hash LCG replace 8 md5 compress calls per shingle with a few
@@ -1425,7 +1473,7 @@ object QueriesText {
     txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
-    ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddMinhashPoly, stNearDup, ddDupGroups,
+    ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssQuant,

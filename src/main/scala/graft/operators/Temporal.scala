@@ -181,6 +181,20 @@ object Temporal {
           .as("duration_us"))
   }
 
+  /** SCD-2 history build: a keyed change stream becomes validity
+    * intervals — each change opens a version at its timestamp and the
+    * next change (same key) closes it; the last version per key is
+    * current (null valid_to). One window shuffle on the key; the
+    * dimension-history pattern every warehouse rebuilds nightly. */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+                  stateCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    changes.select(col(keyCol), col(tieBreak), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** First-order (Markov) event-type transition counts: for each
     * user-consecutive event pair, count (from_type → to_type) and the
     * per-source transition share. One shuffle on the user key for the
