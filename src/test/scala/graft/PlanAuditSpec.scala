@@ -30,11 +30,14 @@ class PlanAuditSpec extends SparkSpec {
     * - tx_commonness: the single-row corpus-total rides back onto the
     *   term-count frame (same shape as tx_tfidf's N).
     * - m10_triangles: the 1-row degree-totals frame crosses the 1-row
-    *   triangle count for the final report — 1 × 1 by construction. */
+    *   triangle count for the final report — 1 × 1 by construction.
+    * - ss_recall_report: embeds the declared brute-force ANN baseline
+    *   (the same broadcast query-set × corpus as ss_topk_bruteforce)
+    *   as the ground truth the LSH recall is measured against. */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
-    "ep2_flagship", "m10_triangles")
+    "ep2_flagship", "m10_triangles", "ss_recall_report")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
