@@ -175,6 +175,36 @@ class BucketedSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("sessionize: per-session aggregate reuses the window's partitioning") {
+    val ev = Tables.load(spark, sf001, "events")
+    val df = graft.operators.Temporal.sessionize(ev, "user_id", "ts",
+      1800, "event_id")
+    df.collect()
+    // AQE's toString prints Final AND Initial plan sections — count
+    // only the executed (final) one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE hash exchange (the user-key window shuffle); the
+    // (user, session) groupBy must ride on hash(user_id) — grouping
+    // keys are a superset of the partitioning keys
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges hash exchanges:\n$plan")
+  }
+
+  test("Merge.upsert plans exactly one join") {
+    val snap = Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val changes = snap.where(col("o_orderkey") % 7 === 0)
+      .withColumn("_deleted", lit(false))
+    val df = graft.operators.Merge.upsert(snap, changes, "o_orderkey", "_deleted")
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins >= 1 && plan.split('\n').count(_.contains("Join ")) <= 1,
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("z-order layout: secondary-column file ranges shrink vs one-column sort") {
     import graft.core.ZOrder
     // interleave sanity: (a=0b101, b=0b011) -> z = 0b 01 11 01 -> wait,
