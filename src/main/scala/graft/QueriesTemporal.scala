@@ -138,6 +138,43 @@ object QueriesTemporal {
           "event_type", "event_id")
         .orderBy("user_id", "event_id"))
 
+  /** X-EV10: calendar-spine resample + forward fill — every (user,
+    * day) cell of the window gets a row: zero-filled daily counts,
+    * running cumulative, last observed value carried forward. The
+    * gap-filling prerequisite to joining series of different density;
+    * spine is keys × days, never event-sized. */
+  private val evResample = Q(
+    "ev_resample_ffill",
+    Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+              max(CAST(ts AS DATE)) AS hi FROM events),
+            k AS (SELECT DISTINCT user_id FROM events),
+            spine AS (SELECT k.user_id,
+              CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+                AS d
+              FROM k CROSS JOIN b),
+            ranked AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+            daily AS (SELECT user_id, d, count(*) AS n,
+              max(CASE WHEN rn = 1 THEN value END) AS lastv
+              FROM ranked GROUP BY user_id, d),
+            j AS (SELECT s.user_id, s.d,
+              coalesce(daily.n, 0) AS n, daily.lastv
+              FROM spine s LEFT JOIN daily USING (user_id, d)),
+            f AS (SELECT user_id, d, n AS n_events,
+              CAST(sum(n) OVER w AS BIGINT) AS cum_events,
+              last_value(lastv IGNORE NULLS) OVER w AS ffill_value
+              FROM j
+              WINDOW w AS (PARTITION BY user_id ORDER BY d
+                ROWS UNBOUNDED PRECEDING))
+            SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_events,
+              cum_events, ffill_value
+            FROM f ORDER BY user_id, day"""),
+    (s, dir) =>
+      Temporal.resampleDaily(t(s, dir, "events"), "user_id", "ts",
+          "value", "event_id")
+        .orderBy("user_id", "day"))
+
   /** W4: top-k per group — the 3 highest-price lineitems per
     * supplier, deterministic tie-break. One window pass, shuffle on
     * the (high-cardinality) group key. */
@@ -305,5 +342,5 @@ object QueriesTemporal {
     })
 
   val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, w4TopK, stSliding,
-    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2)
+    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2, evResample)
 }

@@ -195,6 +195,47 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Calendar-spine resampling with forward fill: every (key, day)
+    * cell of the observation window gets a row — zero-filled counts,
+    * running cumulative, and the last observed value carried forward
+    * (nulls until first observation). The gap-filling shape every
+    * time-series warehouse needs before joining series of different
+    * density. Spine = keys × days (bounded, never event-sized);
+    * per-day last value picked by max(struct(ts, tieBreak, value)) —
+    * deterministic; fills are one key-window pass. The two global
+    * date bounds are collected driver-side (two scalars). */
+  def resampleDaily(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, tieBreak: String): DataFrame = {
+    val spark = events.sparkSession
+    val bounds = events.agg(min(to_date(col(tsCol))).as("lo"),
+      max(to_date(col(tsCol))).as("hi")).collect()(0)
+    if (bounds.isNullAt(0))
+      return events.select(col(keyCol), lit("").as("day"),
+        lit(0L).as("n_events"), lit(0L).as("cum_events"),
+        lit(0.0).as("ffill_value")).limit(0)
+    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col(tsCol), col(tieBreak), col(valueCol))).as("_last"))
+      .select(col(keyCol), col("_day"), col("n_events"),
+        col(s"_last.$valueCol").as("_lastv"))
+    val spine = events.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(lo), lit(hi))).as("_day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "_day"), "left")
+      .select(col(keyCol),
+        col("_day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        sum(coalesce(col("n_events"), lit(0L))).over(w).as("cum_events"),
+        last(col("_lastv"), ignoreNulls = true).over(w).as("ffill_value"))
+      .withColumn("day", date_format(col("_day"), "yyyy-MM-dd"))
+      .drop("_day")
+      .select(col(keyCol), col("day"), col("n_events"), col("cum_events"),
+        col("ffill_value"))
+  }
+
   /** First-order (Markov) event-type transition counts: for each
     * user-consecutive event pair, count (from_type → to_type) and the
     * per-source transition share. One shuffle on the user key for the
