@@ -322,6 +322,50 @@ object QueriesAnalytics {
     * whether a join/agg key needs salting (j13) before a cluster run.
     * Top-10 heavy hitters with shares + the max/mean skew ratio.
     * Exact counts, round-6 ratios, key-string tie-break. */
+  /** X-A20: concentration report — HHI and top-share metrics over
+    * the supplier revenue distribution: the "is this mix too
+    * concentrated?" gate (same question tx_domain_mix asks of corpus
+    * domains, asked of any keyed measure). Per-key revenue is a
+    * decimal-exact aggregate; shares are single IEEE divisions; the
+    * HHI sum quantizes each share² on the 1e-12 grid and long-sums —
+    * deterministic at any parallelism. Output: one row. */
+  private val a20Concentration = Q(
+    "a20_concentration",
+    Some(s"""WITH r AS (SELECT l_suppkey,
+              ${sqlDsum("l_extendedprice")} AS rev
+              FROM lineitem GROUP BY l_suppkey),
+            t AS (SELECT ${sqlDsum("l_extendedprice")} AS total FROM lineitem),
+            s AS (SELECT l_suppkey, rev, rev / t.total AS share,
+              ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rk
+              FROM r CROSS JOIN t)
+            SELECT count(*) AS n_keys,
+              (CAST(sum(CAST(floor(share * share * 1e12 + 0.5) AS BIGINT))
+                AS DOUBLE)) / 1e12 AS hhi,
+              floor(max(CASE WHEN rk = 1 THEN share ELSE 0 END) * 1e6 + 0.5)
+                / 1e6 AS top1_share,
+              CAST(sum(CASE WHEN rk <= 5
+                THEN CAST(floor(share * 1e9 + 0.5) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 1e9 AS top5_share
+            FROM s"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val r = li.groupBy("l_suppkey").agg(dsum(col("l_extendedprice")).as("rev"))
+      val total = li.agg(dsum(col("l_extendedprice")).as("total"))
+      val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
+      val shares = r.crossJoin(total)
+        .withColumn("share", col("rev") / col("total"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+      shares.agg(
+        count(lit(1)).as("n_keys"),
+        (sum(floor(col("share") * col("share") * 1e12 + 0.5)
+          .cast(LongType)).cast(DoubleType) / 1e12).as("hhi"),
+        (floor(max(when(col("rk") === 1, col("share")).otherwise(0.0))
+          * 1e6 + 0.5) / 1e6).as("top1_share"),
+        (sum(when(col("rk") <= 5,
+            floor(col("share") * 1e9 + 0.5).cast(LongType)).otherwise(0L))
+          .cast(DoubleType) / 1e9).as("top5_share"))
+    })
+
   private val a19Skew = Q(
     "a19_skew_report",
     Some("""WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n
@@ -640,5 +684,5 @@ object QueriesAnalytics {
 
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
-    evDrift, ep5User360, evCep, stCep, aggRollup, aggCube, u4Unpivot, aggPivot)
+    evDrift, ep5User360, evCep, stCep, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }
