@@ -33,11 +33,14 @@ class PlanAuditSpec extends SparkSpec {
     *   triangle count for the final report — 1 × 1 by construction.
     * - ss_recall_report: embeds the declared brute-force ANN baseline
     *   (the same broadcast query-set × corpus as ss_topk_bruteforce)
-    *   as the ground truth the LSH recall is measured against. */
+    *   as the ground truth the LSH recall is measured against.
+    * - a20_concentration: the 1-row revenue total rides back onto the
+    *   supplier-revenue frame (key-cardinality × 1 row — the a19
+    *   shape). */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
-    "ep2_flagship", "m10_triangles", "ss_recall_report")
+    "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration")
 
   test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
