@@ -70,6 +70,45 @@ object QueriesText {
           col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"))
 
+  /** X-TX14: language-ID evaluation — confusion matrix of the
+    * stopword-argmax classifier against the labeled lang column, with
+    * per-label share (the classifier-health gate; same eval-as-query
+    * family as ss_recall_report). Output ≤ |langs|² rows. */
+  private val txLangEval = Q(
+    "tx_langid_eval",
+    Some {
+      val cnt = Text.langStopwords.map { case (lang, ws) =>
+        s"len(list_filter($toksSql, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS c_$lang"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, $cnt FROM documents),
+          p AS (SELECT lang,
+            CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                 WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                 WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                 WHEN c_fr >= c_zh THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+            FROM t),
+          c AS (SELECT lang, lang_pred, count(*) AS n FROM p
+            GROUP BY lang, lang_pred),
+          s AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+              AS n_label FROM c)
+          SELECT lang, lang_pred, n, n_label,
+            floor(CAST(n AS DOUBLE) * 1e6 / n_label + 0.5) / 1e6 AS share
+          FROM s ORDER BY lang, lang_pred"""
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      c.withColumn("n_label",
+          sum(col("n")).over(Window.partitionBy("lang")))
+        .withColumn("share",
+          floor(col("n").cast(org.apache.spark.sql.types.DoubleType)
+            * 1e6 / col("n_label") + 0.5) / 1e6)
+        .orderBy("lang", "lang_pred")
+    })
+
   /** Deterministic train/val/test split + per-split corpus stats in
     * one pass — the canonical pre-training split report. */
   private val txSplit = Q(
@@ -1470,7 +1509,7 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txFused, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
+    txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,

@@ -121,6 +121,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.lshQualityReport(docs, "doc_id", "text").count() == 0)
   }
 
+  test("resampleDaily: empty input -> empty, no collect crash; LOCF fills gaps") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, 5.0),
+      (1L, "2024-01-03 10:00:00", 101L, 7.0))
+      .toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", ts("ts_s")).drop("ts_s")
+    assert(Temporal.resampleDaily(ev.where(lit(false)), "user_id", "ts",
+      "value", "event_id").count() == 0)
+    val out = Temporal.resampleDaily(ev, "user_id", "ts", "value", "event_id")
+      .orderBy("day").collect()
+    assert(out.length == 3)                                 // 3-day spine
+    assert(out(1).getAs[Long]("n_events") == 0L)            // gap day
+    assert(out(1).getAs[Double]("ffill_value") == 5.0)      // carried forward
+    assert(out(2).getAs[Long]("cum_events") == 2L)
+    assert(out(2).getAs[Double]("ffill_value") == 7.0)
+  }
+
   test("profile on an empty table still reports one row per column") {
     val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
     val out = Tables.profile(df, Seq("a", "b")).collect()
