@@ -121,6 +121,44 @@ object QueriesTemporal {
         .orderBy("err_id", "signup_id")
     })
 
+  /** X-J16: nearest-event join, both directions — each click aligned
+    * to the temporally CLOSEST error of the same user (past or
+    * future), the sensor/log-alignment primitive a backward-only
+    * as-of can't express. Two as-of window passes; ties prefer the
+    * past, equal-ts rows the largest id. */
+  private val j16Nearest = Q(
+    "j16_nearest_event",
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            r AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error'),
+            j AS (SELECT l.event_id, l.user_id, l.ts,
+                r.event_id AS err_id, r.ts AS err_ts,
+                abs(epoch_us(r.ts) - epoch_us(l.ts)) AS diff_us,
+                CAST(CASE WHEN r.event_id IS NULL THEN NULL
+                     WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS BIGINT) AS side,
+                ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY
+                  abs(epoch_us(r.ts) - epoch_us(l.ts)),
+                  CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+                  r.event_id DESC) AS rn
+              FROM l LEFT JOIN r ON l.user_id = r.user_id)
+            SELECT event_id, user_id, ts, err_id, err_ts, diff_us, side
+            FROM j WHERE rn = 1 ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      Temporal.nearestJoin(clicks, errors, key = "user_id", ts = "ts",
+          idCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_id_n").as("err_id"), col("ts_n").as("err_ts"),
+          col("diff_us"),
+          col("side").cast(org.apache.spark.sql.types.LongType).as("side"))
+        .orderBy("event_id")
+    })
+
   /** X-S19: SCD-2 dimension history — the events stream as a keyed
     * change feed becomes validity intervals (valid_from/valid_to/
     * is_current) in one user-keyed window pass. */
@@ -341,6 +379,6 @@ object QueriesTemporal {
         .orderBy("l_orderkey", "l_linenumber")
     })
 
-  val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, w4TopK, stSliding,
+  val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, j16Nearest, w4TopK, stSliding,
     w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2, evResample)
 }

@@ -60,6 +60,44 @@ object Temporal {
         col(s"_asof.$p").as(s"$p$suffix")): _*)
   }
 
+  /** Nearest-event join (both directions): for each left row, the
+    * right row of the same key with the SMALLEST |Δt| — past or
+    * future. The sensor-alignment primitive [[asofJoin]] (backward
+    * only) can't express. Two as-of passes (the forward one runs on
+    * negated epoch micros), then a scalar pick: still O(n log n) per
+    * key group, no range explosion. Ties: equal |Δt| prefers the past
+    * row; within a side, equal-ts rows resolve to the largest
+    * `tieBreak` (the as-of running-last rule, both directions). */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, idCol: String, suffix: String = "_n"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val back = asofJoin(left, right, key, ts, Seq(idCol), idCol, "_b")
+    // forward pass: order by negated micros — asofJoin's "latest at
+    // or before" becomes "earliest at or after"
+    def negated(df: DataFrame) =
+      df.withColumn("_negus", -unix_micros(col(ts)))
+    val fwdRaw = asofJoin(
+      negated(left), negated(right),
+      key, "_negus", Seq(idCol, ts), idCol, "_f")
+    val fwd = fwdRaw.drop("_negus")
+    val joined = back.join(
+      fwd.select((key +: leftCols.filterNot(_ == key))
+        .map(col) ++ Seq(col(s"${idCol}_f"), col(s"${ts}_f")): _*),
+      leftCols, "inner")
+    val dB = unix_micros(col(ts)) - unix_micros(col(s"${ts}_b"))
+    val dF = unix_micros(col(s"${ts}_f")) - unix_micros(col(ts))
+    val pickBack = col(s"${idCol}_b").isNotNull &&
+      (col(s"${idCol}_f").isNull || dB <= dF)
+    joined.select(leftCols.map(col) ++ Seq(
+      when(pickBack, col(s"${idCol}_b")).otherwise(col(s"${idCol}_f"))
+        .as(s"$idCol$suffix"),
+      when(pickBack, col(s"${ts}_b")).otherwise(col(s"${ts}_f"))
+        .as(s"$ts$suffix"),
+      when(pickBack, dB).otherwise(dF).as("diff_us"),
+      when(pickBack, lit(0L)).otherwise(
+        when(col(s"${idCol}_f").isNotNull, lit(1L))).as("side")): _*)
+  }
+
   /** Interval containment join: every (point, interval) pair with
     * `start <= point_ts < end`. Bucketed equi-join: points land in one
     * `bucketSeconds`-wide cell, intervals explode into the cells they
