@@ -319,5 +319,25 @@ object syntax {
     /** X-P15 one-pass schema-contract report. */
     def contractReport(rules: Seq[(String, Column)]): DataFrame =
       graft.core.Tables.contractReport(df, rules)
+
+    /** X-J16 nearest-event join, both directions. */
+    def nearestJoin(right: DataFrame, key: String, ts: String,
+                    idCol: String): DataFrame =
+      Temporal.nearestJoin(df, right, key, ts, idCol)
+
+    /** X-S18 batch MERGE: apply a keyed change batch. */
+    def upsertInto(snapshot: DataFrame, key: String,
+                   deleteCol: String): DataFrame =
+      Merge.upsert(snapshot, df, key, deleteCol)
+
+    /** X-S19 SCD-2 validity intervals from a keyed change stream. */
+    def scd2History(keyCol: String, tsCol: String, stateCol: String,
+                    tieBreak: String): DataFrame =
+      Temporal.scd2History(df, keyCol, tsCol, stateCol, tieBreak)
+
+    /** X-EV10 calendar-spine daily resample with forward fill. */
+    def resampleDaily(keyCol: String, tsCol: String, valueCol: String,
+                      tieBreak: String): DataFrame =
+      Temporal.resampleDaily(df, keyCol, tsCol, valueCol, tieBreak)
   }
 }
