@@ -186,4 +186,41 @@ class PropertySpec extends AnyFunSuite {
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("sessionize: sessions partition events, boundaries respect the gap") {
+    import graft.operators.Temporal
+    val gapSec = 600L
+    val gen = for {
+      nUsers <- Gen.choose(1, 5)
+      evs <- Gen.listOfN(60, for {
+        u <- Gen.choose(1L, nUsers.toLong)
+        t <- Gen.choose(0L, 200000L)   // seconds over ~2.3 days
+      } yield (u, t))
+    } yield evs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+    samples(gen, 8).foreach { evs =>
+      val df = evs.toDF("user_id", "t_s", "event_id")
+        .withColumn("ts", timestamp_seconds(col("t_s"))).drop("t_s")
+      val out = Temporal.sessionize(df, "user_id", "ts", gapSec, "event_id")
+        .orderBy("user_id", "session_id").collect()
+      // 1. counts partition the input
+      assert(out.map(_.getAs[Long]("n_events")).sum == evs.length)
+      // 2. duration == end - start, nonnegative
+      out.foreach { r =>
+        val s = r.getAs[java.sql.Timestamp]("session_start").getTime
+        val e = r.getAs[java.sql.Timestamp]("session_end").getTime
+        assert(r.getAs[Long]("duration_us") == (e - s) * 1000 &&
+          e >= s)
+      }
+      // 3. inter-session gap per user strictly exceeds the threshold
+      out.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+        rs.sortBy(_.getAs[Long]("session_id")).toSeq.sliding(2).foreach { w =>
+          if (w.length == 2) {
+            val gap = w(1).getAs[java.sql.Timestamp]("session_start").getTime -
+              w(0).getAs[java.sql.Timestamp]("session_end").getTime
+            assert(gap > gapSec * 1000, s"gap=$gap")
+          }
+        }
+      }
+    }
+  }
 }
