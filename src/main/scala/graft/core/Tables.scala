@@ -172,6 +172,12 @@ object Tables {
     * (rule, n_violations, n_rows, ok) row each. The ingestion gate:
     * `ok` all-true admits the batch. */
   def contractReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    if (rules.isEmpty)
+      // explode(array()) of zero struct columns fails analysis — an
+      // empty rule set (config-driven callers) is a vacuously-clean
+      // report, not an error
+      return df.limit(0).select(lit("").as("rule"), lit(0L).as("n_violations"),
+        lit(0L).as("n_rows"), lit(true).as("ok"))
     val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
       sum(when(p, 1L).otherwise(0L)).as(s"_v$i")
     } :+ count(lit(1)).as("_rows")

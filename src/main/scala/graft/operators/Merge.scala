@@ -20,9 +20,17 @@ object Merge {
              deleteCol: String): DataFrame = {
     val cols = snapshot.columns.toSeq
     require(cols.contains(key), s"key $key not in snapshot")
+    require(changes.columns.contains(key), s"key $key not in changes")
+    require(changes.columns.contains(deleteCol),
+      s"tombstone column $deleteCol not in changes")
     val s = snapshot.select(cols.map(c => col(c).as(s"_s_$c")): _*)
-    val c = changes.select((cols.map(n => col(n).as(s"_c_$n")) :+
-      col(deleteCol).as("_c_del")): _*)
+    // a NULL-keyed change row can match nothing — without this filter
+    // it would survive the full-outer join as an orphan and emit an
+    // all-NULL snapshot row (the change side drives `pick` via
+    // _c_key IS NOT NULL, which a null key defeats)
+    val c = changes.where(col(key).isNotNull)
+      .select((cols.map(n => col(n).as(s"_c_$n")) :+
+        col(deleteCol).as("_c_del")): _*)
     val inChange = col(s"_c_$key").isNotNull
     def pick(n: String): Column =
       when(inChange, col(s"_c_$n")).otherwise(col(s"_s_$n")).as(n)

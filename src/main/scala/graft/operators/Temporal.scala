@@ -63,39 +63,63 @@ object Temporal {
   /** Nearest-event join (both directions): for each left row, the
     * right row of the same key with the SMALLEST |Δt| — past or
     * future. The sensor-alignment primitive [[asofJoin]] (backward
-    * only) can't express. Two as-of passes (the forward one runs on
-    * negated epoch micros), then a scalar pick: still O(n log n) per
-    * key group, no range explosion. Ties: equal |Δt| prefers the past
-    * row; within a side, equal-ts rows resolve to the largest
-    * `tieBreak` (the as-of running-last rule, both directions). */
+    * only) can't express.
+    *
+    * One union + TWO window passes over the SAME hash partitioning
+    * (key): a running-`last` frame (preceding..current) yields the
+    * latest right row at-or-before, and a `first` frame
+    * (current..following) under a tag-inverted sort yields the
+    * earliest right row at-or-after — one shuffle, two sorts, zero
+    * joins. (The previous formulation recombined two as-of passes
+    * with an inner equi-join on all left columns, which dropped
+    * left rows containing NULLs — null-unsafe equality — and fanned
+    * out duplicate left rows; the window form preserves every input
+    * row per-position, so neither hazard exists.)
+    *
+    * Ties: equal |Δt| prefers the past row; within a side, equal-ts
+    * right rows resolve to the largest `idCol` (the as-of
+    * running-last rule, both directions). */
   def nearestJoin(left: DataFrame, right: DataFrame, key: String,
                   ts: String, idCol: String, suffix: String = "_n"): DataFrame = {
     val leftCols = left.columns.toSeq
-    val back = asofJoin(left, right, key, ts, Seq(idCol), idCol, "_b")
-    // forward pass: order by negated micros — asofJoin's "latest at
-    // or before" becomes "earliest at or after"
-    def negated(df: DataFrame) =
-      df.withColumn("_negus", -unix_micros(col(ts)))
-    val fwdRaw = asofJoin(
-      negated(left), negated(right),
-      key, "_negus", Seq(idCol, ts), idCol, "_f")
-    val fwd = fwdRaw.drop("_negus")
-    val joined = back.join(
-      fwd.select((key +: leftCols.filterNot(_ == key))
-        .map(col) ++ Seq(col(s"${idCol}_f"), col(s"${ts}_f")): _*),
-      leftCols, "inner")
-    val dB = unix_micros(col(ts)) - unix_micros(col(s"${ts}_b"))
-    val dF = unix_micros(col(s"${ts}_f")) - unix_micros(col(ts))
-    val pickBack = col(s"${idCol}_b").isNotNull &&
-      (col(s"${idCol}_f").isNull || dB <= dF)
-    joined.select(leftCols.map(col) ++ Seq(
-      when(pickBack, col(s"${idCol}_b")).otherwise(col(s"${idCol}_f"))
+    val payStruct = struct(col(ts).as("ts"), col(idCol).as("id"))
+    val ordT = right.schema(idCol).dataType
+    val rAligned = right.select(
+      leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(lit(0).as("_tag"), col(idCol).as("_ord"),
+        payStruct.as("_pay")): _*)
+    val lAligned = left.select(
+      leftCols.map(col) ++ Seq(lit(1).as("_tag"),
+        lit(null).cast(ordT).as("_ord"),
+        lit(null).cast(rAligned.schema("_pay").dataType).as("_pay")): _*)
+    // backward: right (tag 0) sorts BEFORE left at equal ts -> `<=`
+    // inclusive; running last among equal-ts right rows = largest _ord
+    val wB = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_tag").asc, col("_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: tag inverted so right rows sort AFTER left at equal ts
+    // (inclusive `>=`), _ord descending so `first` = largest _ord
+    val wF = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_tag").desc, col("_ord").desc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = rAligned.unionByName(lAligned)
+      .withColumn("_b", last(col("_pay"), ignoreNulls = true).over(wB))
+      .withColumn("_f", first(col("_pay"), ignoreNulls = true).over(wF))
+      .where(col("_tag") === 1)
+    val dB = unix_micros(col(ts)) - unix_micros(col("_b.ts"))
+    val dF = unix_micros(col("_f.ts")) - unix_micros(col(ts))
+    val pickBack = col("_b.id").isNotNull &&
+      (col("_f.id").isNull || dB <= dF)
+    both.select(leftCols.map(col) ++ Seq(
+      when(pickBack, col("_b.id")).otherwise(col("_f.id"))
         .as(s"$idCol$suffix"),
-      when(pickBack, col(s"${ts}_b")).otherwise(col(s"${ts}_f"))
+      when(pickBack, col("_b.ts")).otherwise(col("_f.ts"))
         .as(s"$ts$suffix"),
       when(pickBack, dB).otherwise(dF).as("diff_us"),
       when(pickBack, lit(0L)).otherwise(
-        when(col(s"${idCol}_f").isNotNull, lit(1L))).as("side")): _*)
+        when(col("_f.id").isNotNull, lit(1L))).as("side")): _*)
   }
 
   /** Interval containment join: every (point, interval) pair with

@@ -56,12 +56,32 @@ object Streams {
     * every 15 minutes" staple. Unlike the count version, distinct
     * state can't map-side-combine to one number: the window explode
     * (4 rows per event) shuffles on (window, user) first — exact, and
-    * at 100 TB the approx path is a15's HLL sketch per window. */
+    * at 100 TB the approx path is a15's HLL sketch per window.
+    *
+    * BATCH formulation (`count_distinct` raises AnalysisException on
+    * a streaming frame); the streaming path is
+    * [[slidingActiveUsersStream]]. */
   def slidingActiveUsers(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count_distinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_users"),
+        col("n_events"))
+
+  /** Streaming flavor of [[slidingActiveUsers]]: distinct-count as a
+    * two-level aggregation — (window, user) partial counts, then a
+    * per-window row count — the chained-stateful-operator shape Spark
+    * supports in append mode since 3.4. State per level is bounded by
+    * the watermark; the (window, user) level is exactly the shuffle
+    * the batch `count_distinct` plans, so batch == stream on replay
+    * (asserted in StreamsSpec). */
+  def slidingActiveUsersStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("_n_user_events"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"), sum(col("_n_user_events")).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_users"),
         col("n_events"))
 

@@ -447,4 +447,23 @@ class FunnelSpec extends SparkSpec {
     assert(id.orderBy("id").collect().toSeq ==
       snap.orderBy("id").collect().toSeq)
   }
+
+  test("Merge.upsert: NULL-keyed change rows are dropped, not emitted as orphans") {
+    import graft.operators.Merge
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val changes = Seq(
+      (Option.empty[Long], Some("ghost"), false),  // null key: ignored
+      (Some(2L), Some("b2"), false))
+      .toDF("id", "name", "_del")
+    val out = Merge.upsert(snap, changes, "id", "_del")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2")))
+    // missing key / tombstone column in changes: rejected up front
+    intercept[IllegalArgumentException] {
+      Merge.upsert(snap, snap.select(col("name")), "id", "_del")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.upsert(snap, snap, "id", "_del")
+    }
+  }
 }

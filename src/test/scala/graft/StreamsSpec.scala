@@ -103,6 +103,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding active users == batch (watermark-closed windows)") {
+    val events = Tables.load(spark, sf001, "events")
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val batch = Streams.slidingActiveUsers(events)
+      .orderBy("window_start").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_au")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    // chained stateful aggregation -> append mode: only windows the
+    // watermark (max ts - 2 h) has closed are emitted
+    val q = Streams.slidingActiveUsersStream(Streams.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("active_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("active_out").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    // every emitted window matches batch exactly
+    streamed.foreach { case (ws, v) =>
+      assert(batch.get(ws).contains(v), s"window $ws: stream $v vs batch ${batch.get(ws)}")
+    }
+    // and every safely-closed batch window (end strictly more than one
+    // hop below the watermark, avoiding boundary-rule sensitivity) emitted
+    val safeCutoffMs = maxTs.getTime - (2 * 3600 + 3600 + 900) * 1000L
+    val mustEmit = batch.keySet.filter(_.getTime < safeCutoffMs)
+    assert(mustEmit.subsetOf(streamed.keySet),
+      s"missing windows: ${mustEmit -- streamed.keySet}")
+  }
+
   test("session windows: gap merging semantics") {
     import spark.implicits._
     val ts = Seq(

@@ -113,6 +113,10 @@ class TablesSpec extends SparkSpec {
     val clean = Tables.contractReport(df.where(col("id") === 1),
       Seq("id_null" -> col("id").isNull)).collect()
     assert(clean(0).getAs[Boolean]("ok"))
+    // empty rule set: vacuously-clean empty report, same schema
+    val none = Tables.contractReport(df, Seq.empty)
+    assert(none.columns.toSeq == Seq("rule", "n_violations", "n_rows", "ok"))
+    assert(none.count() == 0L)
   }
 
   test("normalizeTs handles long-nanos and NTZ inputs identically") {
