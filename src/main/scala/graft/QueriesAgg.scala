@@ -415,22 +415,49 @@ object QueriesAgg {
     * distinct counts and a quantile sketch. At 100 TB these replace
     * their exact counterparts (exact distinct shuffles every key;
     * exact percentile materializes the group) with bounded-memory,
-    * mergeable, map-side-combining sketches. No SQL oracle — a sketch
-    * estimate is implementation-defined; SketchSpec bounds the error
-    * against the exact values instead. */
+    * mergeable, map-side-combining sketches.
+    *
+    * Oracle design: a sketch estimate is implementation-defined, so
+    * the raw estimates can't hash-match a DuckDB value. Instead the
+    * query emits the EXACT companions (hash-gated the normal way)
+    * plus in-engine bound checks — HLL within ±5·rsd of the exact
+    * distinct count, the quantile sketch between the exact quantiles
+    * at p ± 10/accuracy (10× the published rank-error guarantee) —
+    * which the oracle asserts as literal TRUE columns: a sketch
+    * drifting out of its error envelope turns a boolean false and
+    * fails the hash gate. SketchSpec additionally checks the tight
+    * (1·guarantee) envelopes. */
   private val a15 = Q(
     "a15_approx_sketch",
-    None,
+    Some(s"""SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS nd_partkey,
+            round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+            round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+            count(*) AS n_rows,
+            TRUE AS nd_approx_ok, TRUE AS p50_approx_ok, TRUE AS p95_approx_ok
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_partkey_approx"),
+          count_distinct(col("l_partkey")).as("nd_partkey"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_nd_approx"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("_q"),
+          round(percentile(col("l_extendedprice"), lit(0.49)), 6).as("_p50lo"),
+          round(percentile(col("l_extendedprice"), lit(0.51)), 6).as("_p50hi"),
+          round(percentile(col("l_extendedprice"), lit(0.94)), 6).as("_p95lo"),
+          round(percentile(col("l_extendedprice"), lit(0.96)), 6).as("_p95hi"),
           count(lit(1)).as("n_rows"))
-        .select(col("l_returnflag"), col("nd_partkey_approx"),
-          col("_q").getItem(0).as("p50_approx"),
-          col("_q").getItem(1).as("p95_approx"), col("n_rows"))
+        .select(col("l_returnflag"), col("nd_partkey"), col("p50"), col("p95"),
+          col("n_rows"),
+          (abs(col("_nd_approx") - col("nd_partkey")).cast(DoubleType)
+            <= lit(5 * 0.02) * col("nd_partkey")).as("nd_approx_ok"),
+          col("_q").getItem(0).between(col("_p50lo"), col("_p50hi"))
+            .as("p50_approx_ok"),
+          col("_q").getItem(1).between(col("_p95lo"), col("_p95hi"))
+            .as("p95_approx_ok"))
         .orderBy("l_returnflag"))
 
   /** A16 (scale extension): single-pass column profiler — the

@@ -237,8 +237,14 @@ object QueriesSpatial {
 
   /** M2: Jenks natural-breaks binning (_objtable_methods.py:344-347).
     * Driver-side exact DP on the collected cluster-level aggregate
-    * (like the reference's jenkspy call). Not SQL-expressible —
-    * rows-only check here; correctness in JenksSpec. */
+    * (like the reference's jenkspy call), then the class ASSIGNMENT
+    * applied in-engine. Oracle via sqlGen (the m8_kmeans mechanism):
+    * breaks are computed at Verify time and inlined as literals into
+    * DuckDB SQL that recomputes the aggregate AND the binning
+    * independently — the aggregation and assignment are hash-gated;
+    * the break positions themselves are validated against a brute
+    * force in JenksSpec. Class of v = number of interior breaks
+    * strictly below v (pd.cut include_lowest, [[Jenks.binOf]]). */
   private val m2 = Q(
     "m2_jenks_breaks",
     None,
@@ -248,10 +254,33 @@ object QueriesSpatial {
         .agg(Det.davg(col("p_retailprice"), 6).as("av_price"))
       val values = agg.select("av_price").collect().map(_.getDouble(0))
       val edges = Jenks.breaks(values, 5)
-      val rows = edges.sliding(2).zipWithIndex.map {
-        case (Array(lo, hi), i) => (i, lo, hi)
-      }.toSeq
-      s.createDataFrame(rows).toDF("class", "lower", "upper").orderBy("class")
+      val cls = edges.slice(1, edges.length - 1)
+        .map(e => when(col("av_price") > lit(e), 1L).otherwise(0L))
+        .reduce(_ + _)
+      agg.withColumn("class", cls)
+        .withColumn("lower",
+          element_at(typedLit(edges.toSeq), col("class").cast("int") + 1))
+        .withColumn("upper",
+          element_at(typedLit(edges.toSeq), col("class").cast("int") + 2))
+        .orderBy("bucket")
+    },
+    sqlGen = Some { (s, dir) =>
+      val agg = t(s, dir, "part")
+        .groupBy((col("p_partkey") % 500).as("bucket"))
+        .agg(Det.davg(col("p_retailprice"), 6).as("av_price"))
+      val edges = Jenks.breaks(
+        agg.select("av_price").collect().map(_.getDouble(0)), 5)
+      val clsSql = edges.slice(1, edges.length - 1)
+        .map(e => s"CAST(av_price > $e AS BIGINT)").mkString(" + ")
+      val edgeList = edges.mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT p_partkey % 500 AS bucket,
+              ${Det.sqlDavg("p_retailprice", 6)} AS av_price
+            FROM part GROUP BY 1),
+          c AS (SELECT bucket, av_price, $clsSql AS "class" FROM a)
+          SELECT bucket, av_price, "class",
+            $edgeList[CAST("class" AS INT) + 1] AS "lower",
+            $edgeList[CAST("class" AS INT) + 2] AS "upper"
+          FROM c ORDER BY bucket"""
     })
 
   /** M3: IQR outlier rejection composite

@@ -4,33 +4,52 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** a15_approx_sketch: the sketch estimates have no SQL oracle (they
-  * are implementation-defined); this bounds their error against the
-  * exact aggregates instead. */
+/** a15_approx_sketch: the sketch estimates are implementation-defined,
+  * so the registry query hash-gates exact companions plus in-engine
+  * bound booleans (oracle asserts them TRUE). This spec keeps the
+  * TIGHT envelopes on the raw sketches — 3·rsd for HLL, the published
+  * rank-error guarantee band for the quantile sketch — which the
+  * query's 5·rsd / 10×-rank-slack booleans deliberately relax. */
 class SketchSpec extends SparkSpec {
 
   test("HLL distinct and quantile sketch within declared error bounds") {
-    val got = SparkEntry.queries("a15_approx_sketch")(spark, sf01)
+    val li = Tables.load(spark, sf01, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_approx"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("q"))
+      .select(col("l_returnflag"), col("nd_approx"),
+        col("q").getItem(0).as("p50_approx"), col("q").getItem(1).as("p95_approx"))
       .collect().map(r => r.getString(0) -> r).toMap
-    val exact = Tables.load(spark, sf01, "lineitem")
-      .groupBy("l_returnflag")
+    val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("nd"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        expr("percentile(l_extendedprice, 0.49)").as("p50lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("p50hi"),
+        expr("percentile(l_extendedprice, 0.94)").as("p95lo"),
+        expr("percentile(l_extendedprice, 0.96)").as("p95hi"))
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(got.keySet == exact.keySet && got.nonEmpty)
-    for (flag <- got.keySet) {
-      val g = got(flag); val e = exact(flag)
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for (flag <- approx.keySet) {
+      val g = approx(flag); val e = exact(flag)
       val nd = e.getAs[Long]("nd").toDouble
       // rsd = 0.02; allow 3 sigma
-      assert(math.abs(g.getAs[Long]("nd_partkey_approx") - nd) / nd <= 0.06,
-        s"$flag distinct: ${g.getAs[Long]("nd_partkey_approx")} vs $nd")
-      // accuracy=1000 => rank error <= n/1000; prices are dense, so
-      // the value error stays within a small relative band
-      assert(math.abs(g.getAs[Double]("p50_approx") - e.getAs[Double]("p50"))
-        / e.getAs[Double]("p50") <= 0.02, s"$flag p50")
-      assert(math.abs(g.getAs[Double]("p95_approx") - e.getAs[Double]("p95"))
-        / e.getAs[Double]("p95") <= 0.02, s"$flag p95")
+      assert(math.abs(g.getAs[Long]("nd_approx") - nd) / nd <= 0.06,
+        s"$flag distinct: ${g.getAs[Long]("nd_approx")} vs $nd")
+      // accuracy=1000 => rank error <= n/1000; p±0.01 quantile band
+      // is 10x that guarantee
+      assert(g.getAs[Double]("p50_approx") >= e.getAs[Double]("p50lo")
+        && g.getAs[Double]("p50_approx") <= e.getAs[Double]("p50hi"), s"$flag p50")
+      assert(g.getAs[Double]("p95_approx") >= e.getAs[Double]("p95lo")
+        && g.getAs[Double]("p95_approx") <= e.getAs[Double]("p95hi"), s"$flag p95")
+    }
+  }
+
+  test("registry query: every bound boolean true at sf0.1") {
+    val rows = SparkEntry.queries("a15_approx_sketch")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("nd_approx_ok"), r.toString)
+      assert(r.getAs[Boolean]("p50_approx_ok"), r.toString)
+      assert(r.getAs[Boolean]("p95_approx_ok"), r.toString)
     }
   }
 
