@@ -126,12 +126,11 @@ object Spatial {
       .withColumn("_ux", lx).withColumn("_uy", ly).withColumn("_uz", lz)
       .withColumn("_hpx", Expressions.healpixCell(
         col(lRa).cast("double"), col(lDec).cast("double"), nside))
-    val cover = udf((ra: Double, dec: Double) =>
-      Healpix.coverDisk(nside, Healpix.ang2pixNest(nside, ra, dec), radiusRad))
     val (rx, ry, rz) = unitVec(col(rRa), col(rDec))
     val rightC = right
       .withColumn("_vx", rx).withColumn("_vy", ry).withColumn("_vz", rz)
-      .withColumn("_hpx", explode(cover(col(rRa).cast("double"), col(rDec).cast("double"))))
+      .withColumn("_hpx", explode(Expressions.healpixCoverDisk(
+        col(rRa).cast("double"), col(rDec).cast("double"), nside, radiusRad)))
     val rightSide = if (broadcastRight) broadcast(rightC) else rightC
     val chord2 = (col("_ux") - col("_vx")) * (col("_ux") - col("_vx")) +
       (col("_uy") - col("_vy")) * (col("_uy") - col("_vy")) +

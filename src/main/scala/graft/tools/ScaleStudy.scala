@@ -18,9 +18,20 @@ object ScaleStudy {
 
   private val Stride = 100000000L // > any key in sf0.1
 
+  /** The expensive end of the registry (r7 judge's k=16 ask): the
+    * queries whose scale behavior decides whether the engine holds at
+    * 100 TB. */
+  private val HeavyFamily = Seq(
+    "ep2_flagship", "ep4_corpus_curation", "dd_containment",
+    "m10_triangles", "dd_keep_best", "j16_nearest_event",
+    "s19_scd2_history", "a20_concentration")
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(4)
-    val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
+    val names = args.lift(1).map {
+      case "heavy" => HeavyFamily
+      case csv     => csv.split(",").toSeq
+    }.getOrElse(Seq(
       "a3_group_stats", "tpch_q3ish", "tpch_q5ish", "j11_asof_join",
       "ev_sessionize", "w4_topk_group", "dd_exact", "dd_minhash_lsh_poly",
       "tx_tfidf", "ss_topk_lsh", "m9_pagerank", "ev_funnel",
@@ -45,19 +56,34 @@ object ScaleStudy {
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dst/_DONE"))
     }
 
-    def time(dir: String, name: String): Double = {
-      val runs = (1 to 3).map { _ =>
+    // per-stage task counts during the k× run: a single-task stage at
+    // scale is a serialization point the wall-clock ratio alone can
+    // hide (a fast query can still harbor a stage that won't
+    // parallelize at 1000 executors)
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.synchronized { stages += ((e.stageInfo.stageId, e.stageInfo.numTasks)) }
+      })
+
+    def time(dir: String, name: String, captureStages: Boolean): (Double, Int, Int) = {
+      val runs = (1 to 3).map { i =>
+        if (captureStages && i == 3) { Thread.sleep(200); stages.synchronized(stages.clear()) }
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      runs.sorted.apply(1)
+      Thread.sleep(300) // let async listener events drain
+      val snap = stages.synchronized(stages.toList)
+      (runs.sorted.apply(1), snap.size, snap.count(_._2 == 1))
     }
-    println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  (linear = $k%d.0)")
+    println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  stages  1-task  (linear = $k%d.0)")
     names.foreach { n =>
-      val t1 = time(src, n)
-      val tk = time(dst, n)
-      println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+      val (t1, _, _) = time(src, n, captureStages = false)
+      val (tk, nStages, oneTask) = time(dst, n, captureStages = true)
+      println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  $nStages%6d  $oneTask%6d")
     }
   }
 

@@ -42,14 +42,24 @@ class PlanAuditSpec extends SparkSpec {
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
     "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration")
 
-  test("no CartesianProduct anywhere; BNLJ only where allowlisted") {
+  test("no CartesianProduct anywhere; BNLJ only where allowlisted; no ScalaUDF") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+      val qe = fn(spark, sf001).queryExecution
+      val plan = qe.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         offenders += s"$name: BroadcastNestedLoopJoin"
+      // interpreted black-box UDFs are banned from every registry
+      // query: anything scalar must be a codegen'd Expression (the
+      // r8 HealpixCoverDisk closure compiled away the last one); the
+      // only sanctioned escape hatch is the non-registry
+      // GroupApply.groupApplyExact, which wraps a USER closure
+      val hasUdf = qe.analyzed.collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[ScalaUDF]))
+      if (hasUdf) offenders += s"$name: ScalaUDF"
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }

@@ -58,28 +58,34 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
     return "; ".join(bad) if bad else ""
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, json_out: str | None = None) -> int:
+    import time
     con = duckdb.connect()
     for tname in TABLES:
         con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sfdir}/{tname}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: oracle SQL error: {exc}")
+            report[name] = {"status": "oracle_error", "detail": str(exc)[:200]}
             n_bad += 1
             continue
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
         except Exception as exc:
             print(f"FAIL {name}: spark output missing: {exc}")
+            report[name] = {"status": "missing", "detail": str(exc)[:200]}
             n_bad += 1
             continue
         msg = compare(name, got, exp)
         if msg:
             print(f"FAIL {name}: {msg}")
+            report[name] = {"status": "mismatch", "detail": msg[:200]}
             n_bad += 1
         else:
             # dtype-width differences don't fail the value compare but
@@ -89,10 +95,18 @@ def main(sfdir: str, outdir: str) -> int:
             dd = {c: (gd.get(c), ed.get(c)) for c in gd if gd.get(c) != ed.get(c)}
             warn = f"  [dtype deltas: {dd}]" if dd else ""
             print(f"OK   {name} ({len(got)} rows x {len(got.columns)} cols){warn}")
+            report[name] = {"status": "ok", "rows": int(len(got)),
+                            "cols": int(len(got.columns)),
+                            "oracle_sec": round(time.time() - t0, 2)}
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sfdir": sfdir, "n_ok": n_ok, "n_fail": n_bad,
+                       "queries": report}, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
