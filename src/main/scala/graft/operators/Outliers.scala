@@ -55,8 +55,16 @@ object Outliers {
 
     val binned =
       if (useJenks) {
-        val values = ca.select("av_mag").collect().map(_.getDouble(0))
-        val edges = Jenks.breaks(values, nBins)
+        // collect one value per cluster like the reference's jenkspy
+        // call — but only while the cluster count is driver-bounded;
+        // past the bound, switch to the quantile-sketch discretization
+        // (Jenks.breaksApprox): one aggregate, O(1k) driver memory,
+        // the documented 100 TB path for this operator
+        val maxCollect = 4 << 20
+        val edges =
+          if (ca.count() <= maxCollect)
+            Jenks.breaks(ca.select("av_mag").collect().map(_.getDouble(0)), nBins)
+          else Jenks.breaksApprox(ca, "av_mag", nBins)
         val bin = edges.slice(1, nBins).foldLeft(lit(0)) { (acc, e) =>
           acc + when(col("av_mag") > e, 1).otherwise(0)
         }

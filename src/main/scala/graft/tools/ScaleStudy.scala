@@ -103,11 +103,19 @@ object ScaleStudy {
         // so dup pairs — and near-dedup wall time — grow
         // quadratically with k; the first run of this tool measured
         // exactly that, ratio 5.4 at k=4). Within-shard dup structure
-        // is preserved, so pair counts scale linearly like a real
-        // growing corpus.
-        val rot = "aeiou".drop(i % 5) + "aeiou".take(i % 5)
+        // is preserved (any per-shard character bijection preserves
+        // within-shard shingle identity), so pair counts scale
+        // linearly like a real growing corpus. The rotation covers
+        // the FULL alphanumeric alphabet, not just vowels: vowel-only
+        // rotation left vowel-free tokens (numbers!) identical in all
+        // k shards, multiplying their document frequency by k and
+        // blowing up prefix-filter inverted lists super-linearly — a
+        // synthesis artifact, not an operator property (measured:
+        // dd_containment ratio 20.1 at k=16 with vowel rotation).
+        val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
         df.withColumn("doc_id", col("doc_id") + off)
-          .withColumn("text", translate(col("text"), "aeiou", rot))
+          .withColumn("text", translate(col("text"), alpha, rot))
       case "embeddings" =>
         df.withColumn("vec_id", col("vec_id") + off)
       case "events" =>

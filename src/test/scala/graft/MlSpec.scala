@@ -66,6 +66,33 @@ class JenksSpec extends AnyFunSuite {
   }
 }
 
+/** The quantile-sketch Jenks scale path: class assignments from the
+  * sketch-discretized breaks must agree with the exact collected DP
+  * on (nearly) every point, on a skewed distribution. */
+class JenksApproxSpec extends SparkSpec {
+
+  test("breaksApprox ~= exact breaks on a skewed 50k-value frame") {
+    import spark.implicits._
+    // deterministic long-tailed mixture: 90% tight cluster, 10% tail
+    val values = (0 until 50000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      val u = h.toDouble / Int.MaxValue
+      if (i % 10 == 0) 50.0 + 450.0 * u * u else 10.0 + 5.0 * u
+    }
+    val df = values.toDF("v")
+    val k = 5
+    val exact = Jenks.breaks(values.toArray, k)
+    val approx = Jenks.breaksApprox(df, "v", k)
+    assert(approx.length == k + 1)
+    assert(approx(0) == values.min && approx(k) == values.max)
+    val agree = values.count(x =>
+      Jenks.binOf(x, exact) == Jenks.binOf(x, approx))
+    assert(agree.toDouble / values.size >= 0.98,
+      s"only $agree/${values.size} points classed identically;" +
+        s" exact=${exact.mkString(",")} approx=${approx.mkString(",")}")
+  }
+}
+
 class OdrSpec extends SparkSpec {
   import spark.implicits._
 
