@@ -157,9 +157,16 @@ object Bench {
     val hot1 = firstPass.collect {
       case (n, v) if v >= 0 && ctx1(n) > DriftLimit * ProbeRefSec => n
     }.toSet
+    val errorsAfterFirst = errors.keySet.toSet
     val (secondPass, ctx2) =
       if (hot1.isEmpty) (Seq.empty[(String, Double)], Map.empty[String, Double])
       else pass(queries.filter { case (n, _) => hot1(n) })
+    // a transient re-measure failure must not fail a bench whose first
+    // pass succeeded — the first-pass median stands, the error entry
+    // (recorded by measure()) is dropped
+    (errors.keySet.toSet -- errorsAfterFirst).foreach { n =>
+      if (firstPass.exists { case (fn, v) => fn == n && v >= 0 }) errors.remove(n)
+    }
     val second = secondPass.toMap
     val results = scala.collection.immutable.ListMap(firstPass.map { case (n, v1) =>
       n -> (second.get(n) match {

@@ -60,13 +60,16 @@ object ScaleStudy {
     // scale is a serialization point the wall-clock ratio alone can
     // hide (a fast query can still harbor a stage that won't
     // parallelize at 1000 executors)
-    val stages = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          stages.synchronized { stages += ((e.stageInfo.stageId, e.stageInfo.numTasks)) }
+          stages.synchronized {
+            stages += ((e.stageInfo.stageId, e.stageInfo.numTasks, e.stageInfo.name))
+          }
       })
+    val dumpStages = sys.env.contains("GRAFT_SCALE_STAGES")
 
     def time(dir: String, name: String, captureStages: Boolean): (Double, Int, Int) = {
       val runs = (1 to 3).map { i =>
@@ -77,6 +80,10 @@ object ScaleStudy {
       }
       Thread.sleep(300) // let async listener events drain
       val snap = stages.synchronized(stages.toList)
+      if (captureStages && dumpStages)
+        snap.filter(_._2 == 1).foreach { case (id, _, nm) =>
+          System.err.println(s"[1-task] $name stage $id: ${nm.take(120)}")
+        }
       (runs.sorted.apply(1), snap.size, snap.count(_._2 == 1))
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  stages  1-task  (linear = $k%d.0)")
