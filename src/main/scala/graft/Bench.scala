@@ -37,9 +37,21 @@ object Bench {
     * RUN-WIDE probe median itself drifts >2× the artifact carries a
     * machine-readable "contended": true a judge can trust without an
     * independent re-run. */
-  private val ProbeRefSec = 0.12 // quiet-host median (load <4/32, 2026-08)
+  private val ProbeRefSec32 = 0.12 // quiet-host median at local[32] (2026-08)
   private val ProbeEvery = 8
   private val DriftLimit = 2.0
+
+  /** Reference scaled to the configured core count: the probe is a
+    * fixed CPU-bound job, so halving cores ≈ doubles its quiet-host
+    * runtime — without this, any SPARK_GRAFT_CPUS other than the
+    * calibrated 32 would read permanently "hot" and emit a false
+    * contended verdict. (Linear scaling is approximate; the driver
+    * contract always runs 32, where the measured constant applies
+    * exactly.) */
+  private def probeRef(cpus: String): Double = {
+    val n = try math.max(1.0, cpus.toDouble) catch { case _: Throwable => 32.0 }
+    ProbeRefSec32 * 32.0 / n
+  }
 
   private def probe(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -132,16 +144,35 @@ object Bench {
     /** One pass over `names`: probes every ProbeEvery queries bound
       * each query's window; returns (medians, per-query max adjacent
       * probe). */
+    /** A probe failure must never abort the suite (losing every
+      * median already measured): rebuild-and-retry once, then record
+      * a -1 sentinel that the stats/window logic filters out. */
+    def safeProbe(): Double = {
+      def attempt(): Double = {
+        if (spark.sparkContext.isStopped) {
+          System.err.println("[bench] SparkContext dead before probe — rebuilding")
+          spark = newSession(cpus)
+          rebuilds += 1
+        }
+        probe(spark)
+      }
+      try attempt() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] probe failed (${e.getClass.getSimpleName}) — retrying")
+          try attempt() catch { case _: Throwable => -1.0 }
+      }
+    }
+
     def pass(names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : (Seq[(String, Double)], Map[String, Double]) = {
-      val probes = scala.collection.mutable.ArrayBuffer[Double](probe(spark))
+      val probes = scala.collection.mutable.ArrayBuffer[Double](safeProbe())
       val probeIdx = scala.collection.mutable.HashMap[String, Int]()
       val medians = names.zipWithIndex.map { case ((name, fn), i) =>
-        if (i > 0 && i % ProbeEvery == 0) probes += probe(spark)
+        if (i > 0 && i % ProbeEvery == 0) probes += safeProbe()
         probeIdx(name) = probes.size - 1
         name -> measure(name, fn)
       }
-      probes += probe(spark)
+      probes += safeProbe()
       allProbes ++= probes
       val ctx = probeIdx.map { case (n, pi) =>
         n -> math.max(probes(pi), probes(math.min(pi + 1, probes.size - 1)))
@@ -150,24 +181,32 @@ object Bench {
     }
 
     val queries = SparkEntry.queries.toSeq
+    val ref = probeRef(cpus)
     val (firstPass, ctx1) = pass(queries)
     // re-measure queries whose window probes ran hot (>DriftLimit × the
     // quiet-host reference): contention only ever ADDS time, so the
-    // better of the two medians is the honest number
+    // better of the two medians is the honest number. A query that
+    // FAILED inside a hot window is retried too — the same contention
+    // evidence that discounts a slow median discounts an environmental
+    // failure (OOM under a co-tenant spike)
     val hot1 = firstPass.collect {
-      case (n, v) if v >= 0 && ctx1(n) > DriftLimit * ProbeRefSec => n
+      case (n, _) if ctx1(n) > DriftLimit * ref => n
     }.toSet
     val errorsAfterFirst = errors.keySet.toSet
     val (secondPass, ctx2) =
       if (hot1.isEmpty) (Seq.empty[(String, Double)], Map.empty[String, Double])
       else pass(queries.filter { case (n, _) => hot1(n) })
+    val second = secondPass.toMap
     // a transient re-measure failure must not fail a bench whose first
     // pass succeeded — the first-pass median stands, the error entry
-    // (recorded by measure()) is dropped
+    // (recorded by measure()) is dropped; symmetrically, a first-pass
+    // failure that succeeds on requeue sheds its error
     (errors.keySet.toSet -- errorsAfterFirst).foreach { n =>
       if (firstPass.exists { case (fn, v) => fn == n && v >= 0 }) errors.remove(n)
     }
-    val second = secondPass.toMap
+    errorsAfterFirst.foreach { n =>
+      if (second.get(n).exists(_ >= 0)) errors.remove(n)
+    }
     val results = scala.collection.immutable.ListMap(firstPass.map { case (n, v1) =>
       n -> (second.get(n) match {
         case Some(v2) if v2 >= 0 && (v1 < 0 || v2 < v1) => v2
@@ -177,7 +216,7 @@ object Bench {
     // informational: re-measured under hot probes both times (mild
     // in-suite heap/GC pressure lands here even on a quiet host; the
     // artifact-level verdict below keys on the run-wide median)
-    val contendedQs = hot1.filter(n => ctx2.get(n).forall(_ > DriftLimit * ProbeRefSec))
+    val contendedQs = hot1.filter(n => ctx2.get(n).forall(_ > DriftLimit * ref))
     val stealPct = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
     def q(s: String): String = "\"" + s.flatMap {
@@ -186,17 +225,20 @@ object Bench {
       case c => c.toString
     } + "\""
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val probesSorted = allProbes.sorted
-    val probeMedian = probesSorted(probesSorted.size / 2)
+    val probesSorted = allProbes.filter(_ >= 0).sorted // drop failed-probe sentinels
+    val probeMedian =
+      if (probesSorted.isEmpty) -1.0 else probesSorted(probesSorted.size / 2)
     // the judge-facing verdict: run-wide calibration median drifted
     // past 2× the quiet-host reference — the r7 failure mode (4×
     // contention waves under healthy steal) trips this; normal
     // in-suite GC pressure (≈1.5×) does not
-    val contended = probeMedian > DriftLimit * ProbeRefSec
+    val contended = probeMedian > DriftLimit * ref
     val calib =
-      s""""calibration":{"ref_sec":$ProbeRefSec,"median_sec":${r3(probeMedian)},""" +
-      s""""max_sec":${r3(probesSorted.last)},"n_probes":${allProbes.size},""" +
-      s""""drift":${r3(probeMedian / ProbeRefSec)},"requeued":${hot1.size},""" +
+      s""""calibration":{"ref_sec":${r3(ref)},"median_sec":${r3(probeMedian)},""" +
+      s""""max_sec":${r3(if (probesSorted.isEmpty) -1.0 else probesSorted.last)},""" +
+      s""""n_probes":${allProbes.size},""" +
+      s""""drift":${r3(if (probeMedian > 0) probeMedian / ref else -1.0)},""" +
+      s""""requeued":${hot1.size},""" +
       s""""still_hot":${contendedQs.size}},"contended":$contended"""
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     // Compact-line errors: the r6 driver artifact was "parsed": null

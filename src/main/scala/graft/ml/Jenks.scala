@@ -89,8 +89,10 @@ object Jenks {
                    k: Int, maxPoints: Int = 1024): Array[Double] = {
     import org.apache.spark.sql.functions._
     val probs = Array.tabulate(maxPoints)(i => (i + 0.5) / maxPoints)
+    // CAST to double: approx_percentile preserves the input type, and
+    // getSeq[Double] on an int/long/float array would ClassCastException
     val row = df.agg(
-      expr(s"approx_percentile($valueCol, array(${probs.mkString(",")}), 10000)")
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), array(${probs.mkString(",")}), 10000)")
         .as("_q"),
       min(col(valueCol)).cast("double").as("_lo"),
       max(col(valueCol)).cast("double").as("_hi")).collect()(0)

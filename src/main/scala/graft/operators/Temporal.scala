@@ -66,11 +66,13 @@ object Temporal {
     * only) can't express.
     *
     * One union + TWO window passes over the SAME hash partitioning
-    * (key): a running-`last` frame (preceding..current) yields the
-    * latest right row at-or-before, and a `first` frame
-    * (current..following) under a tag-inverted sort yields the
-    * earliest right row at-or-after — one shuffle, two sorts, zero
-    * joins. (The previous formulation recombined two as-of passes
+    * (key): a running-`last` frame (preceding..current) over ts ASC
+    * yields the latest right row at-or-before, and the same
+    * running-`last` frame over ts DESC yields the earliest right row
+    * at-or-after — one shuffle, two sorts, zero joins, both frames
+    * O(n) incremental (never the O(n²)
+    * currentRow..unboundedFollowing frame). (The previous
+    * formulation recombined two as-of passes
     * with an inner equi-join on all left columns, which dropped
     * left rows containing NULLs — null-unsafe equality — and fanned
     * out duplicate left rows; the window form preserves every input
@@ -99,14 +101,20 @@ object Temporal {
     val wB = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_tag").asc, col("_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: tag inverted so right rows sort AFTER left at equal ts
-    // (inclusive `>=`), _ord descending so `first` = largest _ord
+    // forward: the SAME running-last shape over ts DESCENDING (a
+    // currentRow..unboundedFollowing frame would be Spark's
+    // UnboundedFollowingWindowFunctionFrame — O(n²) per key group,
+    // a hot key would go quadratic). Scanning latest-ts-first, the
+    // running last at a left row is the right row with the smallest
+    // ts >= left.ts; right rows sort before left at equal ts
+    // (inclusive `>=`), and among equal-ts right rows _ord ASC makes
+    // the largest _ord the running last — both ties match wB's rules
     val wF = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_tag").desc, col("_ord").desc_nulls_first)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("_tag").asc, col("_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val both = rAligned.unionByName(lAligned)
       .withColumn("_b", last(col("_pay"), ignoreNulls = true).over(wB))
-      .withColumn("_f", first(col("_pay"), ignoreNulls = true).over(wF))
+      .withColumn("_f", last(col("_pay"), ignoreNulls = true).over(wF))
       .where(col("_tag") === 1)
     val dB = unix_micros(col(ts)) - unix_micros(col("_b.ts"))
     val dF = unix_micros(col("_f.ts")) - unix_micros(col(ts))

@@ -77,13 +77,15 @@ final class BatchedRemoteConnector[K, R](
 
   override def fetchByKeys(spark: SparkSession, keys: DataFrame,
                            keyCol: String): DataFrame = {
-    val distinctKeys = keys.select(col(keyCol)).distinct()
-    val n = distinctKeys.count()
-    require(n <= maxKeys,
-      s"connector $name: $n keys exceeds maxKeys=$maxKeys — a remote " +
-        "catalog pull must stay dimension-sized; stage the catalog to " +
-        "the lake (ParquetSnapshotConnector) for corpus-sized key sets")
-    val keyList = distinctKeys.as[K](kenc).collect().toSeq
+    // limit(maxKeys+1).collect() bounds driver memory exactly like a
+    // count()-then-collect guard but in ONE job over the distinct
+    // shuffle instead of two
+    val keyList = keys.select(col(keyCol)).distinct()
+      .limit(maxKeys + 1).as[K](kenc).collect().toSeq
+    require(keyList.size <= maxKeys,
+      s"connector $name: >$maxKeys keys — a remote catalog pull must " +
+        "stay dimension-sized; stage the catalog to the lake " +
+        "(ParquetSnapshotConnector) for corpus-sized key sets")
     val rows = keyList.grouped(batchSize).flatMap(fetchBatch).toSeq
     spark.createDataset(rows)(renc).toDF()
   }

@@ -81,7 +81,11 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
       .agg(count(lit(1)).as("_n_user_events"))
       .groupBy(col("window"))
-      .agg(count(lit(1)).as("n_users"), sum(col("_n_user_events")).as("n_events"))
+      // count(user_id), not count(1): the batch count_distinct skips
+      // NULL users, so the NULL group (one row at this level) must
+      // not count as an active user — its events still count
+      .agg(count(col("user_id")).as("n_users"),
+        sum(col("_n_user_events")).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_users"),
         col("n_events"))
 

@@ -57,4 +57,17 @@ class NearestJoinSpec extends SparkSpec {
     assert(out(2).getAs[Long]("event_id_n") == 101L) // NULL-id row kept
     assert(out(2).getAs[Long]("side") == 1L)
   }
+
+  test("nearestJoin plan: both window frames are running (O(n)), single shuffle") {
+    val l = Seq((1L, 1L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val plan = Temporal.nearestJoin(l, l, "user_id", "ts", "event_id")
+      .queryExecution.executedPlan.toString.toLowerCase
+    // a currentRow..unboundedFollowing frame is Spark's
+    // UnboundedFollowingWindowFunctionFrame — O(n²) per key group;
+    // the forward pass must be the reversed-order running frame
+    assert(!plan.contains("unboundedfollowing"), plan)
+    assert("exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }

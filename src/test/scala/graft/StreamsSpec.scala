@@ -137,6 +137,25 @@ class StreamsSpec extends SparkSpec {
       s"missing windows: ${mustEmit -- streamed.keySet}")
   }
 
+  test("sliding active users: two-level form matches count_distinct incl. NULL users") {
+    import spark.implicits._
+    // NULL user: count_distinct skips it, its events still count
+    val ev = Seq(
+      (Some(1L), "2024-01-01 10:05:00", 1.0),
+      (Some(1L), "2024-01-01 10:10:00", 2.0),
+      (Some(2L), "2024-01-01 10:20:00", 3.0),
+      (Option.empty[Long], "2024-01-01 10:25:00", 4.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val batch = Streams.slidingActiveUsers(ev)
+      .orderBy("window_start").collect().toSeq
+    val twoLevel = Streams.slidingActiveUsersStream(ev) // batch exec of the stream plan
+      .orderBy("window_start").collect().toSeq
+    assert(batch == twoLevel, s"batch=$batch twoLevel=$twoLevel")
+    assert(batch.exists(r => r.getAs[Long]("n_users") == 2L &&
+      r.getAs[Long]("n_events") == 4L)) // the 10:00 window: 2 users, 4 events
+  }
+
   test("session windows: gap merging semantics") {
     import spark.implicits._
     val ts = Seq(
