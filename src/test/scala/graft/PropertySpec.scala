@@ -187,6 +187,67 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("nearestJoin == brute-force nearest on random timestamps (ties: past, max id)") {
+    import graft.operators.Temporal
+    // deterministic pseudo-random micro-timestamps with deliberate
+    // collisions (mod 50) so the tie rules are actually exercised
+    def h(i: Long): Long = (i * 2654435761L) & 0x7fffffffL
+    val leftRows = (0 until 300).map { i =>
+      (i.toLong, (i % 7).toLong, new java.sql.Timestamp((h(i) % 50) * 1000L))
+    }
+    val rightRows = (0 until 200).map { i =>
+      (1000L + i, (i % 7).toLong, new java.sql.Timestamp((h(i + 31) % 50) * 1000L))
+    }
+    val l = leftRows.toDF("event_id", "user_id", "ts")
+    val r = rightRows.toDF("event_id", "user_id", "ts")
+    val got = Temporal.nearestJoin(l, r, "user_id", "ts", "event_id")
+      .collect()
+      .map(row => (row.getLong(0), Option(row.getAs[java.lang.Long]("event_id_n")).map(_.toLong)))
+      .toMap
+    assert(got.size == leftRows.size)
+    leftRows.foreach { case (lid, lu, lts) =>
+      val cands = rightRows.filter(_._2 == lu)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val minDiff = cands.map(c => math.abs(c._3.getTime - lts.getTime)).min
+          val best = cands.filter(c => math.abs(c._3.getTime - lts.getTime) == minDiff)
+          // tie: prefer past (ts <= lts); within a side, largest id
+          val past = best.filter(_._3.getTime <= lts.getTime)
+          val pool = if (past.nonEmpty) past else best
+          Some(pool.map(_._1).max)
+        }
+      assert(got(lid) == expected,
+        s"left $lid ($lu @ ${lts.getTime}): got ${got(lid)}, expected $expected")
+    }
+  }
+
+  test("intervalOverlapJoin == brute-force all-pairs on random intervals") {
+    import graft.operators.Temporal
+    def h(i: Long): Long = (i * 2654435761L) & 0x7fffffffL
+    // random starts with lengths spanning 0..6 buckets (bucket=13s) so
+    // pairs share anywhere from 1 to many cells — the claim-cell dedup
+    // must still emit each overlapping pair exactly once
+    val as = (0 until 150).map(i => (i.toLong, (h(i) % 300).toDouble,
+      (h(i) % 300 + 1 + h(i + 3) % 80).toDouble))
+    val bs = (0 until 150).map(i => (500L + i, (h(i + 11) % 300).toDouble,
+      (h(i + 11) % 300 + 1 + h(i + 17) % 80).toDouble))
+    val aDf = as.toDF("a_id", "a_start", "a_end")
+    val bDf = bs.toDF("b_id", "b_start", "b_end")
+    val got = Temporal.intervalOverlapJoin(
+        aDf, "a_start", "a_end", bDf, "b_start", "b_end", bucketSeconds = 13L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = for {
+      (ai, asrt, aend) <- as
+      (bi, bsrt, bend) <- bs
+      if asrt < bend && bsrt < aend
+    } yield (ai, bi)
+    assert(got.length == got.distinct.length,
+      s"claim-cell dedup emitted duplicates: ${got.length} vs ${got.distinct.length}")
+    assert(got.toSet == expected.toSet,
+      s"missing=${(expected.toSet -- got.toSet).take(5)} extra=${(got.toSet -- expected.toSet).take(5)}")
+  }
+
   test("sessionize: sessions partition events, boundaries respect the gap") {
     import graft.operators.Temporal
     val gapSec = 600L
