@@ -1,0 +1,137 @@
+package graft.operators
+
+/** Real decoders for the uncompressed media containers — pure JVM
+  * byte parsing, no external codec libraries (which this environment
+  * lacks; JPEG/PNG/MP4 stay behind the documented fallback seam).
+  *
+  *  - WAV: RIFF/WAVE with a PCM `fmt ` chunk + `data` chunk
+  *    (16-bit LE or 8-bit unsigned samples) — the raw-audio staple.
+  *  - PPM: binary P6 (magic, whitespace/comment header, maxval < 256,
+  *    raw RGB triplets) — the raw-image staple.
+  *
+  * Both parsers are strict (magic + internally consistent sizes), so
+  * arbitrary text/binary payloads fail cleanly to `None` and the
+  * caller's deterministic fallback — a corpus can mix real media and
+  * opaque blobs in one column. All math is integer/IEEE-deterministic:
+  * the same bytes give the same features on any executor. */
+object MediaCodecs {
+
+  final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nFrames: Long, durationSec: Double,
+                           rms: Double, peak: Double)
+
+  final case class PpmInfo(width: Int, height: Int, maxVal: Int,
+                           meanR: Double, meanG: Double, meanB: Double,
+                           meanLuma: Double)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Strict PCM WAV parse; None on anything that isn't a consistent
+    * RIFF/WAVE container with PCM 8/16-bit samples. */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32(b, off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = le16(b, off + 8)
+          if (audioFormat != 1) return None // PCM only
+          val channels = le16(b, off + 10)
+          val rate = le32(b, off + 12).toInt
+          val bits = le16(b, off + 22)
+          if (channels < 1 || rate <= 0 || (bits != 8 && bits != 16)) return None
+          fmt = Some((channels, rate, bits))
+        case "data" =>
+          data = Some((off + 8, len.toInt))
+        case _ => ()
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
+      val bytesPerSample = bits / 8
+      val frameBytes = channels * bytesPerSample
+      val nFrames = if (frameBytes == 0) 0L else dLen.toLong / frameBytes
+      val nSamples = nFrames * channels
+      var sumSq = 0.0
+      var peak = 0.0
+      var i = 0L
+      while (i < nSamples) {
+        val sOff = dOff + (i * bytesPerSample).toInt
+        val v =
+          if (bits == 16) le16(b, sOff).toShort.toDouble / 32768.0
+          else ((b(sOff) & 0xff) - 128).toDouble / 128.0
+        sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      WavInfo(rate, channels, bits, nFrames,
+        nFrames.toDouble / rate, rms, peak)
+    }
+  }
+
+  /** Strict binary-PPM (P6) parse; None unless the header is valid
+    * and the payload holds exactly width·height RGB triplets
+    * (maxval < 256 — the 1-byte-per-channel form). */
+  def parsePpm(b: Array[Byte]): Option[PpmInfo] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var off = 2
+    def skipSpaceAndComments(): Boolean = {
+      var sawSpace = false
+      var continue = true
+      while (continue && off < b.length) {
+        val c = b(off).toChar
+        if (c == '#') { // comment to end of line
+          while (off < b.length && b(off) != '\n') off += 1
+        } else if (c.isWhitespace) { sawSpace = true; off += 1 }
+        else continue = false
+      }
+      sawSpace
+    }
+    def readInt(): Option[Int] = {
+      if (!skipSpaceAndComments()) return None
+      var v = 0L
+      var digits = 0
+      while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+        v = v * 10 + (b(off) - '0'); digits += 1; off += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (digits == 0) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxv <- readInt()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256
+      // exactly one whitespace byte separates header and raster
+      if off < b.length && b(off).toChar.isWhitespace
+      start = off + 1
+      if b.length - start == w.toLong * h * 3
+    } yield {
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var i = start
+      while (i < b.length) {
+        sr += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sb += (b(i + 2) & 0xff)
+        i += 3
+      }
+      val n = w.toDouble * h
+      val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+      PpmInfo(w, h, maxv, mr, mg, mb,
+        0.299 * mr + 0.587 * mg + 0.114 * mb)
+    }
+  }
+}

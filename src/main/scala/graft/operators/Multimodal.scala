@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step itself is a STUB — media codecs are not available
-  * in this environment — but everything Spark-side is real: schema,
-  * batch iteration, partitioning, feature shapes. A real deployment
-  * swaps `decodeStub` for a codec call with the same signature; the
-  * plan shape (scan → mapPartitions batch → columnar features) is
-  * unchanged.
+  * The decode step dispatches on the payload's magic bytes:
+  * uncompressed containers get REAL pure-JVM decoders
+  * ([[MediaCodecs]]: PCM WAV audio, binary-P6 PPM images — strict
+  * parsers, deterministic features), and anything else falls back to
+  * the deterministic chunk-mean features (the documented seam where a
+  * deployment with codec libraries plugs in JPEG/PNG/MP4 — compressed
+  * codecs are not available in this environment). Everything
+  * Spark-side is real either way: schema, batch iteration,
+  * partitioning, feature shapes; the plan shape (scan → mapPartitions
+  * batch → columnar features) is the `mapInPandas` analog.
   */
 object Multimodal {
 
@@ -26,12 +30,16 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         md5(col(textCol)).as("checksum")))
 
-  /** STUB "decode + feature extract": per-record fixed-width feature
-    * vector = mean byte value of `dim` equal chunks (a deterministic
-    * fake for an image embedding). Runs via mapPartitions in record
-    * batches — the Scala analog of `mapInPandas` batch plumbing: a
-    * real decoder would process `batch` with a codec here.
-    */
+  /** Decode + feature extract: per-record fixed-width feature vector,
+    * dispatched on magic bytes. PCM WAV payloads decode for real
+    * (tag 1: sample rate, channels, duration, rms, peak, bits,
+    * frames); binary-PPM images decode for real (tag 2: width,
+    * height, channel means, luma, maxval); everything else gets the
+    * deterministic chunk-mean fallback (mean byte value of `dim`
+    * equal chunks — the seam where compressed-codec libraries plug
+    * in). Runs via mapPartitions in record batches — the Scala analog
+    * of `mapInPandas` batch plumbing. Output is always a
+    * `dim`-element array so mixed corpora stay one column. */
   def decodeFeaturesStub(df: DataFrame, idCol: String, blobCol: String,
                          dim: Int = 8, batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
@@ -39,20 +47,31 @@ object Multimodal {
       StructField(idCol, LongType),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    def fit(xs: Array[Double]): Array[Double] =
+      if (xs.length == dim) xs
+      else if (xs.length > dim) xs.take(dim)
+      else xs ++ Array.fill(dim - xs.length)(0.0)
     df.select(col(idCol).cast(LongType), col(blobCol))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>   // batch boundary = codec call site
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val feats = Array.tabulate(dim) { i =>
+            val feats = MediaCodecs.parseWav(bytes).map { w =>
+              fit(Array(1.0, w.sampleRate.toDouble, w.channels.toDouble,
+                w.durationSec, w.rms, w.peak, w.bitsPerSample.toDouble,
+                w.nFrames.toDouble))
+            }.orElse(MediaCodecs.parsePpm(bytes).map { p =>
+              fit(Array(2.0, p.width.toDouble, p.height.toDouble,
+                p.meanR, p.meanG, p.meanB, p.meanLuma, p.maxVal.toDouble))
+            }).getOrElse(Array.tabulate(dim) { i =>
               val lo = i * bytes.length / dim
               val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)
               var s = 0.0
               var j = lo
               while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
               s / (hi - lo)
-            }
+            })
             Row(id, feats)
           }
         }

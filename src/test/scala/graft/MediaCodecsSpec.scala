@@ -1,0 +1,80 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MediaCodecs, Multimodal}
+
+/** Real pure-JVM media decode: PCM WAV and binary PPM payloads built
+  * byte-by-byte here, decoded by MediaCodecs, and flowing through the
+  * Multimodal decode operator next to opaque blobs in one column. */
+class MediaCodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal valid PCM WAV: 16-bit mono `rate` Hz, given samples. */
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)          // PCM, mono
+    buf.putInt(rate); buf.putInt(rate * 2)    // byte rate
+    buf.putShort(2); buf.putShort(16)         // block align, bits
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Binary P6 PPM with a comment line in the header. */
+  private def ppmBytes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"P6\n# test image\n$w $h\n255\n".getBytes("US-ASCII"))
+    out.write(rgb)
+    out.toByteArray
+  }
+
+  test("parseWav: rate/duration/rms/peak exact on a square wave") {
+    // 1 second of 1 kHz-sample square wave at half amplitude
+    val samples = Array.tabulate[Short](1000)(i =>
+      if (i % 2 == 0) 16384 else -16384)
+    val info = MediaCodecs.parseWav(wavBytes(1000, samples)).get
+    assert(info.sampleRate == 1000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nFrames == 1000L && info.durationSec == 1.0)
+    assert(math.abs(info.rms - 0.5) < 1e-9 && info.peak == 0.5)
+    // strictness: truncated container, wrong magic, non-PCM all refuse
+    assert(MediaCodecs.parseWav(wavBytes(1000, samples).take(30)).isEmpty)
+    assert(MediaCodecs.parseWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(MediaCodecs.parseWav("hello world, not audio at all...............".getBytes).isEmpty)
+  }
+
+  test("parsePpm: dims, channel means, luma exact; strict on size mismatch") {
+    // 2x2: pure red, pure green, pure blue, white
+    val rgb = Array[Int](255,0,0, 0,255,0, 0,0,255, 255,255,255).map(_.toByte)
+    val info = MediaCodecs.parsePpm(ppmBytes(2, 2, rgb)).get
+    assert(info.width == 2 && info.height == 2 && info.maxVal == 255)
+    assert(info.meanR == 127.5 && info.meanG == 127.5 && info.meanB == 127.5)
+    assert(math.abs(info.meanLuma - 127.5) < 1e-9)
+    // payload one byte short: refuse rather than misdecode
+    assert(MediaCodecs.parsePpm(ppmBytes(2, 2, rgb.dropRight(1))).isEmpty)
+    assert(MediaCodecs.parsePpm("P6 but not really".getBytes).isEmpty)
+  }
+
+  test("decode operator dispatches per row: wav, ppm, opaque fallback in one column") {
+    val wav = wavBytes(8000, Array.tabulate[Short](800)(i => if (i % 2 == 0) 8192 else -8192))
+    val ppm = ppmBytes(2, 1, Array[Int](10, 20, 30, 30, 40, 50).map(_.toByte))
+    val txt = "just an opaque payload".getBytes("UTF-8")
+    val df = Seq((1L, wav), (2L, ppm), (3L, txt)).toDF("doc_id", "blob")
+    val out = Multimodal.decodeFeaturesStub(df, "doc_id", "blob", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val w = out(1L)
+    assert(w(0) == 1.0 && w(1) == 8000.0 && w(2) == 1.0 && w(3) == 0.1, w) // tag, rate, mono, 0.1s
+    assert(math.abs(w(4) - 0.25) < 1e-9 && w(5) == 0.25) // rms, peak
+    val p = out(2L)
+    assert(p(0) == 2.0 && p(1) == 2.0 && p(2) == 1.0, p) // tag, 2x1
+    assert(p(3) == 20.0 && p(4) == 30.0 && p(5) == 40.0) // channel means
+    val t = out(3L)
+    assert(t(0) != 1.0 && t(0) != 2.0 && t.length == 8) // chunk-mean fallback
+  }
+}
