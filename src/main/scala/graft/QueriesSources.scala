@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Det, Tables}
-import graft.operators.Multimodal
+import graft.operators.{MediaCodecs, Multimodal}
 import graft.sources.DatasetSession
 import graft.streaming.Streams
 
@@ -354,6 +354,82 @@ object QueriesSources {
           outBytes = 16)
         .orderBy("doc_id", "i"))
 
+  /** X-MM5: REAL WAV decode, end-to-end with an independent
+    * closed-form oracle. Per part key k ≤ 200 the engine SYNTHESIZES
+    * a 16-bit mono PCM WAV (400-sample square wave at 8 kHz,
+    * amplitude ((k%8)+1)·4096), runs it through the binary decode
+    * operator, and emits rate/duration/rms/peak. The oracle never
+    * sees a byte: a ±a square wave has rms = peak = a/32768 and
+    * duration 400/8000 EXACTLY (power-of-two fractions, bit-exact in
+    * IEEE double on both engines) — any disagreement between the
+    * writer, the parser, or the feature math fails the hash gate. */
+  private val mm5 = Q(
+    "mm_wav_decode",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(8000 AS DOUBLE) AS sample_rate,
+              CAST(0.05 AS DOUBLE) AS duration_sec,
+              CAST(((p_partkey % 8) + 1) * 4096 AS DOUBLE) / 32768 AS rms,
+              CAST(((p_partkey % 8) + 1) * 4096 AS DOUBLE) / 32768 AS peak
+            FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part")
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val amp = (((k % 8) + 1) * 4096).toInt
+          val samples = Array.tabulate[Short](400)(i =>
+            if (i % 2 == 0) amp.toShort else (-amp).toShort)
+          (k, MediaCodecs.buildPcmWav(8000, samples))
+        }.toDF("media_id", "blob")
+      Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
+        .select(col("media_id"),
+          col("features").getItem(1).as("sample_rate"),
+          col("features").getItem(3).as("duration_sec"),
+          col("features").getItem(4).as("rms"),
+          col("features").getItem(5).as("peak"))
+        .orderBy("media_id")
+    })
+
+  /** X-MM6: REAL PPM decode with the same independent-oracle design:
+    * a 4×2 solid-color P6 image per key, channel values (k·3, k·5,
+    * k·7) mod 256 — decoded channel means are exact integers, luma is
+    * the one float expression, mirrored term-for-term (both engines
+    * evaluate 0.299r + 0.587g + 0.114b as doubles left-to-right). */
+  private val mm6 = Q(
+    "mm_ppm_decode",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(4 AS DOUBLE) AS width, CAST(2 AS DOUBLE) AS height,
+              CAST((p_partkey * 3) % 256 AS DOUBLE) AS mean_r,
+              CAST((p_partkey * 5) % 256 AS DOUBLE) AS mean_g,
+              CAST((p_partkey * 7) % 256 AS DOUBLE) AS mean_b,
+              CAST(0.299 AS DOUBLE) * CAST((p_partkey * 3) % 256 AS DOUBLE)
+                + CAST(0.587 AS DOUBLE) * CAST((p_partkey * 5) % 256 AS DOUBLE)
+                + CAST(0.114 AS DOUBLE) * CAST((p_partkey * 7) % 256 AS DOUBLE)
+                AS mean_luma
+            FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part")
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val (r, g, b) = (((k * 3) % 256).toByte, ((k * 5) % 256).toByte,
+            ((k * 7) % 256).toByte)
+          val rgb = Array.fill(8)(Array(r, g, b)).flatten
+          (k, MediaCodecs.buildPpm(4, 2, rgb))
+        }.toDF("media_id", "blob")
+      Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
+        .select(col("media_id"),
+          col("features").getItem(1).as("width"),
+          col("features").getItem(2).as("height"),
+          col("features").getItem(3).as("mean_r"),
+          col("features").getItem(4).as("mean_g"),
+          col("features").getItem(5).as("mean_b"),
+          col("features").getItem(6).as("mean_luma"))
+        .orderBy("media_id")
+    })
+
   /** X-S15: bucketed tables + shuffle-free co-located join. Both
     * sides are written `bucketBy(8, key)` into the same bucket
     * layout, so the sort-merge join consumes the scans' bucket
@@ -499,5 +575,5 @@ object QueriesSources {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4)
+  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6)
 }

@@ -24,6 +24,34 @@ object MediaCodecs {
                            meanR: Double, meanG: Double, meanB: Double,
                            meanLuma: Double)
 
+  /** Minimal PCM WAV writer (16-bit mono) — the inverse of
+    * [[parseWav]], used by the in-engine media-synthesis queries and
+    * as a raw-audio sink primitive. */
+  def buildPcmWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)       // PCM, mono
+    buf.putInt(rate); buf.putInt(rate * 2) // byte rate
+    buf.putShort(2); buf.putShort(16)      // block align, bits
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Minimal binary-P6 PPM writer — the inverse of [[parsePpm]]. */
+  def buildPpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster must be ${w * h * 3} bytes")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
