@@ -222,6 +222,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin == brute-force latest-at-or-before on random timestamps") {
+    import graft.operators.Temporal
+    def h(i: Long): Long = (i * 2654435761L) & 0x7fffffffL
+    val leftRows = (0 until 250).map { i =>
+      (i.toLong, (i % 5).toLong, new java.sql.Timestamp((h(i) % 40) * 1000L))
+    }
+    val rightRows = (0 until 180).map { i =>
+      (1000L + i, (i % 5).toLong, new java.sql.Timestamp((h(i + 13) % 40) * 1000L))
+    }
+    val l = leftRows.toDF("event_id", "user_id", "ts")
+    val r = rightRows.toDF("event_id", "user_id", "ts")
+    val got = Temporal.asofJoin(l, r, "user_id", "ts",
+        payload = Seq("event_id"), tieBreak = "event_id")
+      .collect()
+      .map(row => (row.getLong(0), Option(row.getAs[java.lang.Long]("event_id_r")).map(_.toLong)))
+      .toMap
+    assert(got.size == leftRows.size)
+    leftRows.foreach { case (lid, lu, lts) =>
+      val atOrBefore = rightRows.filter(c => c._2 == lu && c._3.getTime <= lts.getTime)
+      val expected =
+        if (atOrBefore.isEmpty) None
+        else {
+          val maxTs = atOrBefore.map(_._3.getTime).max
+          Some(atOrBefore.filter(_._3.getTime == maxTs).map(_._1).max) // tie: largest id
+        }
+      assert(got(lid) == expected,
+        s"left $lid ($lu @ ${lts.getTime}): got ${got(lid)}, expected $expected")
+    }
+  }
+
   test("intervalOverlapJoin == brute-force all-pairs on random intervals") {
     import graft.operators.Temporal
     def h(i: Long): Long = (i * 2654435761L) & 0x7fffffffL
