@@ -112,18 +112,42 @@ object MediaCodecs {
     }
   }
 
-  /** Strict binary-PPM (P6) parse; None unless the header is valid
-    * and the payload holds exactly width·height RGB triplets
-    * (maxval < 256 — the 1-byte-per-channel form). */
-  def parsePpm(b: Array[Byte]): Option[PpmInfo] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
-    var off = 2
+  final case class PgmInfo(width: Int, height: Int, maxVal: Int,
+                           mean: Double, min: Int, max: Int)
+
+  /** Strict binary-PGM (P5, grayscale) parse — same header grammar as
+    * P6 with a 1-byte-per-pixel raster; features are mean/min/max
+    * intensity. */
+  def parsePgm(b: Array[Byte]): Option[PgmInfo] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+    parseNetpbmHeader(b, 2).collect {
+      case (w, h, maxv, start) if b.length - start == w.toLong * h =>
+        var s = 0.0; var mn = 255; var mx = 0
+        var i = start
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        PgmInfo(w, h, maxv, s / (w.toDouble * h), mn, mx)
+    }
+  }
+
+  /** Shared netpbm header grammar after the magic: whitespace/comment-
+    * separated width, height, maxval (< 256), then EXACTLY one
+    * whitespace byte before the raster. Returns (w, h, maxv,
+    * rasterStart). */
+  private def parseNetpbmHeader(b: Array[Byte], startOff: Int)
+      : Option[(Int, Int, Int, Int)] = {
+    var off = startOff
     def skipSpaceAndComments(): Boolean = {
       var sawSpace = false
       var continue = true
       while (continue && off < b.length) {
         val c = b(off).toChar
-        if (c == '#') { // comment to end of line
+        if (c == '#') {
           while (off < b.length && b(off) != '\n') off += 1
         } else if (c.isWhitespace) { sawSpace = true; off += 1 }
         else continue = false
@@ -145,21 +169,27 @@ object MediaCodecs {
       h <- readInt()
       maxv <- readInt()
       if w > 0 && h > 0 && maxv > 0 && maxv < 256
-      // exactly one whitespace byte separates header and raster
       if off < b.length && b(off).toChar.isWhitespace
-      start = off + 1
-      if b.length - start == w.toLong * h * 3
-    } yield {
-      var sr = 0.0; var sg = 0.0; var sb = 0.0
-      var i = start
-      while (i < b.length) {
-        sr += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sb += (b(i + 2) & 0xff)
-        i += 3
-      }
-      val n = w.toDouble * h
-      val (mr, mg, mb) = (sr / n, sg / n, sb / n)
-      PpmInfo(w, h, maxv, mr, mg, mb,
-        0.299 * mr + 0.587 * mg + 0.114 * mb)
+    } yield (w, h, maxv, off + 1)
+  }
+
+  /** Strict binary-PPM (P6) parse; None unless the header is valid
+    * and the payload holds exactly width·height RGB triplets
+    * (maxval < 256 — the 1-byte-per-channel form). */
+  def parsePpm(b: Array[Byte]): Option[PpmInfo] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    parseNetpbmHeader(b, 2).collect {
+      case (w, h, maxv, start) if b.length - start == w.toLong * h * 3 =>
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var i = start
+        while (i < b.length) {
+          sr += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sb += (b(i + 2) & 0xff)
+          i += 3
+        }
+        val n = w.toDouble * h
+        val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+        PpmInfo(w, h, maxv, mr, mg, mb,
+          0.299 * mr + 0.587 * mg + 0.114 * mb)
     }
   }
 }

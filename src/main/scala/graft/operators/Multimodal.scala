@@ -64,6 +64,9 @@ object Multimodal {
             }.orElse(MediaCodecs.parsePpm(bytes).map { p =>
               fit(Array(2.0, p.width.toDouble, p.height.toDouble,
                 p.meanR, p.meanG, p.meanB, p.meanLuma, p.maxVal.toDouble))
+            }).orElse(MediaCodecs.parsePgm(bytes).map { g =>
+              fit(Array(3.0, g.width.toDouble, g.height.toDouble,
+                g.mean, g.min.toDouble, g.max.toDouble, g.maxVal.toDouble, 0.0))
             }).getOrElse(Array.tabulate(dim) { i =>
               val lo = i * bytes.length / dim
               val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)

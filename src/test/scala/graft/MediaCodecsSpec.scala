@@ -61,6 +61,19 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.parsePpm("P6 but not really".getBytes).isEmpty)
   }
 
+  test("parsePgm: grayscale dims/mean/min/max; strict like P6") {
+    val px = Array[Int](0, 64, 128, 255).map(_.toByte)
+    val bytes = ("P5\n# gray\n4 1\n255\n").getBytes("US-ASCII") ++ px
+    val info = MediaCodecs.parsePgm(bytes).get
+    assert(info.width == 4 && info.height == 1 && info.maxVal == 255)
+    assert(info.mean == (0 + 64 + 128 + 255) / 4.0)
+    assert(info.min == 0 && info.max == 255)
+    assert(MediaCodecs.parsePgm(bytes.dropRight(1)).isEmpty) // short raster
+    assert(MediaCodecs.parsePgm("P5 nope".getBytes).isEmpty)
+    // P5 payload must not parse as P6 and vice versa
+    assert(MediaCodecs.parsePpm(bytes).isEmpty)
+  }
+
   test("decode operator dispatches per row: wav, ppm, opaque fallback in one column") {
     val wav = wavBytes(8000, Array.tabulate[Short](800)(i => if (i % 2 == 0) 8192 else -8192))
     val ppm = ppmBytes(2, 1, Array[Int](10, 20, 30, 30, 40, 50).map(_.toByte))
