@@ -348,22 +348,29 @@ object QueriesAnalytics {
                 ELSE 0 END) AS DOUBLE) / 1e9 AS top5_share
             FROM s"""),
     (s, dir) => {
+      // Scale shape: NO global rank over the key-cardinality shares
+      // frame. top1 = max(share) over the distributed
+      // orderBy(desc).limit(5) (TakeOrdered) frame — share is
+      // monotone in rev (total > 0 constant), so the rank-1 share IS
+      // the max; top5 = the sum over those ≤5 rows. n_keys/hhi are a
+      // plain aggregate. ReuseExchange dedupes the twice-consumed
+      // supplier-revenue subtree.
       val li = t(s, dir, "lineitem")
       val r = li.groupBy("l_suppkey").agg(dsum(col("l_extendedprice")).as("rev"))
       val total = li.agg(dsum(col("l_extendedprice")).as("total"))
-      val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
-      val shares = r.crossJoin(total)
+      val shares = r.crossJoin(broadcast(total))
         .withColumn("share", col("rev") / col("total"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-      shares.agg(
+      val glob = shares.agg(
         count(lit(1)).as("n_keys"),
         (sum(floor(col("share") * col("share") * 1e12 + 0.5)
-          .cast(LongType)).cast(DoubleType) / 1e12).as("hhi"),
-        (floor(max(when(col("rk") === 1, col("share")).otherwise(0.0))
-          * 1e6 + 0.5) / 1e6).as("top1_share"),
-        (sum(when(col("rk") <= 5,
-            floor(col("share") * 1e9 + 0.5).cast(LongType)).otherwise(0L))
-          .cast(DoubleType) / 1e9).as("top5_share"))
+          .cast(LongType)).cast(DoubleType) / 1e12).as("hhi"))
+      val topAgg = shares
+        .orderBy(col("rev").desc, col("l_suppkey")).limit(5)
+        .agg(
+          (floor(max(col("share")) * 1e6 + 0.5) / 1e6).as("top1_share"),
+          (sum(floor(col("share") * 1e9 + 0.5).cast(LongType))
+            .cast(DoubleType) / 1e9).as("top5_share"))
+      glob.crossJoin(topAgg)
     })
 
   private val a19Skew = Q(

@@ -282,19 +282,20 @@ object QueriesRelational {
         .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc))
 
   /** M5: deterministic re-index (srcdf.py:137-156 reindex_sources).
-    * Exact-parity path: row_number over a total order. At 100 TB use
-    * monotonically_increasing_id (unique, not consecutive) instead of
-    * a single-partition window. */
+    * Exact consecutive ids WITHOUT the single-partition global window:
+    * range exchange + per-partition local ranks + broadcast cumulative
+    * offsets (operators/Reindex) — same ids as
+    * `row_number().over(Window.orderBy(...))` at full parallelism. */
   private val m5 = Q(
     "m5_reindex",
     Some("""SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS srcid,
               l_orderkey, l_linenumber
             FROM lineitem ORDER BY srcid"""),
     (s, dir) =>
-      t(s, dir, "lineitem")
-        .select(
-          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast(LongType).as("srcid"),
-          col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Reindex.consecutiveIds(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+          "srcid", Seq(col("l_orderkey"), col("l_linenumber")), base = 1L)
+        .select(col("srcid"), col("l_orderkey"), col("l_linenumber"))
         .orderBy("srcid"))
 
   /** C1: composite key via string concat (metadata.py:167-169):

@@ -41,6 +41,23 @@ object QueriesSources {
     dataDir
   }
 
+  /** Months+shard layout for the S16 compaction planner: exactly one
+    * file per (mon, sub) dir — multiple files inside each month dir,
+    * so per-dir greedy bin packing is observable. sub = o_orderkey
+    * mod 4 keeps per-file contents (hence counts) derivable from the
+    * base table by the oracle. */
+  private def ordersAsShardedFiles(s: SparkSession, dir: String): String = {
+    val dataDir = scratch(dir, "orders_files_sharded")
+    if (!Files.exists(Paths.get(s"$dataDir/_SUCCESS"))) {
+      t(s, dir, "orders")
+        .withColumn("mon", month(col("o_orderdate")))
+        .withColumn("sub", pmod(col("o_orderkey"), lit(4)).cast(LongType))
+        .repartition(col("mon"), col("sub"))
+        .write.mode("overwrite").partitionBy("mon", "sub").parquet(dataDir)
+    }
+    dataDir
+  }
+
   /** S1: directory scan — the file list itself as data
     * (dataset_base.py:24-53; `input_file_name` is the PATH column). */
   private val s1 = Q(
@@ -357,7 +374,9 @@ object QueriesSources {
   /** X-MM5: REAL WAV decode, end-to-end with an independent
     * closed-form oracle. Per part key k ≤ 200 the engine SYNTHESIZES
     * a 16-bit mono PCM WAV (400-sample square wave at 8 kHz,
-    * amplitude ((k%8)+1)·4096), runs it through the binary decode
+    * amplitude ((k%8)+1)·4095 — max 32760, safely below
+    * Short.MaxValue so the ±a alternation never overflows to a DC
+    * constant), runs it through the binary decode
     * operator, and emits rate/duration/rms/peak. The oracle never
     * sees a byte: a ±a square wave has rms = peak = a/32768 and
     * duration 400/8000 EXACTLY (power-of-two fractions, bit-exact in
@@ -368,8 +387,8 @@ object QueriesSources {
     Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
               CAST(8000 AS DOUBLE) AS sample_rate,
               CAST(0.05 AS DOUBLE) AS duration_sec,
-              CAST(((p_partkey % 8) + 1) * 4096 AS DOUBLE) / 32768 AS rms,
-              CAST(((p_partkey % 8) + 1) * 4096 AS DOUBLE) / 32768 AS peak
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS rms,
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS peak
             FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
     (s, dir) => {
       import s.implicits._
@@ -377,7 +396,8 @@ object QueriesSources {
         .where(col("p_partkey") <= 200)
         .select(col("p_partkey").cast(LongType)).as[Long]
         .map { k =>
-          val amp = (((k % 8) + 1) * 4096).toInt
+          val amp = (((k % 8) + 1) * 4095).toInt
+          assert(amp <= Short.MaxValue, s"amplitude $amp overflows Short")
           val samples = Array.tabulate[Short](400)(i =>
             if (i % 2 == 0) amp.toShort else (-amp).toShort)
           (k, MediaCodecs.buildPcmWav(8000, samples))
@@ -451,39 +471,47 @@ object QueriesSources {
     (s, dir) => bucketedJoin(s, dir))
 
   /** X-S16: small-file compaction planner — the operational pass every
-    * long-lived 100 TB table needs. Reads the months-partitioned copy
-    * per FILE (`input_file_name`, one aggregate row per physical
-    * file), flags files under the target row count, and assigns
-    * files to compaction bins by a running-sum window (greedy fill to
-    * ~target rows per output file). The layout is deterministic (the
-    * partitioned copy writes exactly one file per month — repartition
-    * on the partition column), so the oracle derives identical truth
-    * from the base table without touching the scratch dir. */
+    * long-lived 100 TB table needs. Reads a months+shard partitioned
+    * copy per FILE (`input_file_name`, one aggregate row per physical
+    * file), flags files under the target row count, and assigns files
+    * to compaction bins by a running-sum window (greedy fill to
+    * ~target rows per output file). The window is PARTITIONED BY the
+    * partition dir (mon): compaction never merges files across Hive
+    * partitions, and the planning query itself stays parallel past
+    * metadata-sized file counts — per-dir file lists are bounded by
+    * dir size, never the whole table's. The layout is deterministic
+    * (exactly one file per (mon, sub) dir, sub = o_orderkey mod 4),
+    * so the oracle derives identical truth from the base table
+    * without touching the scratch dir. */
   private val s16 = Q(
     "s16_compaction_plan",
-    Some("""WITH c AS (SELECT month(o_orderdate) AS mon,
-              count(*) AS n_rows FROM orders GROUP BY mon),
-            w AS (SELECT mon, n_rows, n_rows < 2500 AS is_small,
-              CAST(floor((sum(n_rows) OVER (ORDER BY mon
+    Some("""WITH c AS (SELECT month(o_orderdate) AS mon, o_orderkey % 4 AS sub,
+              count(*) AS n_rows FROM orders GROUP BY mon, sub),
+            w AS (SELECT mon, sub, n_rows, n_rows < 2500 AS is_small,
+              CAST(floor((sum(n_rows) OVER (PARTITION BY mon ORDER BY sub
                   ROWS UNBOUNDED PRECEDING) - n_rows) / 2500.0) AS BIGINT)
                 AS compact_bin
               FROM c)
-            SELECT * FROM w ORDER BY mon"""),
+            SELECT * FROM w ORDER BY mon, sub"""),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val dataDir = ordersAsFiles(s, dir)
+      val dataDir = ordersAsShardedFiles(s, dir)
       val perFile = s.read.parquet(dataDir)
         .groupBy(input_file_name().as("path"))
         .agg(count(lit(1)).as("n_rows"))
-        .select(regexp_extract(col("path"), "mon=(\\d+)", 1)
-          .cast(LongType).as("mon"), col("n_rows"))
-      val w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
+        .select(
+          regexp_extract(col("path"), "mon=(\\d+)", 1)
+            .cast(LongType).as("mon"),
+          regexp_extract(col("path"), "sub=(\\d+)", 1)
+            .cast(LongType).as("sub"),
+          col("n_rows"))
+      val w = Window.partitionBy("mon").orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perFile
         .withColumn("is_small", col("n_rows") < 2500)
         .withColumn("compact_bin",
           floor((sum(col("n_rows")).over(w) - col("n_rows")) / 2500.0))
-        .orderBy("mon")
+        .orderBy("mon", "sub")
     })
 
   /** Builds (once per scale dir) the bucketed copies and runs the

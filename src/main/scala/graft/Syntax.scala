@@ -143,11 +143,12 @@ object syntax {
                      cut: Double, nBins: Int): DataFrame =
       Outliers.iqrOutlierRemoval(df, clusterKey, calMag, refMag, cut, nBins)._1
 
-    /** M5 reindex_sources (srcdf.py:137-156). */
-    def reindexSources(idCol: String, orderBy: Seq[String]): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy.map(col): _*)
-      df.withColumn(idCol, row_number().over(w).cast("long") - 1)
-    }
+    /** M5 reindex_sources (srcdf.py:137-156): consecutive 0-based ids
+      * via the scale-safe range-exchange form (operators/Reindex) —
+      * never a single-partition global window. */
+    def reindexSources(idCol: String, orderBy: Seq[String]): DataFrame =
+      graft.operators.Reindex.consecutiveIds(df, idCol, orderBy.map(col),
+        base = 0L)
 
     // ---- training-data pipeline surface ----
 

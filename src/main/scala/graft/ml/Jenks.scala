@@ -96,6 +96,10 @@ object Jenks {
         .as("_q"),
       min(col(valueCol)).cast("double").as("_lo"),
       max(col(valueCol)).cast("double").as("_hi")).collect()(0)
+    // empty / all-NULL input: approx_percentile and min/max return
+    // NULL — fail with a clear message instead of an NPE downstream
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+      s"breaksApprox: no non-null values in column '$valueCol'")
     val pts = row.getSeq[Double](0).toArray
     val edges = breaks(pts, k)
     edges(0) = row.getDouble(1)

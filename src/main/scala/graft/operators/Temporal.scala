@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   */
 object Temporal {
 
+  /** First name in `base`, `base_`, `base__`, … free in BOTH frames —
+    * internal working columns must never capture a same-named user
+    * column. */
+  private def fresh(base: String, taken: Set[String]): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` and the same key (ties on ts broken by the
     * largest `tieBreak` — deterministic, engine-independent).
@@ -39,25 +45,34 @@ object Temporal {
                payload: Seq[String], tieBreak: String,
                suffix: String = "_r"): DataFrame = {
     val leftCols = left.columns.toSeq
+    val taken = leftCols.toSet ++ right.columns
+    val cTag = fresh("_tag", taken)
+    val cOrd = fresh("_ord", taken)
+    val cPay = fresh("_pay", taken)
+    val cAsof = fresh("_asof", taken)
     val payStruct = struct((ts +: payload).map(col): _*)
     val ordT = right.schema(tieBreak).dataType
-    val rAligned = right.select(
+    // NULL-key right rows can never be "the latest preceding row" of
+    // any left row (join semantics: equality on the key is
+    // null-unsafe), so drop them before the union — the window's
+    // partitionBy would otherwise group them WITH null-key left rows
+    val rAligned = right.where(col(key).isNotNull).select(
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(lit(0).as("_tag"), col(tieBreak).as("_ord"),
-        payStruct.as("_pay")): _*)
+      } ++ Seq(lit(0).as(cTag), col(tieBreak).as(cOrd),
+        payStruct.as(cPay)): _*)
     val lAligned = left.select(
-      leftCols.map(col) ++ Seq(lit(1).as("_tag"),
-        lit(null).cast(ordT).as("_ord"),
-        lit(null).cast(rAligned.schema("_pay").dataType).as("_pay")): _*)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"), col("_ord"))
+      leftCols.map(col) ++ Seq(lit(1).as(cTag),
+        lit(null).cast(ordT).as(cOrd),
+        lit(null).cast(rAligned.schema(cPay).dataType).as(cPay)): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col(cTag), col(cOrd))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rAligned.unionByName(lAligned)
-      .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
-      .where(col("_tag") === 1)
+      .withColumn(cAsof, last(col(cPay), ignoreNulls = true).over(w))
+      .where(col(cTag) === 1)
       .select(leftCols.map(col) ++ (ts +: payload).map(p =>
-        col(s"_asof.$p").as(s"$p$suffix")): _*)
+        col(s"$cAsof.$p").as(s"$p$suffix")): _*)
   }
 
   /** Nearest-event join (both directions): for each left row, the
@@ -80,26 +95,40 @@ object Temporal {
     *
     * Ties: equal |Δt| prefers the past row; within a side, equal-ts
     * right rows resolve to the largest `idCol` (the as-of
-    * running-last rule, both directions). */
+    * running-last rule, both directions).
+    *
+    * NULL keys follow join (null-unsafe) equality: NULL-key right
+    * rows match nothing and NULL-key left rows come back null-padded.
+    * Internal working columns are generated collision-free against
+    * both schemas. */
   def nearestJoin(left: DataFrame, right: DataFrame, key: String,
                   ts: String, idCol: String, suffix: String = "_n"): DataFrame = {
     val leftCols = left.columns.toSeq
+    val taken = leftCols.toSet ++ right.columns
+    val cTag = fresh("_tag", taken)
+    val cOrd = fresh("_ord", taken)
+    val cPay = fresh("_pay", taken)
+    val cB = fresh("_b", taken)
+    val cF = fresh("_f", taken)
     val payStruct = struct(col(ts).as("ts"), col(idCol).as("id"))
     val ordT = right.schema(idCol).dataType
-    val rAligned = right.select(
+    // join-semantics null keys: a NULL-key right row matches nothing
+    // (null-unsafe equality), so drop it before the union — see
+    // asofJoin
+    val rAligned = right.where(col(key).isNotNull).select(
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(lit(0).as("_tag"), col(idCol).as("_ord"),
-        payStruct.as("_pay")): _*)
+      } ++ Seq(lit(0).as(cTag), col(idCol).as(cOrd),
+        payStruct.as(cPay)): _*)
     val lAligned = left.select(
-      leftCols.map(col) ++ Seq(lit(1).as("_tag"),
-        lit(null).cast(ordT).as("_ord"),
-        lit(null).cast(rAligned.schema("_pay").dataType).as("_pay")): _*)
+      leftCols.map(col) ++ Seq(lit(1).as(cTag),
+        lit(null).cast(ordT).as(cOrd),
+        lit(null).cast(rAligned.schema(cPay).dataType).as(cPay)): _*)
     // backward: right (tag 0) sorts BEFORE left at equal ts -> `<=`
     // inclusive; running last among equal-ts right rows = largest _ord
     val wB = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_tag").asc, col("_ord").asc)
+      .orderBy(col(ts).asc, col(cTag).asc, col(cOrd).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward: the SAME running-last shape over ts DESCENDING (a
     // currentRow..unboundedFollowing frame would be Spark's
@@ -110,24 +139,24 @@ object Temporal {
     // (inclusive `>=`), and among equal-ts right rows _ord ASC makes
     // the largest _ord the running last — both ties match wB's rules
     val wF = Window.partitionBy(key)
-      .orderBy(col(ts).desc, col("_tag").asc, col("_ord").asc)
+      .orderBy(col(ts).desc, col(cTag).asc, col(cOrd).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val both = rAligned.unionByName(lAligned)
-      .withColumn("_b", last(col("_pay"), ignoreNulls = true).over(wB))
-      .withColumn("_f", last(col("_pay"), ignoreNulls = true).over(wF))
-      .where(col("_tag") === 1)
-    val dB = unix_micros(col(ts)) - unix_micros(col("_b.ts"))
-    val dF = unix_micros(col("_f.ts")) - unix_micros(col(ts))
-    val pickBack = col("_b.id").isNotNull &&
-      (col("_f.id").isNull || dB <= dF)
+      .withColumn(cB, last(col(cPay), ignoreNulls = true).over(wB))
+      .withColumn(cF, last(col(cPay), ignoreNulls = true).over(wF))
+      .where(col(cTag) === 1)
+    val dB = unix_micros(col(ts)) - unix_micros(col(s"$cB.ts"))
+    val dF = unix_micros(col(s"$cF.ts")) - unix_micros(col(ts))
+    val pickBack = col(s"$cB.id").isNotNull &&
+      (col(s"$cF.id").isNull || dB <= dF)
     both.select(leftCols.map(col) ++ Seq(
-      when(pickBack, col("_b.id")).otherwise(col("_f.id"))
+      when(pickBack, col(s"$cB.id")).otherwise(col(s"$cF.id"))
         .as(s"$idCol$suffix"),
-      when(pickBack, col("_b.ts")).otherwise(col("_f.ts"))
+      when(pickBack, col(s"$cB.ts")).otherwise(col(s"$cF.ts"))
         .as(s"$ts$suffix"),
       when(pickBack, dB).otherwise(dF).as("diff_us"),
       when(pickBack, lit(0L)).otherwise(
-        when(col("_f.id").isNotNull, lit(1L))).as("side")): _*)
+        when(col(s"$cF.id").isNotNull, lit(1L))).as("side")): _*)
   }
 
   /** Interval containment join: every (point, interval) pair with

@@ -58,6 +58,47 @@ class NearestJoinSpec extends SparkSpec {
     assert(out(2).getAs[Long]("side") == 1L)
   }
 
+  test("nearestJoin: join-semantics NULL keys; internal names collision-free") {
+    // NULL-key right rows match nothing (null-unsafe equality);
+    // NULL-key left rows come back null-padded — never matched to a
+    // NULL-key right row via the window's partitionBy
+    val l = Seq(
+      (Some(1L), 10L, "2024-01-01 10:00:00"),
+      (Option.empty[Long], 11L, "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = Seq(
+      (Some(1L), 100L, "2024-01-01 10:01:00"),
+      (Option.empty[Long], 101L, "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Temporal.nearestJoin(l, r, "user_id", "ts", "event_id")
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("event_id_n") == 100L)
+    assert(out(1).isNullAt(out(1).fieldIndex("event_id_n")), out(1))
+    // user columns named like the old hardcoded working columns must
+    // pass through untouched
+    val lc = Seq((1L, 10L, "2024-01-01 10:00:00", "keep"))
+      .toDF("user_id", "event_id", "ts_s", "_tag")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val oc = Temporal.nearestJoin(lc, r, "user_id", "ts", "event_id").collect()
+    assert(oc.length == 1 && oc(0).getAs[String]("_tag") == "keep")
+    assert(oc(0).getAs[Long]("event_id_n") == 100L)
+  }
+
+  test("asofJoin: NULL-key right rows never match (join semantics)") {
+    val l = Seq((Option.empty[Long], 10L, "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = Seq((Option.empty[Long], 100L, "2024-01-01 09:00:00", 5.0))
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .select("user_id", "ts", "value", "event_id")
+    val out = Temporal.asofJoin(l, r, "user_id", "ts",
+      payload = Seq("value"), tieBreak = "event_id").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("value_r")))
+  }
+
   test("nearestJoin plan: both window frames are running (O(n)), single shuffle") {
     val l = Seq((1L, 1L, "2024-01-01 10:00:00"))
       .toDF("event_id", "user_id", "ts_s")

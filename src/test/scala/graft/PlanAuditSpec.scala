@@ -42,8 +42,37 @@ class PlanAuditSpec extends SparkSpec {
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
     "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration")
 
-  test("no CartesianProduct anywhere; BNLJ only where allowlisted; no ScalaUDF") {
+  /** Queries whose empty-partition-spec WindowExec runs over a frame
+    * PROVABLY bounded by construction (a TakeOrdered top-k, a
+    * fixed-cardinality report frame) — never the fact table. An
+    * unbounded-input global window moves every row through ONE task:
+    * the scale gate this rule mechanizes after r8's audit found two
+    * (m5_reindex, a20_concentration — both since rewritten). */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "a19_skew_report" ->
+      "rank over the ≤topK (10) heavy-hitter frame AFTER the distributed orderBy+limit (TakeOrdered)",
+    "dd_threshold_sweep" ->
+      "reverse cumulative count over the threshold histogram: ≤21 rows by the 0.05 bin grid",
+    "ev_drift_tv" ->
+      "day-over-day lag over the per-day report frame: cardinality = distinct calendar days (metadata-sized at any data scale)",
+    "m5_reindex" ->
+      "cumulative offsets over the per-partition counts frame: ≤ numShufflePartitions rows by construction (operators/Reindex)")
+
+  /** All physical nodes, descending through AQE wrappers and
+    * subqueries (an AdaptiveSparkPlanExec is a leaf to collect()). */
+  private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val kids = (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case other => other.children
+    }) ++ p.subqueries
+    p +: kids.flatMap(physicalNodes)
+  }
+
+  test("no CartesianProduct anywhere; BNLJ only where allowlisted; no ScalaUDF; no unbounded global window") {
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.window.WindowExec
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val qe = fn(spark, sf001).queryExecution
@@ -60,6 +89,13 @@ class PlanAuditSpec extends SparkSpec {
       val hasUdf = qe.analyzed.collect { case n => n.expressions }.flatten
         .exists(_.exists(_.isInstanceOf[ScalaUDF]))
       if (hasUdf) offenders += s"$name: ScalaUDF"
+      // empty partition spec = the whole input through one window
+      // task; only provably bounded frames may do that
+      val globalWins = physicalNodes(qe.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globalWins.nonEmpty && !globalWindowAllowed.contains(name))
+        offenders += s"$name: global WindowExec (${globalWins.size})"
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
