@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Det, Tables}
-import graft.operators.{MediaCodecs, Multimodal}
-import graft.sources.DatasetSession
+import graft.operators.{FitsCodec, MediaCodecs, Multimodal}
+import graft.sources.{DatasetSession, FitsSource}
 import graft.streaming.Streams
 
 /** SURVEY §2.1 sources/sinks + §3 EP1 lifecycle + §2.10 streaming +
@@ -57,6 +57,122 @@ object QueriesSources {
     }
     dataDir
   }
+
+  /** Build (once per scratch dir) a directory of REAL FITS files —
+    * one per month of orders, the reference's native per-exposure
+    * layout (df_utils.py:11-74; metadata.py:106-175). The primary
+    * header carries deterministic calibration-style keys derived from
+    * the month; the BINTABLE extension holds the month's rows sorted
+    * by o_orderkey. Written from executors — the driver never holds
+    * row data — and byte-deterministic, so oracles derive identical
+    * truth from the base table. */
+  private def ordersAsFits(s: SparkSession, dir: String): String = {
+    val dataDir = scratch(dir, "orders_fits")
+    if (!Files.exists(Paths.get(s"$dataDir/_DONE"))) {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(month(col("o_orderdate")).as("mon"), col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .as[(Int, Long, Long, String, Double)]
+        .repartition(col("mon"))
+        .sortWithinPartitions("mon", "o_orderkey")
+        .foreachPartition { (it: Iterator[(Int, Long, Long, String, Double)]) =>
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, String, Double)]
+          def flush(): Unit = if (buf.nonEmpty) {
+            val mon = buf.head._1
+            val rows: Seq[Seq[Any]] = buf.toSeq.map {
+              case (_, ok, ck, st, tp) => Seq[Any](ok, ck, st, tp)
+            }
+            val primary: Seq[(String, Any)] = Seq(
+              "EXPID" -> (202400L + mon), "RCID" -> (mon % 4).toLong,
+              "FIELDID" -> (600L + mon), "FILTERID" -> 2L,
+              "MAGZP" -> (26.0 + mon.toDouble / 100.0),
+              "MAGZPUNC" -> (0.001 * mon),
+              "APCOR1" -> (-0.25 * mon), "APCOR2" -> (-0.125 * mon),
+              "OBSMJD" -> (58000.5 + mon))
+            val bytes = FitsCodec.buildFits(primary,
+              Seq("o_orderkey" -> "1K", "o_custkey" -> "1K",
+                "o_orderstatus" -> "1A", "o_totalprice" -> "1D"), rows)
+            Files.write(Paths.get(f"$dataDir/obs_$mon%02d.fits"), bytes)
+            buf.clear()
+          }
+          it.foreach { r =>
+            if (buf.nonEmpty && buf.head._1 != r._1) flush()
+            buf += r
+          }
+          flush()
+        }
+      Files.write(Paths.get(s"$dataDir/_DONE"), Array.emptyByteArray)
+    }
+    dataDir
+  }
+
+  /** S2 on the NATIVE format: fits_to_df over a directory of real
+    * FITS files (df_utils.py:11-74) — wildcard column selection
+    * ("*price" substring-matches o_totalprice), pandas-dialect row
+    * filter compiled to Catalyst above the parse seam. The oracle
+    * never sees a FITS byte: file contents are derived from orders,
+    * so the filtered base table is ground truth for the whole
+    * writer → parser → filter chain (doubles round-trip bit-exact
+    * through big-endian IEEE). */
+  private val s2f = Q(
+    "s2_fits_scan",
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+            ORDER BY o_orderkey"""),
+    (s, dir) =>
+      FitsSource.readTable(s, ordersAsFits(s, dir), extension = 1,
+          selectColumns = Seq("o_orderkey", "o_orderstatus", "*price"),
+          selectRows = Some("o_totalprice > 100000 and o_orderstatus == 'O'"))
+        .orderBy("o_orderkey"))
+
+  /** S3 on the NATIVE format: load_header_meta (metadata.py:106-175)
+    * — one row per file from the primary headers, wildcard key match
+    * (APCOR* takes APCOR1/APCOR2; MAGZP substring-takes MAGZPUNC too,
+    * exactly the reference's matching rule), OBSID =
+    * int(str(EXPID) + str(RCID)). Closed-form oracle: every header
+    * value is a fixed function of the month. */
+  private val s3f = Q(
+    "s3_fits_headers",
+    Some("""WITH m AS (SELECT DISTINCT month(o_orderdate) AS mon FROM orders)
+            SELECT 'obs_' || lpad(CAST(mon AS VARCHAR), 2, '0') || '.fits' AS file,
+              CAST(202400 + mon AS BIGINT) AS EXPID,
+              CAST(mon % 4 AS BIGINT) AS RCID,
+              CAST(600 + mon AS BIGINT) AS FIELDID,
+              26.0 + CAST(mon AS DOUBLE) / 100.0 AS MAGZP,
+              0.001 * CAST(mon AS DOUBLE) AS MAGZPUNC,
+              -0.25 * CAST(mon AS DOUBLE) AS APCOR1,
+              -0.125 * CAST(mon AS DOUBLE) AS APCOR2,
+              58000.5 + CAST(mon AS DOUBLE) AS OBSMJD,
+              CAST(CAST(202400 + mon AS VARCHAR) || CAST(mon % 4 AS VARCHAR)
+                AS BIGINT) AS OBSID
+            FROM m ORDER BY file"""),
+    (s, dir) =>
+      FitsSource.loadHeaderMeta(s, ordersAsFits(s, dir),
+          Seq("EXPID", "RCID", "FIELDID", "MAGZP", "APCOR*", "OBSMJD"))
+        .select(regexp_extract(col("PATH"), "[^/]+$", 0).as("file"),
+          col("EXPID"), col("RCID"), col("FIELDID"), col("MAGZP"),
+          col("MAGZPUNC"), col("APCOR1"), col("APCOR2"), col("OBSMJD"),
+          col("OBSID"))
+        .orderBy("file"))
+
+  /** EP1 on the NATIVE format: header scan → metadata query (first
+    * quarter's files) → read only the surviving 3 files → row filter.
+    * The oracle reproduces the pruning as a month predicate on the
+    * base table. */
+  private val ep1f = Q(
+    "ep1_fits_pruned_load",
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE month(o_orderdate) <= 3 AND o_totalprice > 50000
+            ORDER BY o_orderkey"""),
+    (s, dir) =>
+      FitsSource.prunedLoad(s, ordersAsFits(s, dir),
+          headerKeys = Seq("EXPID", "RCID"),
+          metaExpr = "EXPID <= 202403",
+          selectColumns = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          selectRows = Some("o_totalprice > 50000"))
+        .orderBy("o_orderkey"))
 
   /** S1: directory scan — the file list itself as data
     * (dataset_base.py:24-53; `input_file_name` is the PATH column). */
@@ -603,5 +719,5 @@ object QueriesSources {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6)
 }

@@ -1,0 +1,311 @@
+package graft.operators
+
+/** Pure-JVM FITS reader/writer — headers + BINTABLE extensions, the
+  * reference's native input format (df_utils.py:11-74 fits_to_df;
+  * metadata.py:106-175 load_header_meta). Implemented from the public
+  * FITS Standard 4.0: 2880-byte blocks of 80-char ASCII header cards,
+  * big-endian binary-table payloads. No external library — the same
+  * strict-parse shape as [[MediaCodecs]]: magic + internally
+  * consistent sizes or a clean failure.
+  *
+  * Supported TFORM codes: L (logical), B (unsigned byte), I (int16),
+  * J (int32), K (int64), E (float32), D (float64), A (characters —
+  * repeat = string width, trailing blanks stripped like astropy).
+  * Non-A repeats > 1 are array columns. X/P/Q/C/M are rejected.
+  */
+object FitsCodec {
+
+  val Block = 2880
+  val CardLen = 80
+
+  final case class FitsCol(name: String, repeat: Int, tcode: Char) {
+    def elemBytes: Int = tcode match {
+      case 'L' | 'B' | 'A' => 1
+      case 'I' => 2
+      case 'J' | 'E' => 4
+      case 'K' | 'D' => 8
+      case other => throw new IllegalArgumentException(
+        s"unsupported TFORM code '$other' for column $name")
+    }
+    def fieldBytes: Int = repeat * elemBytes
+    def isArray: Boolean = repeat > 1 && tcode != 'A'
+    def tform: String = s"$repeat$tcode"
+  }
+
+  final case class Hdu(header: Vector[(String, Any)], dataOff: Int,
+                       dataLen: Int) {
+    lazy val hmap: Map[String, Any] = header.toMap
+    def longKey(k: String): Option[Long] = hmap.get(k).collect {
+      case l: Long => l
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // writer
+  // ---------------------------------------------------------------
+
+  private def renderValue(v: Any): String = v match {
+    case b: Boolean => (if (b) "T" else "F").reverse.padTo(20, ' ').reverse
+    case l: Long => l.toString.reverse.padTo(20, ' ').reverse
+    case i: Int => i.toString.reverse.padTo(20, ' ').reverse
+    case d: Double =>
+      // shortest round-trip decimal: parses back to the same IEEE
+      // double on any engine
+      val s = if (d == d.floor && math.abs(d) < 1e15 && !d.isInfinite)
+        f"$d%.1f" else d.toString
+      s.reverse.padTo(20, ' ').reverse
+    case s: String =>
+      val esc = s.replace("'", "''")
+      "'" + esc.padTo(8, ' ') + "'"
+    case other => throw new IllegalArgumentException(
+      s"unsupported header value type: $other")
+  }
+
+  private def card(key: String, value: Any): String = {
+    require(key.length <= 8, s"FITS keyword too long: $key")
+    val s = key.padTo(8, ' ') + "= " + renderValue(value)
+    require(s.length <= CardLen, s"card overflows 80 chars: $s")
+    s.padTo(CardLen, ' ')
+  }
+
+  private def bareCard(text: String): String = text.padTo(CardLen, ' ')
+
+  private def headerBytes(cards: Seq[String]): Array[Byte] = {
+    val all = cards :+ bareCard("END")
+    val blocks = (all.size * CardLen + Block - 1) / Block
+    val sb = new StringBuilder(blocks * Block)
+    all.foreach(sb ++= _)
+    while (sb.length < blocks * Block) sb ++= bareCard("")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  private val SupportedCodes = "LBIJKAED".toSet
+
+  /** Parses "rT" (repeat optional, default 1); only the supported
+    * codes are accepted (X/P/Q/C/M rejected here, eagerly). */
+  def parseTform(tform: String): (Int, Char) = {
+    val m = "^([0-9]*)([A-Z])$".r.findFirstMatchIn(tform.trim).getOrElse(
+      throw new IllegalArgumentException(s"bad TFORM: '$tform'"))
+    val code = m.group(2).head
+    require(SupportedCodes.contains(code), s"unsupported TFORM code '$code'")
+    val r = if (m.group(1).isEmpty) 1 else m.group(1).toInt
+    (r, code)
+  }
+
+  /** Builds a complete 2-HDU FITS file: a minimal primary HDU carrying
+    * `primaryKeys` (the header-scan surface) and one BINTABLE
+    * extension with `cols`/`rows` (the table-scan surface). Row cells
+    * must match the column code: L→Boolean, B/I/J→Int, K→Long,
+    * E→Float, D→Double, A→String (truncated/padded to the width);
+    * array columns take Seq of the element type. */
+  def buildFits(primaryKeys: Seq[(String, Any)], cols: Seq[(String, String)],
+                rows: Seq[Seq[Any]]): Array[Byte] = {
+    val parsed = cols.map { case (n, tf) =>
+      val (r, c) = parseTform(tf); FitsCol(n, r, c)
+    }
+    val rowBytes = parsed.map(_.fieldBytes).sum
+    val primary = headerBytes(
+      Seq(card("SIMPLE", true), card("BITPIX", 8L), card("NAXIS", 0L),
+        card("EXTEND", true)) ++ primaryKeys.map { case (k, v) => card(k, v) })
+    val tblHeader = headerBytes(
+      Seq(card("XTENSION", "BINTABLE"), card("BITPIX", 8L),
+        card("NAXIS", 2L), card("NAXIS1", rowBytes.toLong),
+        card("NAXIS2", rows.size.toLong), card("PCOUNT", 0L),
+        card("GCOUNT", 1L), card("TFIELDS", parsed.size.toLong)) ++
+        parsed.zipWithIndex.flatMap { case (c, i) =>
+          Seq(card(s"TTYPE${i + 1}", c.name), card(s"TFORM${i + 1}", c.tform))
+        })
+    val dataLen = rowBytes * rows.size
+    val padded = (dataLen + Block - 1) / Block * Block
+    val buf = java.nio.ByteBuffer.allocate(
+      primary.length + tblHeader.length + padded)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(primary).put(tblHeader)
+    rows.foreach { r =>
+      require(r.size == parsed.size, s"row arity ${r.size} != ${parsed.size}")
+      r.lazyZip(parsed).foreach { (cell, c) =>
+        def one(v: Any): Unit = (c.tcode, v) match {
+          case ('L', b: Boolean) => buf.put((if (b) 'T' else 'F').toByte)
+          case ('B', i: Int) => buf.put(i.toByte)
+          case ('I', i: Int) => buf.putShort(i.toShort)
+          case ('J', i: Int) => buf.putInt(i)
+          case ('K', l: Long) => buf.putLong(l)
+          case ('E', f: Float) => buf.putFloat(f)
+          case ('D', d: Double) => buf.putDouble(d)
+          case other => throw new IllegalArgumentException(
+            s"cell/TFORM mismatch on ${c.name}: $other")
+        }
+        (c.tcode, cell) match {
+          case ('A', s: String) =>
+            val fixed = s.take(c.repeat).padTo(c.repeat, ' ')
+            buf.put(fixed.getBytes("US-ASCII"))
+          case (_, xs: Seq[_]) if c.isArray =>
+            require(xs.size == c.repeat,
+              s"array cell size ${xs.size} != repeat ${c.repeat} on ${c.name}")
+            xs.foreach(one)
+          case (_, v) => one(v)
+        }
+      }
+    }
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------
+  // parser
+  // ---------------------------------------------------------------
+
+  private def parseCardValue(raw: String): Any = {
+    val t = raw.dropWhile(_ == ' ')
+    if (t.startsWith("'")) {
+      // string: scan to the closing quote, '' = escaped quote
+      val sb = new StringBuilder
+      var i = 1
+      var closed = false
+      while (i < t.length && !closed) {
+        if (t(i) == '\'') {
+          if (i + 1 < t.length && t(i + 1) == '\'') { sb += '\''; i += 2 }
+          else { closed = true; i += 1 }
+        } else { sb += t(i); i += 1 }
+      }
+      if (!closed) throw new IllegalArgumentException(s"unterminated string: $raw")
+      // FITS strings are blank-padded: trailing blanks insignificant
+      sb.toString.reverse.dropWhile(_ == ' ').reverse
+    } else {
+      val noComment = t.indexOf('/') match {
+        case -1 => t
+        case i => t.substring(0, i)
+      }
+      val v = noComment.trim
+      if (v == "T") true
+      else if (v == "F") false
+      else if (v.matches("[+-]?[0-9]+")) v.toLong
+      else if (v.nonEmpty)
+        try v.replace('D', 'E').replace('d', 'E').toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"unparseable value: $raw") }
+      else null
+    }
+  }
+
+  /** Parses one header starting at `off`; returns (cards-in-order,
+    * offset of the data area = next 2880 boundary after END). */
+  def parseHeader(b: Array[Byte], off: Int): (Vector[(String, Any)], Int) = {
+    require(off % Block == 0 && off < b.length, s"bad header offset $off")
+    val cards = Vector.newBuilder[(String, Any)]
+    var i = off
+    var ended = false
+    while (!ended) {
+      if (i + CardLen > b.length)
+        throw new IllegalArgumentException("truncated header (no END card)")
+      val card = new String(b, i, CardLen, "US-ASCII")
+      val key = card.substring(0, 8).trim
+      if (key == "END") ended = true
+      else if (card.length >= 10 && card(8) == '=' && card(9) == ' ') {
+        val v = parseCardValue(card.substring(10))
+        if (v != null) cards += key -> v
+      }
+      i += CardLen
+    }
+    val dataOff = (i - off + Block - 1) / Block * Block + off
+    (cards.result(), dataOff)
+  }
+
+  private def dataBytes(hmap: Map[String, Any]): Int = {
+    def l(k: String, dflt: Long = 0L): Long = hmap.get(k) match {
+      case Some(v: Long) => v
+      case _ => dflt
+    }
+    val naxis = l("NAXIS")
+    if (naxis == 0) 0
+    else {
+      val shape = (1L to naxis).map(i => l(s"NAXIS$i"))
+      val bitpix = math.abs(l("BITPIX", 8L))
+      val g = l("GCOUNT", 1L)
+      val p = l("PCOUNT", 0L)
+      val n = bitpix / 8 * g * (p + shape.product)
+      require(n >= 0 && n <= Int.MaxValue, s"data area too large: $n")
+      n.toInt
+    }
+  }
+
+  /** All HDUs of the file: (header cards, data offset, data length).
+    * Strict: a malformed header or a data area running past EOF
+    * throws (the header-scan caller maps that to "skip corrupted
+    * file", matching the reference's OSError handling). */
+  def hdus(b: Array[Byte]): Vector[Hdu] = {
+    require(b.length >= Block &&
+      new String(b, 0, 6, "US-ASCII") == "SIMPLE", "not a FITS file")
+    val out = Vector.newBuilder[Hdu]
+    var off = 0
+    while (off < b.length) {
+      val (cards, dataOff) = parseHeader(b, off)
+      val len = dataBytes(cards.toMap)
+      require(dataOff + len <= b.length, "data area runs past EOF")
+      out += Hdu(cards, dataOff, len)
+      off = dataOff + (len + Block - 1) / Block * Block
+    }
+    out.result()
+  }
+
+  /** BINTABLE column layout of an HDU (order = TFORM index order). */
+  def bintableCols(h: Hdu): Vector[FitsCol] = {
+    require(h.hmap.get("XTENSION").contains("BINTABLE"),
+      "HDU is not a BINTABLE")
+    val n = h.longKey("TFIELDS").getOrElse(0L).toInt
+    val cols = (1 to n).toVector.map { i =>
+      val name = h.hmap.get(s"TTYPE$i") match {
+        case Some(s: String) => s
+        case _ => s"col$i"
+      }
+      val tf = h.hmap.get(s"TFORM$i") match {
+        case Some(s: String) => s
+        case _ => throw new IllegalArgumentException(s"missing TFORM$i")
+      }
+      val (r, c) = parseTform(tf)
+      FitsCol(name, r, c)
+    }
+    val rowBytes = h.longKey("NAXIS1").getOrElse(0L)
+    require(cols.map(_.fieldBytes.toLong).sum == rowBytes,
+      s"TFORM widths ${cols.map(_.fieldBytes).sum} != NAXIS1 $rowBytes")
+    cols
+  }
+
+  /** Iterates the rows of a BINTABLE HDU, materializing only the
+    * columns in `wanted` (indices into [[bintableCols]] order) — the
+    * projection reaches the byte parser: unselected fields are never
+    * decoded. Cell types: L→Boolean, B/I/J→Int, K→Long, E→Float,
+    * D→Double, A→String (trailing blanks stripped); array columns
+    * yield Seq of the element type. */
+  def readRows(b: Array[Byte], h: Hdu, wanted: Array[Int]): Iterator[Array[Any]] = {
+    val cols = bintableCols(h)
+    val offsets = cols.scanLeft(0)(_ + _.fieldBytes).toArray
+    val rowBytes = h.longKey("NAXIS1").getOrElse(0L).toInt
+    val nRows = h.longKey("NAXIS2").getOrElse(0L).toInt
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN)
+
+    def readElem(c: FitsCol, at: Int): Any = c.tcode match {
+      case 'L' => b(at) == 'T'
+      case 'B' => b(at) & 0xff
+      case 'I' => bb.getShort(at).toInt
+      case 'J' => bb.getInt(at)
+      case 'K' => bb.getLong(at)
+      case 'E' => bb.getFloat(at)
+      case 'D' => bb.getDouble(at)
+      case other => throw new IllegalArgumentException(s"unsupported code $other")
+    }
+
+    Iterator.tabulate(nRows) { r =>
+      val base = h.dataOff + r * rowBytes
+      wanted.map { ci =>
+        val c = cols(ci)
+        val at = base + offsets(ci)
+        if (c.tcode == 'A') {
+          val s = new String(b, at, c.repeat, "US-ASCII")
+          s.reverse.dropWhile(_ == ' ').reverse
+        } else if (c.isArray) {
+          (0 until c.repeat).map(k => readElem(c, at + k * c.elemBytes))
+        } else readElem(c, at)
+      }
+    }
+  }
+}

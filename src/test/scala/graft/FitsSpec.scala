@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.FitsCodec
+import graft.sources.FitsSource
+
+/** FITS codec + source: byte-level round-trips over every supported
+  * TFORM code, header grammar edge cases, strictness, the reference's
+  * selection/matching semantics, and corrupted-file skipping. */
+class FitsSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_fits_$tag")
+    d.toAbsolutePath.toString
+  }
+
+  test("codec round-trip: every scalar type, strings, arrays") {
+    val cols = Seq("flag" -> "1L", "b" -> "1B", "i16" -> "1I", "i32" -> "1J",
+      "i64" -> "1K", "f32" -> "1E", "f64" -> "1D", "name" -> "8A",
+      "arr" -> "3D")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq[Any](true, 255, -32768, Int.MinValue, Long.MinValue, 1.5f,
+        math.Pi, "o'brien", Seq(1.0, -2.5, 3.25)),
+      Seq[Any](false, 0, 32767, Int.MaxValue, Long.MaxValue, -0.125f,
+        -1.0e300, "ab", Seq(0.0, 0.5, -0.5)))
+    val bytes = FitsCodec.buildFits(
+      Seq("EXPID" -> 42L, "MAGZP" -> 26.35, "NOTE" -> "hello",
+        "GOOD" -> true),
+      cols, rows)
+    val hs = FitsCodec.hdus(bytes)
+    assert(hs.size == 2)
+    assert(hs(0).hmap("EXPID") == 42L && hs(0).hmap("MAGZP") == 26.35)
+    assert(hs(0).hmap("NOTE") == "hello" && hs(0).hmap("GOOD") == true)
+    val got = FitsCodec.readRows(bytes, hs(1),
+      cols.indices.toArray).map(_.toSeq).toSeq
+    assert(got == rows, s"$got")
+  }
+
+  test("codec: multi-block header (>36 cards); quoted strings round-trip") {
+    val keys = (1 to 60).map(i => s"K$i" -> i.toLong)
+    val bytes = FitsCodec.buildFits(keys, Seq("x" -> "1J"), Seq(Seq[Any](7)))
+    val h0 = FitsCodec.hdus(bytes)(0)
+    assert(h0.hmap("K1") == 1L && h0.hmap("K60") == 60L)
+    assert(h0.dataOff % FitsCodec.Block == 0 && h0.dataOff >= 2 * FitsCodec.Block)
+  }
+
+  test("codec strictness: bad magic, truncated data, unsupported TFORM") {
+    val good = FitsCodec.buildFits(Seq("A" -> 1L), Seq("x" -> "1J"),
+      Seq(Seq[Any](1)))
+    intercept[IllegalArgumentException] {
+      FitsCodec.hdus("NOTFITS".getBytes ++ new Array[Byte](5000))
+    }
+    intercept[IllegalArgumentException] {
+      FitsCodec.hdus(good.take(good.length - FitsCodec.Block))
+    }
+    intercept[IllegalArgumentException] { FitsCodec.parseTform("1X") }
+  }
+
+  test("readTable: wildcard select, array-col policy, row filter, schema check") {
+    val dir = tmpDir("tbl")
+    val cols = Seq("id" -> "1K", "mag" -> "1D", "flux_ap" -> "3E",
+      "tag" -> "4A")
+    def rows(base: Long): Seq[Seq[Any]] = (0 until 5).map(i =>
+      Seq[Any](base + i, base * 0.5 + i, Seq(i.toFloat, 0f, 1f), s"t$i"))
+    Files.write(Paths.get(s"$dir/a.fits"),
+      FitsCodec.buildFits(Seq("EXPID" -> 1L), cols, rows(100)))
+    Files.write(Paths.get(s"$dir/b.fits"),
+      FitsCodec.buildFits(Seq("EXPID" -> 2L), cols, rows(200)))
+    // array col dropped by default; "ma*" wildcard matches mag
+    val df = FitsSource.readTable(spark, dir,
+      selectColumns = Seq("id", "ma*", "flux_ap", "tag"))
+    assert(df.columns.toSeq == Seq("id", "mag", "tag"))
+    assert(df.count() == 10)
+    // keepArrayCols brings the 3E column back as array<float>
+    val withArr = FitsSource.readTable(spark, dir, keepArrayCols = true)
+    assert(withArr.columns.toSeq == Seq("id", "mag", "flux_ap", "tag"))
+    val arr = withArr.where(col("id") === 203).select("flux_ap")
+      .collect()(0).getSeq[Float](0)
+    assert(arr == Seq(3f, 0f, 1f))
+    // pandas-dialect row filter
+    val filtered = FitsSource.readTable(spark, dir,
+      selectRows = Some("id >= 200 and tag == 't1'"))
+    assert(filtered.select("id").collect().map(_.getLong(0)).toSeq == Seq(201L))
+    // a file with a different layout fails loudly
+    Files.write(Paths.get(s"$dir/c.fits"),
+      FitsCodec.buildFits(Nil, Seq("id" -> "1J"), Seq(Seq[Any](1))))
+    val e = intercept[org.apache.spark.SparkException] {
+      FitsSource.readTable(spark, dir).count()
+    }
+    assert(e.getMessage.contains("differs") ||
+      e.getCause.getMessage.contains("differs"))
+  }
+
+  test("readHeaders: substring key match, missing keys null, corrupt skipped") {
+    val dir = tmpDir("hdr")
+    Files.write(Paths.get(s"$dir/a.fits"), FitsCodec.buildFits(
+      Seq("EXPID" -> 10L, "RCID" -> 3L, "APCOR1" -> 0.5, "APCOR2" -> 0.25),
+      Seq("x" -> "1J"), Seq(Seq[Any](1))))
+    // second file lacks APCOR2
+    Files.write(Paths.get(s"$dir/b.fits"), FitsCodec.buildFits(
+      Seq("EXPID" -> 11L, "RCID" -> 0L, "APCOR1" -> 0.75),
+      Seq("x" -> "1J"), Seq(Seq[Any](1))))
+    // corrupted file: skipped, not fatal
+    Files.write(Paths.get(s"$dir/z.fits"),
+      "garbage".getBytes ++ new Array[Byte](4000))
+    val df = FitsSource.loadHeaderMeta(spark, dir,
+      Seq("EXPID", "RCID", "APCOR*")).orderBy("EXPID")
+    assert(df.columns.toSeq ==
+      Seq("PATH", "EXPID", "RCID", "APCOR1", "APCOR2", "OBSID"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("OBSID") == 103L)
+    assert(rows(1).getAs[Long]("OBSID") == 110L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("APCOR2")))
+  }
+
+  test("registry FITS queries: projection reaches the parser (pruned schema)") {
+    // s2_fits_scan selects 3 of 4 table columns: the DataFrame schema
+    // must carry only those (the parse seam never materializes the
+    // rest)
+    val df = SparkEntry.queries("s2_fits_scan")(spark, sf001)
+    assert(df.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(df.count() > 0)
+  }
+}
