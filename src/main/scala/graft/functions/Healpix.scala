@@ -138,53 +138,158 @@ object Healpix {
     (z, phi)
   }
 
-  /** All pixels a radius-`radiusRad` match around any point of `pix`
-    * can fall in: sample the disk of radius radiusRad + 2·pixScale
-    * around the pixel center at sub-inradius spacing and collect the
-    * distinct pixel ids. Requires radiusRad ≤ 0.5·pixScale (enforce
-    * via [[nsideFor]]). Intended for the dimension-sized side of a
-    * join (≈10 distinct pixels from ~150 compiled samples).
-    */
-  def coverDisk(nside: Int, pix: Long, radiusRad: Double): Array[Long] = {
-    val (z, phi) = pix2zphiNest(nside, pix)
-    val scale = pixelScaleRad(nside)
-    val rCover = radiusRad + 2.0 * scale
-    val step = 0.25 * scale
-    // local orthonormal basis at the pixel center
-    val st = math.sqrt(math.max(0.0, 1.0 - z * z))
-    val cx = st * math.cos(phi); val cy = st * math.sin(phi); val cz = z
-    // east = d/dphi, north = d/dtheta (normalized); degenerate at the
-    // exact pole — nudge handled by st floor below
-    val (ex, ey, ez) =
-      if (st > 1e-12) (-math.sin(phi), math.cos(phi), 0.0) else (1.0, 0.0, 0.0)
-    val (nx, ny, nz) =
-      if (st > 1e-12) (-z * math.cos(phi), -z * math.sin(phi), st) else (0.0, 1.0, 0.0)
-    val out = new java.util.TreeSet[java.lang.Long]()
-    out.add(pix)
-    val nRings = math.max(1, math.ceil(rCover / step).toInt)
-    var ring = 1
-    while (ring <= nRings) {
-      val r = ring * step
-      val nSamp = math.max(8, math.ceil(2.0 * math.Pi * r / step).toInt)
-      var s = 0
-      while (s < nSamp) {
-        val a = 2.0 * math.Pi * s / nSamp
-        // tangent-plane offset, reprojected to the sphere
-        val dx = r * math.cos(a); val dy = r * math.sin(a)
-        var px = cx + dx * ex + dy * nx
-        var py = cy + dx * ey + dy * ny
-        var pz = cz + dx * ez + dy * nz
-        val norm = math.sqrt(px * px + py * py + pz * pz)
-        px /= norm; py /= norm; pz /= norm
-        out.add(zphi2pixNest(nside, pz, math.atan2(py, px)))
-        s += 1
-      }
-      ring += 1
+  // ---------------------------------------------------------------
+  // RING-scheme geometry (the published ring layout: cap ring i has
+  // 4i pixels at z = 1 - i²/(3·nside²); equatorial rings have
+  // 4·nside pixels at z = (2·nside - i)·2/(3·nside); south mirrors)
+  // ---------------------------------------------------------------
+
+  private def isqrt(x: Long): Long = {
+    var r = math.sqrt(x.toDouble).toLong
+    while (r > 0 && r * r > x) r -= 1
+    while ((r + 1) * (r + 1) <= x) r += 1
+    r
+  }
+
+  /** z of ring i (1..4·nside-1) — identical arithmetic to
+    * [[pix2zphiNest]]'s branches. */
+  def ringZ(nside: Int, i: Long): Double = {
+    val n = nside.toLong
+    if (i < n) 1.0 - (i * i).toDouble / (3.0 * n * n)
+    else if (i > 3 * n) {
+      val nr = 4 * n - i
+      -1.0 + (nr * nr).toDouble / (3.0 * n * n)
+    } else (2 * n - i).toDouble * 2.0 / (3.0 * n)
+  }
+
+  /** NESTED id of ring-scheme pixel (ring `i`, 1-based φ index `j`).
+    * Cap faces/offsets follow from inverting this file's pix2ang
+    * (j = face·i + l + 1 in the caps); the equatorial branch feeds
+    * the EXACT integer edge indices jp = j-1 + (i-n-kshift)/2 and
+    * jm = j-1 + (3n-i-kshift)/2 through the same face/ix/iy logic as
+    * [[zphi2pixNest]] — one derivation, two entry points. */
+  def ringPixToNest(nside: Int, i: Long, j: Long): Long = {
+    val n = nside.toLong
+    val npface = n * n
+    def nest(face: Int, ix: Long, iy: Long): Long =
+      face.toLong * npface + (spreadBits(ix) | (spreadBits(iy) << 1))
+    if (i < n) { // north cap: ring i has 4i pixels, faces 0..3
+      val f = ((j - 1) / i).toInt
+      val l = (j - 1) % i
+      nest(f, n - i + l, n - 1 - l)
+    } else if (i > 3 * n) { // south cap: ring i' = 4n - i, faces 8..11
+      val i2 = 4 * n - i
+      val f = 8 + ((j - 1) / i2).toInt
+      val l = (j - 1) % i2
+      nest(f, l, i2 - 1 - l)
+    } else { // equatorial belt
+      val kshift = (i - n) & 1
+      val jp = j - 1 + (i - n - kshift) / 2
+      val jm = j - 1 + (3 * n - i - kshift) / 2
+      val ifp = jp / n
+      val ifm = jm / n
+      val face =
+        if (ifp == ifm) (ifp & 3).toInt + 4
+        else if (ifp < ifm) (ifp & 3).toInt
+        else (ifm & 3).toInt + 8
+      nest(face, jm & (n - 1), n - (jp & (n - 1)) - 1)
     }
+  }
+
+  /** Angular distance between (z, φ) points — shared by the cover and
+    * its brute-force spec so both evaluate the boundary identically. */
+  def angDistRad(z1: Double, phi1: Double, z2: Double, phi2: Double): Double = {
+    val st1 = math.sqrt(math.max(0.0, 1.0 - z1 * z1))
+    val st2 = math.sqrt(math.max(0.0, 1.0 - z2 * z2))
+    val c = z1 * z2 + st1 * st2 * math.cos(phi1 - phi2)
+    math.acos(math.max(-1.0, math.min(1.0, c)))
+  }
+
+  /** Cover pad: 2.2·pixScale ≥ 2 × the HEALPix maximum pixel
+    * circumradius (max center-to-vertex distance ≲ 1.05·pixScale, at
+    * the elongated cap-edge pixels), so any pixel containing a
+    * radius-r match of any point in `pix` has its CENTER within
+    * r + pad of `pix`'s center. */
+  def coverPadRad(nside: Int): Double = 2.2 * pixelScaleRad(nside)
+
+  /** All pixels a radius-`radiusRad` match around any point of `pix`
+    * can fall in — ANALYTIC: exactly the pixels whose center lies
+    * within R = radiusRad + [[coverPadRad]] of the center of `pix`,
+    * enumerated ring-by-ring (the rings whose colatitude crosses the
+    * cap, then the φ arc each ring contributes — the classic
+    * query_disc shape, no sampling anywhere). Output is sorted.
+    * HealpixCoverSpec proves set equality against brute-force
+    * all-pixel enumeration; HealpixSpec proves the join contract
+    * against the 3D-chord grid on uniform, polar and wraparound
+    * skies. Cover size ≈ π·R²/scale² (≈20 at the [[nsideFor]]
+    * operating point) — dimension-sized for the join's explode side. */
+  def coverDisk(nside: Int, pix: Long, radiusRad: Double): Array[Long] = {
+    val n = nside.toLong
+    val (z0, phi0) = pix2zphiNest(nside, pix)
+    val theta0 = math.acos(math.max(-1.0, math.min(1.0, z0)))
+    val rr = radiusRad + coverPadRad(nside)
+    val cosR = math.cos(rr)
+    // fractional ring index at a given z (monotone in colatitude)
+    def ringAt(z: Double): Double =
+      if (z > 2.0 / 3.0) n * math.sqrt(3.0 * (1.0 - z))
+      else if (z >= -2.0 / 3.0) 1.5 * n * (4.0 / 3.0 - z)
+      else 4.0 * n - n * math.sqrt(3.0 * (1.0 + z))
+    val zHi = math.cos(math.max(0.0, theta0 - rr))
+    val zLo = math.cos(math.min(math.Pi, theta0 + rr))
+    val iLo = math.max(1L, math.floor(ringAt(zHi)).toLong - 1)
+    val iHi = math.min(4 * n - 1, math.ceil(ringAt(zLo)).toLong + 1)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = iLo
+    while (i <= iHi) {
+      val zi = ringZ(nside, i)
+      val (npr, off) =
+        if (i < n) (4 * i, 0.5)
+        else if (i > 3 * n) (4 * (4 * n - i), 0.5)
+        else (4 * n, (((i - n) & 1) + 1) * 0.5)
+      val sp = 2.0 * math.Pi / npr // φ spacing; center of j at (j - off)·sp...
+      // φ of 1-based pixel j on this ring: (j - off) * sp
+      val sti = math.sqrt(math.max(0.0, 1.0 - zi * zi))
+      val st0 = math.sqrt(math.max(0.0, 1.0 - z0 * z0))
+      val denom = sti * st0
+      val x = if (denom > 0) (cosR - zi * z0) / denom else 2.0
+      if (x <= -1.0 || (denom == 0 && zi * z0 >= cosR)) {
+        // whole ring inside the cap
+        var j = 1L
+        while (j <= npr) { out.add(ringPixToNest(nside, i, j)); j += 1 }
+      } else {
+        val dphi = if (x >= 1.0) 0.0 else math.acos(x)
+        // candidate j range around φ0, padded one pixel each side,
+        // then the EXACT center-distance test (same evaluation the
+        // brute-force spec uses)
+        val jc = phi0 / sp + off
+        val jFrom = math.floor(jc - dphi / sp).toLong - 1
+        val jTo = math.ceil(jc + dphi / sp).toLong + 1
+        if (jTo - jFrom + 1 >= npr) {
+          var j = 1L
+          while (j <= npr) {
+            val pj = (j - off) * sp
+            if (angDistRad(zi, pj, z0, phi0) <= rr)
+              out.add(ringPixToNest(nside, i, j))
+            j += 1
+          }
+        } else {
+          var jw = jFrom
+          while (jw <= jTo) {
+            val j = ((jw - 1) % npr + npr) % npr + 1 // wrap to 1..npr
+            val pj = (j - off) * sp
+            if (angDistRad(zi, pj, z0, phi0) <= rr)
+              out.add(ringPixToNest(nside, i, j))
+            jw += 1
+          }
+        }
+      }
+      i += 1
+    }
+    out.add(pix) // the center pixel is in its own cover by definition
     val res = new Array[Long](out.size())
     val it = out.iterator()
-    var i = 0
-    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
     res
   }
 }
