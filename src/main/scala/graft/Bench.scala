@@ -180,7 +180,12 @@ object Bench {
       (medians, ctx)
     }
 
+    // optional dev subset: `runMain graft.Bench q1,q2` times just
+    // those queries (driver always invokes with no args = full suite)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val ref = probeRef(cpus)
     val (firstPass, ctx1) = pass(queries)
     // re-measure queries whose window probes ran hot (>DriftLimit × the

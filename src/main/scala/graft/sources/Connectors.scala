@@ -51,6 +51,20 @@ final class ParquetSnapshotConnector(path: String) extends CatalogConnector {
   }
 }
 
+/** A remote page failed after exhausting its retries. Carries the
+  * completed-page state so a caller can log precisely what landed and
+  * resume from `failedPageKeys ++ remaining` instead of re-pulling
+  * everything (metadata.py:55-66 tolerates flaky IRSA endpoints by
+  * retrying; this is the typed equivalent). */
+final class ConnectorFetchException(
+    val connector: String, val pagesCompleted: Int, val rowsFetched: Int,
+    val failedPageKeys: Seq[Any], val attempts: Int, cause: Throwable)
+  extends RuntimeException(
+    s"connector $connector: page ${pagesCompleted + 1} failed after " +
+      s"$attempts attempts ($rowsFetched rows over $pagesCompleted " +
+      s"completed pages; ${failedPageKeys.size} keys in the failed page)",
+    cause)
+
 /** Remote-service connector shape: a batched request/response client
   * (the MongoDB `find({hpxid: {$in: batch}})` / IRSA `WHERE key IN
   * (...)` pattern). `fetchBatch` is the pluggable transport — tests
@@ -64,6 +78,12 @@ final class ParquetSnapshotConnector(path: String) extends CatalogConnector {
   *   - requests go out in `batchSize` pages, results re-enter the
   *     cluster via `spark.createDataFrame` partitioned for the join
   *     that follows;
+  *   - a failing page is retried up to `maxRetries` times with
+  *     exponential backoff (backoffMs · 2^attempt — the polite-client
+  *     shape for a flaky service); past that the fetch aborts with a
+  *     [[ConnectorFetchException]] carrying completed-page state —
+  *     never a silent partial result, which downstream joins would
+  *     read as "no match";
   *   - the fetched slice is dimension-sized by the contract above, so
   *     downstream joins broadcast it (the S8/J3 calibrator shape).
   */
@@ -71,7 +91,9 @@ final class BatchedRemoteConnector[K, R](
     override val name: String,
     fetchBatch: Seq[K] => Seq[R],
     maxKeys: Int = 1000000,
-    batchSize: Int = 10000)(
+    batchSize: Int = 10000,
+    maxRetries: Int = 3,
+    backoffMs: Long = 100L)(
     implicit kenc: org.apache.spark.sql.Encoder[K],
     renc: org.apache.spark.sql.Encoder[R]) extends CatalogConnector {
 
@@ -86,8 +108,32 @@ final class BatchedRemoteConnector[K, R](
       s"connector $name: >$maxKeys keys — a remote catalog pull must " +
         "stay dimension-sized; stage the catalog to the lake " +
         "(ParquetSnapshotConnector) for corpus-sized key sets")
-    val rows = keyList.grouped(batchSize).flatMap(fetchBatch).toSeq
-    spark.createDataset(rows)(renc).toDF()
+    val rows = Seq.newBuilder[R]
+    var rowCount = 0
+    var pagesDone = 0
+    keyList.grouped(batchSize).foreach { page =>
+      var attempt = 0
+      var fetched: Option[Seq[R]] = None
+      var lastErr: Throwable = null
+      while (fetched.isEmpty && attempt <= maxRetries) {
+        try fetched = Some(fetchBatch(page))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            lastErr = e
+            attempt += 1
+            if (attempt <= maxRetries && backoffMs > 0)
+              Thread.sleep(backoffMs << math.min(attempt - 1, 10))
+        }
+      }
+      fetched match {
+        case Some(rs) =>
+          rows ++= rs; rowCount += rs.size; pagesDone += 1
+        case None =>
+          throw new ConnectorFetchException(name, pagesDone, rowCount,
+            page, attempt, lastErr)
+      }
+    }
+    spark.createDataset(rows.result())(renc).toDF()
   }
 }
 

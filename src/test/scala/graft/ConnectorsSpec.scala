@@ -51,6 +51,42 @@ class ConnectorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { conn.fetchByKeys(spark, big, "k") }
   }
 
+  test("BatchedRemoteConnector: transient fault -> bounded retries -> recovery") {
+    val calls = scala.collection.mutable.ArrayBuffer[Int]()
+    var failuresLeft = 2 // first page fails twice, then succeeds
+    val conn = new BatchedRemoteConnector[Long, (Long, String)](
+      "flaky",
+      batch => {
+        calls += batch.size
+        if (failuresLeft > 0) { failuresLeft -= 1; sys.error("503") }
+        batch.map(k => k -> s"v$k")
+      },
+      maxKeys = 100, batchSize = 2, maxRetries = 3, backoffMs = 1)
+    val got = conn.fetchByKeys(spark, Seq(1L, 2L, 3L).toDF("k"), "k")
+    assert(got.count() == 3)
+    assert(calls.size == 4, s"2 failures + 2 successful pages, got $calls")
+  }
+
+  test("BatchedRemoteConnector: exhausted retries -> typed error with page state") {
+    var page = 0
+    val conn = new BatchedRemoteConnector[Long, (Long, String)](
+      "down",
+      batch => {
+        page += 1
+        if (page > 1) sys.error("connection refused") // page 2 always fails
+        batch.map(k => k -> s"v$k")
+      },
+      maxKeys = 100, batchSize = 2, maxRetries = 2, backoffMs = 0)
+    val e = intercept[graft.sources.ConnectorFetchException] {
+      conn.fetchByKeys(spark, Seq(1L, 2L, 3L, 4L).toDF("k"), "k")
+    }
+    assert(e.connector == "down")
+    assert(e.pagesCompleted == 1 && e.rowsFetched == 2, e.getMessage)
+    assert(e.failedPageKeys.size == 2)
+    assert(e.attempts == 3, s"1 try + 2 retries, got ${e.attempts}") // bounded
+    assert(e.getCause.getMessage.contains("connection refused"))
+  }
+
   test("CalibratorSource: footprint cells -> catalog slice (S8 shape)") {
     val nside = 64
     val det = Seq((10.0, 10.0), (10.01, 10.01), (200.0, -45.0))
