@@ -566,6 +566,88 @@ object QueriesSources {
         .orderBy("media_id")
     })
 
+  /** X-MM7: REAL AU (Sun/NeXT .snd) decode — the second audio
+    * container, same closed-form-oracle design as mm_wav_decode: a ±a
+    * square wave has rms = peak = a/32768 exactly (a ≤ 32760 < 2¹⁵,
+    * so a/32768 is an exact dyadic double on both engines); 320
+    * samples at 8 kHz give duration 0.04 exactly. */
+  private val mm7 = Q(
+    "mm_au_decode",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(8000 AS DOUBLE) AS sample_rate,
+              CAST(0.04 AS DOUBLE) AS duration_sec,
+              CAST(((p_partkey % 4) + 1) * 8190 AS DOUBLE) / 32768 AS rms,
+              CAST(((p_partkey % 4) + 1) * 8190 AS DOUBLE) / 32768 AS peak
+            FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part")
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val amp = (((k % 4) + 1) * 8190).toInt
+          assert(amp <= Short.MaxValue, s"amplitude $amp overflows Short")
+          val samples = Array.tabulate[Short](320)(i =>
+            if (i % 2 == 0) amp.toShort else (-amp).toShort)
+          (k, MediaCodecs.buildAu(8000, samples))
+        }.toDF("media_id", "blob")
+      Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
+        .select(col("media_id"),
+          col("features").getItem(1).as("sample_rate"),
+          col("features").getItem(3).as("duration_sec"),
+          col("features").getItem(4).as("rms"),
+          col("features").getItem(5).as("peak"))
+        .orderBy("media_id")
+    })
+
+  /** Media FILE sink + directory source: write real .wav files from
+    * executors (the raw-audio sink primitive), read the directory
+    * back through Spark's binaryFile source, decode through the same
+    * seam — the full media round-trip a curation pipeline runs
+    * (stage clips → re-ingest → feature-extract), gated by the
+    * mm_wav_decode closed form. */
+  private def wavSinkDir(s: SparkSession, dir: String): String = {
+    val dataDir = scratch(dir, "wav_sink")
+    if (!Files.exists(Paths.get(s"$dataDir/_DONE"))) {
+      import s.implicits._
+      t(s, dir, "part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { k =>
+            val amp = (((k % 8) + 1) * 4095).toInt
+            val samples = Array.tabulate[Short](400)(i =>
+              if (i % 2 == 0) amp.toShort else (-amp).toShort)
+            Files.write(Paths.get(f"$dataDir/clip_$k%05d.wav"),
+              MediaCodecs.buildPcmWav(8000, samples))
+          }
+        }
+      Files.write(Paths.get(s"$dataDir/_DONE"), Array.emptyByteArray)
+    }
+    dataDir
+  }
+
+  private val mm8 = Q(
+    "mm_wav_sink",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(8000 AS DOUBLE) AS sample_rate,
+              CAST(0.05 AS DOUBLE) AS duration_sec,
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS rms,
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS peak
+            FROM part WHERE p_partkey <= 100 ORDER BY media_id"""),
+    (s, dir) => {
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(wavSinkDir(s, dir))
+        .select(regexp_extract(col("path"), "clip_(\\d+)", 1)
+          .cast(LongType).as("media_id"), col("content").as("blob"))
+      Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
+        .select(col("media_id"),
+          col("features").getItem(1).as("sample_rate"),
+          col("features").getItem(3).as("duration_sec"),
+          col("features").getItem(4).as("rms"),
+          col("features").getItem(5).as("peak"))
+        .orderBy("media_id")
+    })
+
   /** X-S15: bucketed tables + shuffle-free co-located join. Both
     * sides are written `bucketBy(8, key)` into the same bucket
     * layout, so the sort-merge join consumes the scans' bucket
@@ -719,5 +801,5 @@ object QueriesSources {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
 }

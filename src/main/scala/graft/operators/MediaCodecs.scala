@@ -173,6 +173,66 @@ object MediaCodecs {
     } yield (w, h, maxv, off + 1)
   }
 
+  final case class AuInfo(sampleRate: Int, channels: Int, nFrames: Long,
+                          durationSec: Double, rms: Double, peak: Double)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Minimal Sun/NeXT AU writer (16-bit big-endian PCM mono,
+    * encoding 3) — the inverse of [[parseAu]]. The AU container is
+    * the PUBLIC .snd header: magic, data offset, data size, encoding,
+    * rate, channels. */
+  def buildAu(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(24 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(0x2e736e64) // ".snd"
+    buf.putInt(24)         // data offset
+    buf.putInt(dataLen)
+    buf.putInt(3)          // 16-bit linear PCM
+    buf.putInt(rate)
+    buf.putInt(1)          // mono
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Strict AU parse (16-bit big-endian linear PCM only). Header
+    * fields gate hard — ASCII payloads can't satisfy the offset/rate/
+    * channel ranges, so text blobs fall through to the deterministic
+    * fallback like every other codec here. */
+  def parseAu(b: Array[Byte]): Option[AuInfo] = {
+    if (b.length < 24 || be32(b, 0) != 0x2e736e64L) return None
+    val dataOff = be32(b, 4)
+    val dataSize = be32(b, 8)
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val channels = be32(b, 20)
+    if (enc != 3 || dataOff < 24 || dataOff > b.length ||
+        rate < 1 || rate > 1000000 || channels < 1 || channels > 8) return None
+    val avail = b.length - dataOff.toInt
+    val dLen = if (dataSize == 0xffffffffL) avail.toLong
+               else math.min(dataSize, avail.toLong)
+    val frameBytes = channels.toInt * 2
+    val nFrames = dLen / frameBytes
+    val nSamples = nFrames * channels
+    var sumSq = 0.0
+    var peak = 0.0
+    var i = 0L
+    while (i < nSamples) {
+      val at = dataOff.toInt + (i * 2).toInt
+      val v = (((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)).toShort.toDouble / 32768.0
+      sumSq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      i += 1
+    }
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    Some(AuInfo(rate.toInt, channels.toInt, nFrames,
+      nFrames.toDouble / rate, rms, peak))
+  }
+
   /** Strict binary-PPM (P6) parse; None unless the header is valid
     * and the payload holds exactly width·height RGB triplets
     * (maxval < 256 — the 1-byte-per-channel form). */

@@ -67,6 +67,11 @@ object Multimodal {
             }).orElse(MediaCodecs.parsePgm(bytes).map { g =>
               fit(Array(3.0, g.width.toDouble, g.height.toDouble,
                 g.mean, g.min.toDouble, g.max.toDouble, g.maxVal.toDouble, 0.0))
+            }).orElse(MediaCodecs.parseAu(bytes).map { a =>
+              // same slot layout as WAV so rate/dur/rms/peak queries
+              // work unchanged across both audio containers
+              fit(Array(4.0, a.sampleRate.toDouble, a.channels.toDouble,
+                a.durationSec, a.rms, a.peak, 16.0, a.nFrames.toDouble))
             }).getOrElse(Array.tabulate(dim) { i =>
               val lo = i * bytes.length / dim
               val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)

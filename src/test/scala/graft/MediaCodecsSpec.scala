@@ -49,6 +49,31 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.parseWav("hello world, not audio at all...............".getBytes).isEmpty)
   }
 
+  test("parseAu: .snd header, BE samples, annotation offset; strict otherwise") {
+    val samples = Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 8192 else -8192)
+    val built = MediaCodecs.buildAu(1600, samples)
+    val info = MediaCodecs.parseAu(built).get
+    assert(info.sampleRate == 1600 && info.channels == 1)
+    assert(info.nFrames == 800L && info.durationSec == 0.5)
+    assert(info.rms == 0.25 && info.peak == 0.25)
+    // annotation bytes between header and data: dataOffset honors them
+    val annotated = ByteBuffer.allocate(32 + samples.length * 2)
+      .order(ByteOrder.BIG_ENDIAN)
+    annotated.putInt(0x2e736e64).putInt(32).putInt(samples.length * 2)
+      .putInt(3).putInt(1600).putInt(1).putLong(0L) // 8 annotation bytes
+    samples.foreach(annotated.putShort)
+    assert(MediaCodecs.parseAu(annotated.array()).get.rms == 0.25)
+    // strictness: magic, encoding, truncation, ASCII payloads
+    assert(MediaCodecs.parseAu(built.take(20)).isEmpty)
+    assert(MediaCodecs.parseAu(".sndxxxxxxxxxxxxxxxxxxxxxxxx".getBytes).isEmpty)
+    val mulaw = ByteBuffer.allocate(28).order(ByteOrder.BIG_ENDIAN)
+      .putInt(0x2e736e64).putInt(24).putInt(4).putInt(1) // mu-law: refuse
+      .putInt(8000).putInt(1).putInt(0)
+    assert(MediaCodecs.parseAu(mulaw.array()).isEmpty)
+    assert(MediaCodecs.parseAu("plain old text, definitely not audio".getBytes).isEmpty)
+  }
+
   test("parsePpm: dims, channel means, luma exact; strict on size mismatch") {
     // 2x2: pure red, pure green, pure blue, white
     val rgb = Array[Int](255,0,0, 0,255,0, 0,0,255, 255,255,255).map(_.toByte)
