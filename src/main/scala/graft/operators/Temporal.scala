@@ -52,27 +52,35 @@ object Temporal {
     val cAsof = fresh("_asof", taken)
     val payStruct = struct((ts +: payload).map(col): _*)
     val ordT = right.schema(tieBreak).dataType
-    // NULL-key right rows can never be "the latest preceding row" of
-    // any left row (join semantics: equality on the key is
-    // null-unsafe), so drop them before the union — the window's
-    // partitionBy would otherwise group them WITH null-key left rows
+    // join-semantics NULL keys, handled on BOTH sides before the
+    // shuffle: NULL-key right rows can never match (null-unsafe
+    // equality) — dropped; NULL-key LEFT rows would all hash into ONE
+    // window partition (the classic skew key at scale) only to come
+    // back null-padded — so they bypass the union entirely and
+    // re-enter below with a null payload
     val rAligned = right.where(col(key).isNotNull).select(
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(lit(0).as(cTag), col(tieBreak).as(cOrd),
         payStruct.as(cPay)): _*)
-    val lAligned = left.select(
+    val lAligned = left.where(col(key).isNotNull).select(
       leftCols.map(col) ++ Seq(lit(1).as(cTag),
         lit(null).cast(ordT).as(cOrd),
         lit(null).cast(rAligned.schema(cPay).dataType).as(cPay)): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col(cTag), col(cOrd))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rAligned.unionByName(lAligned)
+    val matched = rAligned.unionByName(lAligned)
       .withColumn(cAsof, last(col(cPay), ignoreNulls = true).over(w))
       .where(col(cTag) === 1)
       .select(leftCols.map(col) ++ (ts +: payload).map(p =>
         col(s"$cAsof.$p").as(s"$p$suffix")): _*)
+    val payT = rAligned.schema(cPay).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val nullKeyed = left.where(col(key).isNull)
+      .select(leftCols.map(col) ++ (ts +: payload).map(p =>
+        lit(null).cast(payT(p).dataType).as(s"$p$suffix")): _*)
+    matched.unionByName(nullKeyed)
   }
 
   /** Nearest-event join (both directions): for each left row, the
@@ -112,16 +120,16 @@ object Temporal {
     val cF = fresh("_f", taken)
     val payStruct = struct(col(ts).as("ts"), col(idCol).as("id"))
     val ordT = right.schema(idCol).dataType
-    // join-semantics null keys: a NULL-key right row matches nothing
-    // (null-unsafe equality), so drop it before the union — see
-    // asofJoin
+    // join-semantics NULL keys on both sides, like asofJoin: right
+    // nulls match nothing; left nulls bypass the shuffle (skew) and
+    // re-enter null-padded below
     val rAligned = right.where(col(key).isNotNull).select(
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(lit(0).as(cTag), col(idCol).as(cOrd),
         payStruct.as(cPay)): _*)
-    val lAligned = left.select(
+    val lAligned = left.where(col(key).isNotNull).select(
       leftCols.map(col) ++ Seq(lit(1).as(cTag),
         lit(null).cast(ordT).as(cOrd),
         lit(null).cast(rAligned.schema(cPay).dataType).as(cPay)): _*)
@@ -149,7 +157,7 @@ object Temporal {
     val dF = unix_micros(col(s"$cF.ts")) - unix_micros(col(ts))
     val pickBack = col(s"$cB.id").isNotNull &&
       (col(s"$cF.id").isNull || dB <= dF)
-    both.select(leftCols.map(col) ++ Seq(
+    val matched = both.select(leftCols.map(col) ++ Seq(
       when(pickBack, col(s"$cB.id")).otherwise(col(s"$cF.id"))
         .as(s"$idCol$suffix"),
       when(pickBack, col(s"$cB.ts")).otherwise(col(s"$cF.ts"))
@@ -157,6 +165,13 @@ object Temporal {
       when(pickBack, dB).otherwise(dF).as("diff_us"),
       when(pickBack, lit(0L)).otherwise(
         when(col(s"$cF.id").isNotNull, lit(1L))).as("side")): _*)
+    val nullKeyed = left.where(col(key).isNull)
+      .select(leftCols.map(col) ++ Seq(
+        lit(null).cast(ordT).as(s"$idCol$suffix"),
+        lit(null).cast(left.schema(ts).dataType).as(s"$ts$suffix"),
+        lit(null).cast(LongType).as("diff_us"),
+        lit(null).cast(LongType).as("side")): _*)
+    matched.unionByName(nullKeyed)
   }
 
   /** Interval containment join: every (point, interval) pair with

@@ -103,6 +103,10 @@ object FitsSource {
     val enc = RowEncoder.encoderFor(schema)
 
     import spark.implicits._
+    // only the schema file's NAME enters the task closure — never the
+    // full file list (100k files would otherwise ride along with
+    // every task)
+    val schemaFile = files.head
     val slices = math.min(files.size, spark.sparkContext.defaultParallelism)
     var df = spark.createDataset(files).repartition(slices)
       .mapPartitions { paths =>
@@ -113,7 +117,7 @@ object FitsSource {
           val h = hs(extension)
           val fcols = FitsCodec.bintableCols(h)
           require(fcols.map(c => (c.name, c.tform)) == layout,
-            s"$path: BINTABLE layout ${fcols.map(_.tform)} differs from ${files.head}")
+            s"$path: BINTABLE layout ${fcols.map(_.tform)} differs from $schemaFile")
           FitsCodec.readRows(bytes, h, wanted).map { cells =>
             Row.fromSeq(cells.toIndexedSeq.map {
               case xs: Seq[_] => xs
