@@ -340,5 +340,12 @@ object syntax {
     def resampleDaily(keyCol: String, tsCol: String, valueCol: String,
                       tieBreak: String): DataFrame =
       Temporal.resampleDaily(df, keyCol, tsCol, valueCol, tieBreak)
+
+    /** S-report: persist an aggregate report frame (histogram bins,
+      * column profile, skew report, …) as csv.gz + JSON sidecar —
+      * the data layer of the reference's saved figures. */
+    def dumpReport(dir: String, name: String,
+                   provenance: String = ""): (String, String) =
+      graft.sources.Reports.dump(df, dir, name, provenance)
   }
 }

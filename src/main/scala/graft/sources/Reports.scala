@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** Diagnostic report sink — the engine-side analog of the reference's
+  * saved figures (dataset_base.py:72-96 save_fig; the histogram
+  * blocks at _objtable_methods.py:144-155). This container has no
+  * plotting stack, and a 1000-executor cluster shouldn't render PNGs
+  * anyway: the convention is to persist the FIGURE'S DATA LAYER —
+  * the already-aggregated report frame (a14_histogram bins,
+  * a16_column_profile, a19_skew_report, …) — as one
+  * gzip CSV + a JSON sidecar carrying schema, row count and
+  * provenance, ready for any notebook/BI renderer.
+  *
+  * Scale notes: report frames are aggregate-sized by construction
+  * (bins/percentiles/top-k — never fact rows), so the single-file
+  * `repartition(1)` write is bounded; `repartition`, not
+  * `coalesce(1)`, which would collapse the UPSTREAM aggregation to
+  * one task too. */
+object Reports {
+
+  /** Writes `df` under `dir/name/`: `data.csv/` (one gzip part) +
+    * `meta.json`. Returns (csvDir, sidecarPath). */
+  def dump(df: DataFrame, dir: String, name: String,
+           provenance: String = ""): (String, String) = {
+    val base = s"$dir/$name"
+    val csvDir = s"$base/data.csv"
+    val n = df.count()
+    df.repartition(1).write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(csvDir)
+    val fields = df.schema.fields.map { f =>
+      s"""{"name":${q(f.name)},"type":${q(f.dataType.simpleString)}}"""
+    }.mkString("[", ",", "]")
+    val sidecar = s"$base/meta.json"
+    val json =
+      s"""{"report":${q(name)},"rows":$n,"columns":$fields,
+         |"provenance":${q(provenance)}}""".stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(base))
+    Files.write(Paths.get(sidecar), json.getBytes(StandardCharsets.UTF_8))
+    (csvDir, sidecar)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
