@@ -227,6 +227,32 @@ object QueriesSources {
         .orderBy("n_nationkey")
     })
 
+  /** S10/X-S20: diagnostic report sink round-trip — the data layer of
+    * the reference's saved figures (dataset_base.py:72-96 save_fig;
+    * the histogram blocks at _objtable_methods.py:144-155). The A14
+    * histogram frame goes through `Reports.dump` (csv.gz + JSON
+    * sidecar) and is read back with its schema; the sidecar's row
+    * count is cross-checked against the frame (a mismatch yields
+    * zero rows → hash gate fails), so writer, sidecar and reader are
+    * all inside the oracle gate. Aggregate-sized by construction —
+    * the fact table never touches the sink. */
+  private val s20 = Q(
+    "s20_report_roundtrip",
+    Some("""SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin, count(*) AS n
+            FROM lineitem GROUP BY bin ORDER BY bin"""),
+    (s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(floor((col("l_quantity") - 1) / 5).as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val (csvDir, sidecar) = graft.sources.Reports.dump(
+        hist, scratch(dir, "reports"), "a14_histogram",
+        provenance = s"lineitem@$dir")
+      val metaRows = s.read.json(sidecar).select(col("rows")).head().getLong(0)
+      s.read.schema(hist.schema).option("header", "true").csv(csvDir)
+        .where(lit(metaRows) === hist.count())
+        .orderBy("bin")
+    })
+
   /** S6 flavor: gzip JSON sink + source round-trip (schema-preserving
     * reads across text formats). */
   private val s6json = Q(
@@ -801,5 +827,5 @@ object QueriesSources {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
 }
