@@ -512,6 +512,89 @@ object QueriesAgg {
             .orderBy("value", "event_id")).cast(LongType).as("decile"))
         .orderBy("event_id"))
 
+  /** X-A21: mergeable-sketch rollup — the pre-aggregated sketch-table
+    * pattern every 100 TB warehouse runs: per-MONTH HLL sketches over
+    * `o_custkey` (one shuffle on the month key), then any coarser
+    * range — here quarters — answered by UNION-MERGING the handful of
+    * ~4 KB month sketches (`hll_union_agg`) instead of rescanning the
+    * fact table. Distinct counts don't add (the same customer orders
+    * in several months — `nd_month_sum` rides along, exact, to show
+    * the over-count sketches solve). Gate: all exact columns are
+    * hash-gated; the merged estimate must land within 5·rsd of the
+    * quarter-exact distinct (lgConfigK=12 → rsd = 1.04/√4096 ≈ 1.6%),
+    * asserted as a boolean the oracle pins TRUE — a drifting merge
+    * flips it and fails the hash. */
+  private val a21 = Q(
+    "a21_hll_rollup",
+    Some("""WITH m AS (SELECT year(o_orderdate)*10 + quarter(o_orderdate) AS yq,
+              month(o_orderdate) AS mon, count(DISTINCT o_custkey) AS nd
+              FROM orders GROUP BY yq, mon),
+            qs AS (SELECT yq, CAST(sum(nd) AS BIGINT) AS nd_month_sum,
+              count(*) AS n_months FROM m GROUP BY yq),
+            ex AS (SELECT year(o_orderdate)*10 + quarter(o_orderdate) AS yq,
+              count(DISTINCT o_custkey) AS nd_exact FROM orders GROUP BY yq)
+            SELECT qs.yq, ex.nd_exact, qs.nd_month_sum, qs.n_months,
+              TRUE AS merged_ok
+            FROM qs JOIN ex USING (yq) ORDER BY yq"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate")))
+          .cast(LongType).as("yq"),
+        month(col("o_orderdate")).as("mon"), col("o_custkey"))
+      val monthly = o.groupBy("yq", "mon").agg(
+        hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+        count_distinct(col("o_custkey")).as("nd"))
+      val rolled = monthly.groupBy("yq").agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"),
+        sum(col("nd")).as("nd_month_sum"),
+        count(lit(1)).as("n_months"))
+      val exact = o.groupBy("yq")
+        .agg(count_distinct(col("o_custkey")).as("nd_exact"))
+      rolled.join(exact, "yq")
+        .select(col("yq"), col("nd_exact"), col("nd_month_sum"),
+          col("n_months"),
+          (abs(col("_est") - col("nd_exact")).cast(DoubleType)
+            <= lit(5 * 1.04 / 64.0) * col("nd_exact")).as("merged_ok"))
+        .orderBy("yq")
+    })
+
+  /** X-A22: Count-Min heavy hitters + per-row frequency annotation.
+    * One mergeable aggregate pass builds the CMS (partials merge
+    * across partitions exactly like A21's HLL union — width 2/eps
+    * counters, driver-bounded at ~1.6 MB for eps=1e-4); the sketch
+    * then rides into the plan as a reference object probed per row by
+    * the compiled [[graft.functions.Expressions.CmsEstimateLong]] —
+    * approximate global frequency per row with NO groupBy+join-back
+    * shuffle. Output: exact top-10 keys (distributed TakeOrdered,
+    * total tie-break) with exact counts hash-gated, plus the CMS
+    * guarantee booleans (estimate never undercounts; overcount ≤
+    * 5·eps·N) the oracle pins TRUE. */
+  private val a22 = Q(
+    "a22_cms_heavy_hitters",
+    Some("""SELECT l_partkey, n_exact, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+            FROM (SELECT l_partkey, count(*) AS n_exact FROM lineitem
+                  GROUP BY l_partkey ORDER BY n_exact DESC, l_partkey LIMIT 10)
+            ORDER BY n_exact DESC, l_partkey"""),
+    (s, dir) => {
+      val eps = 1e-4
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast(LongType).as("l_partkey"))
+      val row = li.agg(
+        count_min_sketch(col("l_partkey"), lit(eps), lit(0.999), lit(42))
+          .as("cms"),
+        count(lit(1)).as("n")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+      val slack = (5 * eps * row.getLong(1)).toLong
+      val est = graft.functions.Expressions.cmsEstimate(col("l_partkey"), cms)
+      li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+        .select(col("l_partkey"), col("n_exact"),
+          (est >= col("n_exact")).as("cms_lower_ok"),
+          (est <= col("n_exact") + lit(slack)).as("cms_upper_ok"))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    })
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    a15, a16, a17, a18, w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, a16, a17, a18, a21, a22, w1, w2, w3, c2, c3, c4, c5, c12)
 }

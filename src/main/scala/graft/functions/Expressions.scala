@@ -637,6 +637,32 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count-Min frequency probe over a LONG key — the per-row
+    * approximate-frequency primitive: a CMS built in one mergeable
+    * aggregate pass (`count_min_sketch`, ~1 MB at eps=1e-4) rides to
+    * every scan task as a plan reference object, and each row is
+    * tagged with its key's approximate GLOBAL count inside the scan
+    * stage — frequency-aware filtering/sampling and skew detection
+    * without the groupBy + join-back shuffle. One-sided error: the
+    * estimate never undercounts, and overcounts by ≤ eps·N w.p. ≥
+    * confidence. Codegen'd like [[BloomMightContainLong]]. */
+  case class CmsEstimateLong(child: Expression,
+      cms: org.apache.spark.util.sketch.CountMinSketch) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(kernel(input.asInstanceOf[Long]))
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(v: Long): Long = cms.estimateCount(java.lang.Long.valueOf(v))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cmsEstimate", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers (classic-mode Column <-> Expression bridge)
   def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
     Bridge.column(
@@ -673,4 +699,8 @@ object Expressions {
   def bloomMightContain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(c), bloom))
+
+  def cmsEstimate(c: Column,
+      cms: org.apache.spark.util.sketch.CountMinSketch): Column =
+    Bridge.column(CmsEstimateLong(Bridge.expression(c), cms))
 }

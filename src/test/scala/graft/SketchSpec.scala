@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** a15_approx_sketch: the sketch estimates are implementation-defined,
+/** Sketch family (a15 approx aggregates, a21 HLL rollup, a22 CMS
+  * heavy hitters): the sketch estimates are implementation-defined,
   * so the registry query hash-gates exact companions plus in-engine
   * bound booleans (oracle asserts them TRUE). This spec keeps the
   * TIGHT envelopes on the raw sketches — 3·rsd for HLL, and a
@@ -51,6 +52,51 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Boolean]("nd_approx_ok"), r.toString)
       assert(r.getAs[Boolean]("p50_approx_ok"), r.toString)
       assert(r.getAs[Boolean]("p95_approx_ok"), r.toString)
+    }
+  }
+
+  test("a21: merged month sketches within 3·rsd of quarter-exact distinct") {
+    // The registry boolean relaxes to 5·rsd; keep 3·rsd here.
+    val o = Tables.load(spark, sf01, "orders").select(
+      (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate")))
+        .cast("long").as("yq"),
+      month(col("o_orderdate")).as("mon"), col("o_custkey"))
+    val est = o.groupBy("yq", "mon")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      .groupBy("yq").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getAs[Long]("yq") -> r.getAs[Long]("est")).toMap
+    val exact = o.groupBy("yq").agg(countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => r.getAs[Long]("yq") -> r.getAs[Long]("nd")).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    for ((yq, nd) <- exact)
+      assert(math.abs(est(yq) - nd).toDouble / nd <= 3 * 1.04 / 64.0,
+        s"yq=$yq est=${est(yq)} exact=$nd")
+  }
+
+  test("a22: CMS estimate bounds hold for EVERY key, not just the top-10") {
+    val li = Tables.load(spark, sf01, "lineitem")
+      .select(col("l_partkey").cast("long").as("k"))
+    val eps = 1e-4
+    val row = li.agg(
+      count_min_sketch(col("k"), lit(eps), lit(0.999), lit(42)).as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val slack = (5 * eps * row.getLong(1)).toLong
+    val est = graft.functions.Expressions.cmsEstimate(col("k"), cms)
+    val bad = li.groupBy("k").agg(count(lit(1)).as("n_exact"))
+      .where(est < col("n_exact") || est > col("n_exact") + lit(slack))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("a21/a22 registry booleans all true at sf0.1") {
+    for ((q, bools) <- Seq(
+        "a21_hll_rollup" -> Seq("merged_ok"),
+        "a22_cms_heavy_hitters" -> Seq("cms_lower_ok", "cms_upper_ok"))) {
+      val rows = SparkEntry.queries(q)(spark, sf01).collect()
+      assert(rows.nonEmpty, q)
+      rows.foreach(r => bools.foreach(b => assert(r.getAs[Boolean](b), s"$q $r")))
     }
   }
 
