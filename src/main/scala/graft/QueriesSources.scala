@@ -827,5 +827,161 @@ object QueriesSources {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
+  /** X-S21: manifest-versioned snapshots + TIME TRAVEL with file-level
+    * copy-on-write — the minimal Iceberg/Delta commit protocol (see
+    * sources/Snapshots). Version 1 snapshots the customer table into 8
+    * key buckets; version 2 is an update touching ONLY buckets 0–1
+    * (acctbal + 100 for custkey % 8 < 2), so the v2 commit rewrites 2
+    * bucket directories and INHERITS the other 6 file lists from the
+    * v1 manifest. Both versions are then read back THROUGH their
+    * manifests (time travel), summarized, and the file-sharing
+    * invariant rides in as an oracle-asserted boolean: if COW ever
+    * stops sharing (or shares a touched bucket), `cow_shared_ok`
+    * flips and the hash gate fails. The oracle recomputes both
+    * versions' content from the base table alone. */
+  private val s21 = Q(
+    "s21_time_travel",
+    Some(s"""WITH v1 AS (SELECT c_acctbal FROM customer),
+          v2 AS (SELECT CASE WHEN c_custkey % 8 < 2 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal FROM customer)
+          SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+            ${Det.sqlDsum("c_acctbal", 6)} AS bal_sum, TRUE AS cow_shared_ok
+          FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), count(*),
+            ${Det.sqlDsum("c_acctbal", 6)}, TRUE
+          FROM v2 ORDER BY version"""),
+    (s, dir) => {
+      val (m1, m2) = snapCustomer(s, dir)
+      val cowOk = graft.sources.Snapshots.cowShared(m1, m2, snapTouched)
+      def summarize(m: graft.sources.Snapshots.Manifest): DataFrame =
+        graft.sources.Snapshots.read(s, m)
+          .agg(count(lit(1)).as("n_rows"), Det.dsum(col("c_acctbal"), 6).as("bal_sum"))
+          .select(lit(m.version.toLong).as("version"), col("n_rows"),
+            col("bal_sum"), lit(cowOk).as("cow_shared_ok"))
+      summarize(m1).unionByName(summarize(m2)).orderBy("version")
+    })
+
+  /** The shared two-version snapshot table for s21/s23: v1 = the
+    * customer table in 8 key buckets; v2 = an update touching buckets
+    * 0–1 only (acctbal + 100 where custkey % 8 < 2). Commits are
+    * deterministic and overwrite-idempotent per scale dir. */
+  private val snapTouched = Set(0, 1)
+  private def snapCustomer(s: SparkSession, dir: String)
+      : (graft.sources.Snapshots.Manifest, graft.sources.Snapshots.Manifest) = {
+    import graft.sources.Snapshots
+    val tdir = scratch(dir, "snap_customer")
+    val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val bucket = pmod(col("c_custkey"), lit(8))
+    val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+    val v2Content = base.where(pmod(col("c_custkey"), lit(8)) < 2)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val m2 = Snapshots.commit(v2Content, tdir, version = 2, bucket,
+      nBuckets = 8, parent = Some(m1), touched = Some(snapTouched))
+    (m1, m2)
+  }
+
+  /** X-S23: incremental aggregate maintenance over the snapshot
+    * history — the materialized-view pattern for slowly-changing
+    * 100 TB tables: keep PER-BUCKET partial aggregates (count +
+    * exact-decimal sum, both mergeable), and on a commit re-aggregate
+    * ONLY the buckets the commit touched, inheriting every other
+    * partial from the previous version. The v2 answer never rescans
+    * the 6 untouched buckets (`incremental_ok` asserts the touched
+    * file set is a strict subset of the version's files); the oracle
+    * recomputes both versions' aggregates from scratch, so any drift
+    * between the merged partials and the truth fails the hash gate.
+    * Partials stay DECIMAL until the final merge — decimal addition
+    * is exact and associative, so the two-level (bucket → table)
+    * aggregation is bit-deterministic at any parallelism. */
+  private val s23 = Q(
+    "s23_incremental_agg",
+    Some(s"""WITH v1 AS (SELECT c_acctbal FROM customer),
+          v2 AS (SELECT CASE WHEN c_custkey % 8 < 2 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal FROM customer)
+          SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+            ${Det.sqlDsum("c_acctbal", 6)} AS bal_sum, TRUE AS incremental_ok
+          FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), count(*),
+            ${Det.sqlDsum("c_acctbal", 6)}, TRUE
+          FROM v2 ORDER BY version"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val (m1, m2) = snapCustomer(s, dir)
+      val bucket = pmod(col("c_custkey"), lit(8)).as("bucket")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(bucket)
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(30, 6))).as("s"))
+      val p1 = partials(Snapshots.read(s, m1))
+      // v2: re-aggregate ONLY the touched buckets' files, merge with
+      // v1's untouched partials
+      val touchedFiles = m2.files.view
+        .filterKeys(snapTouched).values.flatten.toSeq
+      val incrementalOk =
+        touchedFiles.nonEmpty && touchedFiles.size < m2.allFiles.size
+      val p2 = p1.where(!col("bucket").isInCollection(snapTouched))
+        .unionByName(partials(s.read.parquet(touchedFiles: _*)))
+      def fin(p: DataFrame, v: Int): DataFrame =
+        p.agg(sum(col("n")).as("n_rows"),
+            sum(col("s")).cast(DoubleType).as("bal_sum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"), col("bal_sum"),
+            lit(incrementalOk).as("incremental_ok"))
+      fin(p1, 1).unionByName(fin(p2, 2)).orderBy("version")
+    })
+
+  /** X-S22: zone-map data skipping — per-FILE min/max statistics
+    * drive file-level pruning before the scan, the mechanism behind
+    * Iceberg/Delta manifests and parquet row-group skipping. The
+    * table is written range-partitioned + sorted on l_shipdate (16
+    * files, tight non-overlapping ranges); the stats frame is one row
+    * per file (computed here with a column-pruned distributed
+    * aggregate — a real deployment reads the same min/max straight
+    * from parquet footers) and is metadata-sized by construction, so
+    * planning over it driver-side is the same bounded step as any
+    * file listing. A half-year predicate then scans ONLY the files
+    * whose [min,max] intersects it; `pruned_ok` asserts files_read <
+    * files_total (the skipping actually happened) and the hash gate
+    * pins the result to the plain full-table filter. At 100 TB the
+    * layout step is the one-off sort investment; every range query
+    * after it touches the 1–2% of files its predicate admits. */
+  private val s22 = Q(
+    "s22_stats_skipping",
+    Some(s"""SELECT count(*) AS n_rows, ${Det.sqlDsum("l_quantity", 6)} AS qty_sum,
+            TRUE AS pruned_ok
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-07-01'"""),
+    (s, dir) => {
+      val out = scratch(dir, "lineitem_zonemap")
+      if (!Files.exists(Paths.get(s"$out/_DONE"))) {
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+          .repartitionByRange(16, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(s"$out/data")
+        Files.write(Paths.get(s"$out/_DONE"), Array.emptyByteArray)
+      }
+      val data = s.read.parquet(s"$out/data")
+      // bound literals cast to the column's own temporal type (the
+      // testdata parquet reads as TIMESTAMP_NTZ under Spark 4)
+      val dt = data.schema("l_shipdate").dataType
+      val loC = lit("1996-01-01 00:00:00").cast(dt)
+      val hiC = lit("1996-07-01 00:00:00").cast(dt)
+      val stats = data.select(col("l_shipdate"))
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("l_shipdate")).as("f_lo"), max(col("l_shipdate")).as("f_hi"))
+        .select(col("file"), // [f_lo, f_hi] ∩ [lo, hi) ≠ ∅
+          (col("f_hi") >= loC && col("f_lo") < hiC).as("keep"))
+        .collect() // one row per data file — metadata-sized (the manifest read)
+      val keep = stats.filter(_.getBoolean(1)).map(_.getString(0))
+      val prunedOk = keep.nonEmpty && keep.length < stats.length
+      s.read.parquet(keep: _*)
+        .where(col("l_shipdate") >= loC && col("l_shipdate") < hiC)
+        .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity"), 6).as("qty_sum"))
+        .withColumn("pruned_ok", lit(prunedOk))
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
 }

@@ -324,6 +324,41 @@ object QueriesText {
       Text.commonnessScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
 
+  /** X-TX16: bigram LM fluency score — the CCNet-style perplexity
+    * quality gate, self-trained (add-0.5 smoothing). The oracle
+    * retrains the same model independently: DuckDB list lambdas build
+    * the bigram stream, the context counts come from a w1-window, and
+    * the per-doc mean uses the scale-8 decimal sum + 1e-6 floor
+    * quantization recipe (see Text.bigramLmScore for the error
+    * model). */
+  private val txBigramLm = Q(
+    "tx_bigram_lm",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter($toksSql, x -> length(x) > 0) AS toks FROM documents),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+            FROM t WHERE len(toks) >= 2),
+          tc AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+            FROM bg GROUP BY doc_id, p.w1, p.w2),
+          cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb
+            FROM tc GROUP BY w1, w2),
+          cw AS (SELECT w1, w2, cb,
+              CAST(sum(cb) OVER (PARTITION BY w1) AS BIGINT) AS cw FROM cb),
+          v AS (SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)),
+          c AS (SELECT tc.doc_id, tc.tf,
+              tc.tf * ln((CAST(cb AS DOUBLE) + 0.5)
+                / (CAST(cw AS DOUBLE) + 0.5 * v)) AS contrib
+            FROM tc JOIN cw USING (w1, w2) CROSS JOIN v)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+            floor(${graft.core.Det.sqlDsum("contrib", 8)}
+              / sum(tf) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+          FROM c GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) =>
+      Text.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+
   /** TF-IDF top-3 terms per document, ranked by the round-6 score so
     * a last-ulp ln() difference can't flip the ranking. */
   private val txTfidf = Q(
@@ -1509,7 +1544,7 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txTfidf, txBm25,
+    txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txBigramLm, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,

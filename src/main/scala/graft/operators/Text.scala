@@ -491,6 +491,71 @@ object Text {
         (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("commonness"))
   }
 
+  /** Per-(doc, bigram) counts — the bigram analogue of
+    * [[termCounts]]. Empty tokens (regexp-split artifacts around
+    * leading whitespace) are dropped BEFORE pairing so the bigram
+    * stream runs over real adjacent tokens. */
+  def bigramCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        // slice is 1-based; transform's i is the 0-based position in
+        // the slice == the 0-based position of w1 in _t, so _t[i + 1]
+        // (0-based getItem) is the adjacent successor.
+        "transform(slice(_t, 1, size(_t) - 1), (w, i) -> struct(w AS w1, _t[i + 1] AS w2))"
+      )).as("_p"))
+      .select(col(idCol), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+
+  /** Bigram language-model fluency score (the CCNet-style "perplexity
+    * filter", self-trained): per document, the mean over bigram
+    * occurrences of ln p(w2|w1) under an add-α smoothed bigram model
+    * estimated from the corpus itself —
+    * p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), with c(w1·) the
+    * bigram-context count and V the corpus unigram vocabulary size.
+    * Gibberish/OCR noise pairs tokens the corpus never pairs and
+    * scores far below fluent prose; the score is the standard
+    * pretraining quality gate alongside [[commonnessScore]].
+    *
+    * Determinism: each per-bigram contribution tf·ln(·) is computed
+    * over bit-identical doubles in both engines, quantized at 1e-8 by
+    * the decimal sum, and the final mean is floor-quantized at 1e-6
+    * (the bm25/commonness recipe — libm last-ulp noise cannot move a
+    * 1e-8 grid point across a 1e-6 boundary).
+    *
+    * Scale: one explode → per-(doc,bigram) pre-aggregation (map-side
+    * partial), corpus counts as a second aggregate over DISTINCT
+    * bigrams, context counts as a w1-window over that (distinct-w2
+    * fan-in per context is vocabulary-bounded, so no key carries more
+    * than |V| rows), one equi-join back on the high-cardinality
+    * (w1,w2) key, V on a broadcast single-row aggregate. No driver
+    * data, no all-pairs anything. */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = bigramCounts(df, idCol, textCol)
+    val cb = tc.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("_cb"))
+    val cw = cb.withColumn("_cw",
+      sum(col("_cb")).over(Window.partitionBy(col("w1"))))
+    val vocab = df.select(
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+      .agg(count_distinct(col("term")).as("_v"))
+    val contrib = tc.join(cw, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("tf"),
+        (col("tf").cast(DoubleType) *
+          log((col("_cb").cast(DoubleType) + lit(alpha)) /
+              (col("_cw").cast(DoubleType) + lit(alpha) * col("_v").cast(DoubleType))))
+          .as("_c"))
+    val mean = graft.core.Det.dsum(col("_c"), 8) / sum(col("tf"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("lm_score"))
+  }
+
   /** TF-IDF top-k terms per document: tf/dl · ln(N/df), ranked by the
     * round-6 score (so cross-engine last-ulp noise cannot flip the
     * ranking), ties by term. dl and df come from windows over the

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-versioned table snapshots with copy-on-write at file
+  * granularity — the minimal Iceberg/Delta commit protocol, built on
+  * plain parquet plus tiny JSON manifests:
+  *
+  *  - every commit writes ONLY the data files for the buckets it
+  *    touches, under `data/v<version>/bucket=<b>/`;
+  *  - a manifest (one small JSON per version) lists the exact files
+  *    that make up the version, inheriting untouched buckets' file
+  *    lists from the parent manifest;
+  *  - a reader resolves version N by loading its manifest and
+  *    scanning exactly those files — time travel is "read an older
+  *    manifest", no data movement ever.
+  *
+  * Scale notes: at 100 TB this is THE update pattern — an upsert that
+  * touches 2 of 1024 bucket ranges rewrites 0.2% of the bytes while
+  * both versions stay fully readable; manifests are metadata-sized
+  * (file-path lists, one entry per data file) and never touch
+  * executors. The bucket column must be derivable from the row key so
+  * writers can route changed rows to their buckets without reading
+  * the old files (here: pmod(key, nBuckets), same as Hive/Iceberg
+  * bucket transforms).
+  */
+object Snapshots {
+
+  /** Version manifest: bucket id → data-file paths. */
+  final case class Manifest(version: Int, files: Map[Int, Seq[String]]) {
+    def allFiles: Seq[String] = files.toSeq.sortBy(_._1).flatMap(_._2)
+  }
+
+  /** Commits `df` (the FULL content of the buckets in `touched`, or
+    * of all buckets when `parent` is empty) as version `version`.
+    * Rows are routed by `bucketCol` (must evaluate to [0, nBuckets));
+    * untouched buckets inherit the parent's files untouched —
+    * copy-on-write at file granularity. */
+  def commit(df: DataFrame, tableDir: String, version: Int,
+             bucketCol: org.apache.spark.sql.Column, nBuckets: Int,
+             parent: Option[Manifest] = None,
+             touched: Option[Set[Int]] = None): Manifest = {
+    val writeBuckets: Set[Int] =
+      touched.getOrElse((0 until nBuckets).toSet)
+    require(parent.nonEmpty || writeBuckets == (0 until nBuckets).toSet,
+      "initial commit must write every bucket")
+    val dataDir = s"$tableDir/data/v$version"
+    df.withColumn("_bucket", bucketCol.cast("int"))
+      .where(col("_bucket").isInCollection(writeBuckets))
+      .repartition(math.min(writeBuckets.size, 32), col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dataDir)
+    val written: Map[Int, Seq[String]] = writeBuckets.iterator.map { b =>
+      val d = Paths.get(dataDir, s"_bucket=$b")
+      val fs =
+        if (Files.isDirectory(d))
+          Files.list(d).iterator().asScala
+            .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        else Seq.empty[String]
+      b -> fs
+    }.toMap
+    val inherited: Map[Int, Seq[String]] = parent match {
+      case Some(p) => p.files.filter { case (b, _) => !writeBuckets.contains(b) }
+      case None    => Map.empty
+    }
+    val m = Manifest(version, written ++ inherited)
+    writeManifest(tableDir, m)
+    m
+  }
+
+  /** Time-travel read: exactly the files the version's manifest
+    * names. The bucket partition column is not re-derived (it is a
+    * function of the key); the frame has the table's own schema. */
+  def read(spark: SparkSession, m: Manifest): DataFrame = {
+    require(m.allFiles.nonEmpty, s"manifest v${m.version} lists no files")
+    spark.read.parquet(m.allFiles: _*)
+  }
+
+  def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
+    read(spark, loadManifest(tableDir, version))
+
+  /** True copy-on-write sharing check: every untouched bucket's file
+    * list is IDENTICAL (same paths — shared bytes) between the two
+    * manifests, and every touched bucket's differs and is non-empty. */
+  def cowShared(parent: Manifest, child: Manifest, touched: Set[Int]): Boolean = {
+    val buckets = parent.files.keySet ++ child.files.keySet
+    buckets.forall { b =>
+      val (pf, cf) = (parent.files.getOrElse(b, Nil), child.files.getOrElse(b, Nil))
+      if (touched.contains(b)) cf.nonEmpty && cf != pf else cf == pf
+    }
+  }
+
+  private def manifestPath(tableDir: String, version: Int) =
+    Paths.get(tableDir, "manifests", s"v$version.json")
+
+  private def writeManifest(tableDir: String, m: Manifest): Unit = {
+    val entries = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
+      s"""  "$b": [${fs.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString(", ")}]"""
+    }.mkString(",\n")
+    val json = s"""{"version": ${m.version}, "files": {\n$entries\n}}"""
+    Files.createDirectories(manifestPath(tableDir, m.version).getParent)
+    Files.write(manifestPath(tableDir, m.version),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Minimal strict parser for the manifest JSON this object writes
+    * (single-level object of int → string-array; paths were escaped
+    * on write). */
+  def loadManifest(tableDir: String, version: Int): Manifest = {
+    val p = manifestPath(tableDir, version)
+    require(Files.exists(p), s"no manifest for version $version at $p")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val bucketRe = """"(\d+)":\s*\[([^\]]*)\]""".r
+    val strRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val files = bucketRe.findAllMatchIn(s).map { m =>
+      val b = m.group(1).toInt
+      val fs = strRe.findAllMatchIn(m.group(2))
+        .map(_.group(1).replace("\\\\", "\\")).toSeq
+      b -> fs
+    }.toMap
+    Manifest(version, files)
+  }
+
+  // Files.list returns a Java stream; 2.13 CollectionConverters
+  private implicit class JIterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

@@ -36,11 +36,15 @@ class PlanAuditSpec extends SparkSpec {
     *   as the ground truth the LSH recall is measured against.
     * - a20_concentration: the 1-row revenue total rides back onto the
     *   supplier-revenue frame (key-cardinality × 1 row — the a19
-    *   shape). */
+    *   shape).
+    * - tx_bigram_lm: the single-row vocabulary-size aggregate V rides
+    *   back onto the per-(doc,bigram) frame (the tx_commonness /
+    *   tx_tfidf N shape). */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
-    "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration")
+    "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration",
+    "tx_bigram_lm")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
