@@ -331,6 +331,27 @@ object QueriesSources {
         .orderBy("event_type")
     })
 
+  /** X-ST8: CDC current state — events as a change stream per user;
+    * state = the latest change under the (ts, event_id) total order,
+    * latest 'error' = tombstone (key absent), n_changes counts every
+    * change. The streaming twin applies the SAME state through a
+    * foreachBatch newer-wins MERGE one micro-batch at a time
+    * (Streams.cdcApplyStream); StatefulStreamsSpec asserts the final
+    * state is identical however the stream is batched. */
+  private val st4 = Q(
+    "st_cdc_state",
+    Some("""WITH x AS (SELECT user_id, ts, event_id, event_type, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM events)
+            SELECT user_id, ts AS last_ts, event_type AS last_type,
+              value AS last_value, n_changes
+            FROM x WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id"""),
+    (s, dir) =>
+      Streams.cdcCurrentState(t(s, dir, "events")).orderBy("user_id"))
+
   private val st1 = Q(
     "st_hourly_counts",
     Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -616,6 +637,41 @@ object QueriesSources {
           val samples = Array.tabulate[Short](320)(i =>
             if (i % 2 == 0) amp.toShort else (-amp).toShort)
           (k, MediaCodecs.buildAu(8000, samples))
+        }.toDF("media_id", "blob")
+      Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
+        .select(col("media_id"),
+          col("features").getItem(1).as("sample_rate"),
+          col("features").getItem(3).as("duration_sec"),
+          col("features").getItem(4).as("rms"),
+          col("features").getItem(5).as("peak"))
+        .orderBy("media_id")
+    })
+
+  /** X-MM9: REAL AIFF decode — the third audio container (FORM/AIFF,
+    * big-endian PCM, 80-bit extended-float rate field), same
+    * closed-form-oracle design: ±a square wave has rms = peak =
+    * a/32768 exactly; 256 frames at 8 kHz give duration 0.032 (the
+    * IEEE division 256/8000 and the decimal literal 0.032 round to
+    * the same double on both engines — the mm5/mm7 recipe). */
+  private val mm9 = Q(
+    "mm_aiff_decode",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(8000 AS DOUBLE) AS sample_rate,
+              CAST(0.032 AS DOUBLE) AS duration_sec,
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS rms,
+              CAST(((p_partkey % 8) + 1) * 4095 AS DOUBLE) / 32768 AS peak
+            FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part")
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val amp = (((k % 8) + 1) * 4095).toInt
+          assert(amp <= Short.MaxValue, s"amplitude $amp overflows Short")
+          val samples = Array.tabulate[Short](256)(i =>
+            if (i % 2 == 0) amp.toShort else (-amp).toShort)
+          (k, MediaCodecs.buildAiff(8000, samples))
         }.toDF("media_id", "blob")
       Multimodal.decodeFeaturesStub(media, "media_id", "blob", dim = 8)
         .select(col("media_id"),
@@ -983,5 +1039,5 @@ object QueriesSources {
         .withColumn("pruned_ok", lit(prunedOk))
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, st1, st2, st3, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }

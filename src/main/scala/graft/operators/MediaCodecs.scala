@@ -233,6 +233,121 @@ object MediaCodecs {
       nFrames.toDouble / rate, rms, peak))
   }
 
+  final case class AiffInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            nFrames: Long, durationSec: Double,
+                            rms: Double, peak: Double)
+
+  /** 80-bit IEEE 754 extended float encode for INTEGRAL sample rates
+    * (the AIFF COMM field's one quirk): sign 0, 15-bit biased
+    * exponent, explicit-leading-1 64-bit mantissa. */
+  private def extended80(rate: Int): Array[Byte] = {
+    require(rate > 0)
+    val msb = 63 - java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    val exp = 16383 + msb
+    val mantissa = rate.toLong << (63 - msb)
+    val out = new Array[Byte](10)
+    out(0) = ((exp >> 8) & 0x7f).toByte
+    out(1) = (exp & 0xff).toByte
+    var i = 0
+    while (i < 8) { out(2 + i) = ((mantissa >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** Inverse of [[extended80]] — integral rates only (a fractional or
+    * out-of-range rate fails the parse, by design). */
+  private def parseExtended80(b: Array[Byte], off: Int): Option[Int] = {
+    if ((b(off) & 0x80) != 0) return None // negative rate
+    val exp = ((b(off) & 0x7f) << 8) | (b(off + 1) & 0xff)
+    var mantissa = 0L
+    var i = 0
+    while (i < 8) { mantissa = (mantissa << 8) | (b(off + 2 + i) & 0xffL); i += 1 }
+    // mantissa is UNSIGNED: a normalized extended float always has
+    // its explicit leading 1 in bit 63, so the signed Long is
+    // negative — use >>> and bit-pattern equality only
+    val shift = exp - 16383 - 63
+    if (shift > 0 || shift < -63 || mantissa == 0L) return None
+    val rate = mantissa >>> -shift
+    // integral check: shifting back must lose no bits
+    if ((rate << -shift) != mantissa || rate < 1 || rate > 1000000) None
+    else Some(rate.toInt)
+  }
+
+  /** Minimal AIFF writer (16-bit big-endian PCM mono): FORM/AIFF with
+    * a COMM chunk (channels, frames, bits, 80-bit extended rate) and
+    * an SSND chunk — the third PUBLIC uncompressed-audio container
+    * next to WAV and AU. */
+  def buildAiff(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val formLen = 4 + (8 + 18) + (8 + 8 + dataLen) // AIFF + COMM + SSND
+    val buf = java.nio.ByteBuffer.allocate(8 + formLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes("US-ASCII")); buf.putInt(formLen)
+    buf.put("AIFF".getBytes("US-ASCII"))
+    buf.put("COMM".getBytes("US-ASCII")); buf.putInt(18)
+    buf.putShort(1)                  // channels
+    buf.putInt(samples.length)       // numSampleFrames (mono)
+    buf.putShort(16)                 // bits
+    buf.put(extended80(rate))
+    buf.put("SSND".getBytes("US-ASCII")); buf.putInt(8 + dataLen)
+    buf.putInt(0); buf.putInt(0)     // offset, blockSize
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Strict AIFF parse (16-bit big-endian PCM). Walks the FORM chunk
+    * list for COMM + SSND; header fields gate hard like the other
+    * codecs so non-AIFF payloads fall through to the fallback. */
+  def parseAiff(b: Array[Byte]): Option[AiffInfo] = {
+    if (b.length < 12) return None
+    if (!(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+          b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')) return None
+    var off = 12
+    var comm: Option[(Int, Long, Int, Int)] = None // (channels, frames, bits, rate)
+    var ssnd: Option[(Int, Int)] = None            // (dataOffset, dataLen)
+    while (off + 8 <= b.length && (comm.isEmpty || ssnd.isEmpty)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = be32(b, off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      id match {
+        case "COMM" =>
+          if (len < 18) return None
+          val channels = ((b(off + 8) & 0xff) << 8) | (b(off + 9) & 0xff)
+          val frames = be32(b, off + 10)
+          val bits = ((b(off + 14) & 0xff) << 8) | (b(off + 15) & 0xff)
+          if (channels < 1 || channels > 8 || bits != 16) return None
+          parseExtended80(b, off + 16) match {
+            case Some(rate) => comm = Some((channels, frames, bits, rate))
+            case None       => return None
+          }
+        case "SSND" =>
+          if (len < 8) return None
+          val dataOff = be32(b, off + 8) // offset into the sound data
+          if (dataOff < 0 || dataOff > len - 8) return None
+          ssnd = Some((off + 16 + dataOff.toInt, (len - 8 - dataOff).toInt))
+        case _ => ()
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    for ((channels, frames, bits, rate) <- comm; (dOff, dLen) <- ssnd) yield {
+      val frameBytes = channels * 2
+      val nFrames = math.min(frames, if (frameBytes == 0) 0L else dLen.toLong / frameBytes)
+      val nSamples = nFrames * channels
+      var sumSq = 0.0
+      var peak = 0.0
+      var i = 0L
+      while (i < nSamples) {
+        val at = dOff + (i * 2).toInt
+        val v = (((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)).toShort.toDouble / 32768.0
+        sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      AiffInfo(rate, channels, bits, nFrames, nFrames.toDouble / rate, rms, peak)
+    }
+  }
+
   /** Strict binary-PPM (P6) parse; None unless the header is valid
     * and the payload holds exactly width·height RGB triplets
     * (maxval < 256 — the 1-byte-per-channel form). */

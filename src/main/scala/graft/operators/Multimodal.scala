@@ -72,6 +72,11 @@ object Multimodal {
               // work unchanged across both audio containers
               fit(Array(4.0, a.sampleRate.toDouble, a.channels.toDouble,
                 a.durationSec, a.rms, a.peak, 16.0, a.nFrames.toDouble))
+            }).orElse(MediaCodecs.parseAiff(bytes).map { a =>
+              // third audio container, same slot layout again
+              fit(Array(5.0, a.sampleRate.toDouble, a.channels.toDouble,
+                a.durationSec, a.rms, a.peak, a.bitsPerSample.toDouble,
+                a.nFrames.toDouble))
             }).getOrElse(Array.tabulate(dim) { i =>
               val lo = i * bytes.length / dim
               val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)

@@ -288,4 +288,106 @@ object Streams {
     val schema = spark.read.parquet(dir).schema
     graft.core.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
+
+  // ---------------------------------------------------------- X-ST8: CDC
+
+  /** CDC current-state, batch twin: the events table read as a change
+    * stream per user — the key's state is its LATEST change under the
+    * (ts, event_id) total order, a latest `tombstone` row means the
+    * key is deleted (absent), and n_changes counts every change ever
+    * seen for the key. One hash exchange: both windows and the final
+    * filter share the user partitioning. */
+  def cdcCurrentState(events: DataFrame,
+                      tombstone: String = "error"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("user_id"))
+    val latest = byKey.orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("_rn", row_number().over(latest))
+      .withColumn("n_changes", count(lit(1)).over(byKey))
+      .where(col("_rn") === 1 && col("event_type") =!= tombstone)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("n_changes"))
+  }
+
+  /** Per-batch reduce for the streaming CDC apply: the batch's latest
+    * row per key (same total order) + its change count. */
+  private def cdcBatchLatest(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("user_id"))
+    batch
+      .withColumn("_rn", row_number().over(
+        byKey.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_changes", count(lit(1)).over(byKey))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), col("n_changes"))
+  }
+
+  /** Streaming CDC apply — the foreachBatch MERGE pattern: every
+    * micro-batch reduces to its own latest-per-key frame, then merges
+    * into the running state with a NEWER-WINS rule on (ts, event_id)
+    * and additive change counts. Tombstone rows are KEPT in the state
+    * (a deleted key must not resurrect when an out-of-order older
+    * change arrives in a later batch) and filtered only at read time,
+    * so the final state is independent of how the stream was batched
+    * — the property the spec asserts against [[cdcCurrentState]].
+    * State versions land under `stateDir/v<batchId>` (file-sized at
+    * key cardinality; a real deployment writes a Snapshots-style
+    * manifest per version). Returns the final current-state frame. */
+  def cdcApplyStream(spark: SparkSession, eventsDir: String,
+                     stateDir: String, tombstone: String = "error",
+                     maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir))
+    @volatile var statePath: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = cdcBatchLatest(batch)
+          .select(col("user_id").as("_b_user_id"), col("ts").as("_b_ts"),
+            col("event_id").as("_b_event_id"), col("event_type").as("_b_type"),
+            col("value").as("_b_value"), col("n_changes").as("_b_n"))
+        val merged = statePath match {
+          case None => b.select(
+            col("_b_user_id").as("user_id"), col("_b_ts").as("ts"),
+            col("_b_event_id").as("event_id"), col("_b_type").as("event_type"),
+            col("_b_value").as("value"), col("_b_n").as("n_changes"))
+          case Some(p) =>
+            val s = spark.read.parquet(p)
+            val newer = col("_b_ts") > col("ts") ||
+              (col("_b_ts") === col("ts") && col("_b_event_id") > col("event_id"))
+            val takeBatch = col("ts").isNull || (col("_b_ts").isNotNull && newer)
+            s.join(b, col("user_id") === col("_b_user_id"), "full_outer")
+              .select(
+                coalesce(col("user_id"), col("_b_user_id")).as("user_id"),
+                when(takeBatch, col("_b_ts")).otherwise(col("ts")).as("ts"),
+                when(takeBatch, col("_b_event_id")).otherwise(col("event_id")).as("event_id"),
+                when(takeBatch, col("_b_type")).otherwise(col("event_type")).as("event_type"),
+                when(takeBatch, col("_b_value")).otherwise(col("value")).as("value"),
+                (coalesce(col("n_changes"), lit(0L)) + coalesce(col("_b_n"), lit(0L)))
+                  .as("n_changes"))
+        }
+        val out = s"$stateDir/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        statePath = Some(out)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    statePath match {
+      case None => spark.emptyDataFrame
+      case Some(p) =>
+        spark.read.parquet(p)
+          .where(col("event_type") =!= tombstone)
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_type").as("last_type"), col("value").as("last_value"),
+            col("n_changes"))
+    }
+  }
 }

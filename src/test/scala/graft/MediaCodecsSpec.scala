@@ -74,6 +74,43 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.parseAu("plain old text, definitely not audio".getBytes).isEmpty)
   }
 
+  test("parseAiff: FORM/COMM/SSND walk, 80-bit rate field; strict otherwise") {
+    val samples = Array.tabulate[Short](512)(i =>
+      if (i % 2 == 0) 16384 else -16384)
+    val built = MediaCodecs.buildAiff(44100, samples)
+    val info = MediaCodecs.parseAiff(built).get
+    assert(info.sampleRate == 44100 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nFrames == 512L && info.durationSec == 512.0 / 44100)
+    assert(info.rms == 0.5 && info.peak == 0.5)
+    // the 80-bit extended rate round-trips across magnitudes
+    Seq(1, 8000, 11025, 44100, 48000, 96000, 1000000).foreach { r =>
+      val b = MediaCodecs.buildAiff(r, Array[Short](0, 0))
+      assert(MediaCodecs.parseAiff(b).get.sampleRate == r, s"rate $r")
+    }
+    // SSND offset bytes are honored
+    val withOffset = {
+      val dataLen = samples.length * 2
+      val formLen = 4 + (8 + 18) + (8 + 8 + 4 + dataLen)
+      val buf = ByteBuffer.allocate(8 + formLen).order(ByteOrder.BIG_ENDIAN)
+      buf.put("FORM".getBytes); buf.putInt(formLen); buf.put("AIFF".getBytes)
+      buf.put("COMM".getBytes); buf.putInt(18)
+      buf.putShort(1); buf.putInt(samples.length); buf.putShort(16)
+      val rateBytes = MediaCodecs.buildAiff(8000, Array.empty[Short]).slice(28, 38)
+      buf.put(rateBytes)
+      buf.put("SSND".getBytes); buf.putInt(8 + 4 + dataLen)
+      buf.putInt(4); buf.putInt(0); buf.putInt(0xdeadbeef) // 4 offset bytes
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    assert(MediaCodecs.parseAiff(withOffset).get.rms == 0.5)
+    // strictness: magic, truncation, ASCII, non-16-bit
+    assert(MediaCodecs.parseAiff(built.take(20)).isEmpty)
+    assert(MediaCodecs.parseAiff("FORMxxxxAIFC nope".getBytes).isEmpty)
+    assert(MediaCodecs.parseAiff("FORM, an ordinary sentence.".getBytes).isEmpty)
+    assert(MediaCodecs.parseWav(built).isEmpty) // containers don't cross-parse
+    assert(MediaCodecs.parseAiff(MediaCodecs.buildPcmWav(8000, samples)).isEmpty)
+  }
+
   test("parsePpm: dims, channel means, luma exact; strict on size mismatch") {
     // 2x2: pure red, pure green, pure blue, white
     val rgb = Array[Int](255,0,0, 0,255,0, 0,0,255, 255,255,255).map(_.toByte)

@@ -103,4 +103,26 @@ class StatefulStreamsSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
+
+  test("CDC foreachBatch apply == batch current state, however batched") {
+    // multi-file copy so maxFilesPerTrigger=1 yields several
+    // micro-batches; file order is whatever the source lists, and the
+    // final state must be identical anyway (newer-wins merge)
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+    ev.repartition(5).write.mode("overwrite").parquet(srcDir)
+    val batch = Streams.cdcCurrentState(ev)
+      .as[(Long, java.sql.Timestamp, String, Double, Long)]
+      .collect().toSet
+    Seq(1, 3).foreach { mfpt =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_cdc_state_$mfpt").toString
+      val fin = Streams.cdcApplyStream(spark, srcDir, stateDir,
+          maxFilesPerTrigger = mfpt)
+        .as[(Long, java.sql.Timestamp, String, Double, Long)]
+        .collect().toSet
+      assert(fin == batch,
+        s"mfpt=$mfpt stream-only=${(fin -- batch).take(3)} batch-only=${(batch -- fin).take(3)}")
+    }
+  }
 }
