@@ -1039,5 +1039,100 @@ object QueriesSources {
         .withColumn("pruned_ok", lit(prunedOk))
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
+  /** X-S24: equality-delete files on the snapshot protocol — the
+    * Iceberg v2 / Delta deletion-vector answer to row-level DELETE on
+    * an immutable lake: a delete commit writes ONLY a metadata-sized
+    * key list and inherits every data file unchanged; readers apply
+    * the accumulated delete keys as a broadcast anti-join at scan
+    * time; nothing is rewritten until a compaction folds them in.
+    * Two stacked delete commits (keys %10=3, then %10=7) prove the
+    * lists accumulate; `no_rewrite_ok` asserts v2/v3 share ALL of
+    * v1's data files byte-for-byte (manifest path identity), so if a
+    * delete ever triggers a rewrite the hash gate fails. The oracle
+    * recomputes each version from the base table with the delete
+    * predicates applied — any row the anti-join fails to remove (or
+    * wrongly removes) flips a count or a decimal sum. */
+  private val s24 = Q(
+    "s24_equality_deletes",
+    Some(s"""WITH v AS (
+            SELECT 1 AS version, o_orderkey, o_totalprice FROM orders
+            UNION ALL
+            SELECT 2, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 != 3
+            UNION ALL
+            SELECT 3, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 != 3 AND o_orderkey % 10 != 7)
+          SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
+            ${Det.sqlDsum("o_totalprice", 6)} AS price_sum,
+            TRUE AS no_rewrite_ok
+          FROM v GROUP BY version ORDER BY version"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = scratch(dir, "snap_orders_deletes")
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val m1 = Snapshots.commit(base, tdir, version = 1,
+        pmod(col("o_orderkey"), lit(8)), nBuckets = 8)
+      val m2 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 10 === 3), tdir, version = 2,
+        keyCol = "o_orderkey", parent = m1)
+      val m3 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 10 === 7), tdir, version = 3,
+        keyCol = "o_orderkey", parent = m2)
+      val noRewrite = m2.files == m1.files && m3.files == m1.files &&
+        m2.deletes.size == 1 && m3.deletes.size == 2
+      def summarize(m: Snapshots.Manifest): DataFrame =
+        Snapshots.read(s, m)
+          .agg(count(lit(1)).as("n_rows"),
+            Det.dsum(col("o_totalprice"), 6).as("price_sum"))
+          .select(lit(m.version.toLong).as("version"), col("n_rows"),
+            col("price_sum"), lit(noRewrite).as("no_rewrite_ok"))
+      summarize(m1).unionByName(summarize(m2)).unionByName(summarize(m3))
+        .orderBy("version")
+    })
+
+  /** X-S25: delete-file compaction — the maintenance commit that
+    * folds accumulated equality deletes INTO rewritten data files and
+    * resets the delete list, ending the per-read anti-join tax (the
+    * REWRITE DATA / VACUUM step every delete-vector lake schedules).
+    * The query reads the pre-compaction version and the compacted
+    * version through their manifests and emits both summaries: the
+    * hash gate pins them EQUAL to each other (compaction must not
+    * change content) and to the oracle's recomputation from the base
+    * table; `compacted_ok` asserts the physical change actually
+    * happened (fresh data files, zero remaining delete files). */
+  private val s25 = Q(
+    "s25_delete_compaction",
+    Some(s"""WITH v AS (
+            SELECT 3 AS version, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 != 3 AND o_orderkey % 10 != 7
+            UNION ALL
+            SELECT 4, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 != 3 AND o_orderkey % 10 != 7)
+          SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
+            ${Det.sqlDsum("o_totalprice", 6)} AS price_sum,
+            TRUE AS compacted_ok
+          FROM v GROUP BY version ORDER BY version"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = scratch(dir, "snap_orders_compact")
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bucket = pmod(col("o_orderkey"), lit(8))
+      val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+      val m2 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 10 === 3), tdir, 2, "o_orderkey", m1)
+      val m3 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 10 === 7), tdir, 3, "o_orderkey", m2)
+      val m4 = Snapshots.compact(s, tdir, version = 4, bucket, nBuckets = 8, m3)
+      val compactedOk = m4.deletes.isEmpty &&
+        m4.files.values.flatten.toSet.intersect(m3.files.values.flatten.toSet).isEmpty
+      def summarize(m: Snapshots.Manifest): DataFrame =
+        Snapshots.read(s, m)
+          .agg(count(lit(1)).as("n_rows"),
+            Det.dsum(col("o_totalprice"), 6).as("price_sum"))
+          .select(lit(m.version.toLong).as("version"), col("n_rows"),
+            col("price_sum"), lit(compactedOk).as("compacted_ok"))
+      summarize(m3).unionByName(summarize(m4)).orderBy("version")
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }

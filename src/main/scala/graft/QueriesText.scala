@@ -359,6 +359,39 @@ object QueriesText {
       Text.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
 
+  /** X-TX17: PMI co-occurrence pairs over the top-64 vocabulary —
+    * the collocation/topic-affinity signal. Doc-level distinct
+    * occurrences keep every PMI input an exact integer; the single
+    * ln() is floor-quantized at 1e-6 (the bigram-LM recipe). The
+    * pair enumeration runs AFTER the vocabulary cut, so fanout is
+    * vocabulary-bounded, never corpus-bounded (see Text.pmiCooccur). */
+  private val txPmi = Q(
+    "tx_pmi_cooccur",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter($toksSql, x -> length(x) > 0) AS toks FROM documents),
+          dt AS (SELECT DISTINCT doc_id, term FROM
+            (SELECT doc_id, unnest(toks) AS term FROM t)),
+          dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+          vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 64),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          ft AS (SELECT dt.doc_id, dt.term, v.df
+            FROM dt JOIN vocab v USING (term)),
+          pairs AS (SELECT a.term AS w1, b.term AS w2,
+              a.df AS df1, b.df AS df2, count(*) AS c12
+            FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term, a.df, b.df)
+          SELECT w1, w2, c12,
+            floor(ln((CAST(c12 AS DOUBLE) * n_docs)
+                / (CAST(df1 AS DOUBLE) * df2)) * 1000000.0 + 0.5)
+              / 1000000.0 AS pmi
+          FROM pairs CROSS JOIN n
+          WHERE c12 >= 2
+          ORDER BY w1, w2"""),
+    (s, dir) =>
+      Text.pmiCooccur(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 64, minPairDocs = 2)
+        .orderBy("w1", "w2"))
+
   /** TF-IDF top-3 terms per document, ranked by the round-6 score so
     * a last-ulp ln() difference can't flip the ranking. */
   private val txTfidf = Q(
@@ -1042,6 +1075,12 @@ object QueriesText {
       .mkString("\nUNION ALL\n")
   }
 
+  /** [[lshKeyedRowsSql]] with the label column carried through — the
+    * filtered-ANN oracle needs it in the candidate join key. */
+  private def lshKeyedRowsSqlLabeled(planes: Int, tables: Int, dim: Int): String =
+    lshKeyedRowsSql(planes, tables, dim)
+      .replace("SELECT vec_id, embedding,", "SELECT vec_id, embedding, label,")
+
   private val ssLsh = Q(
     "ss_topk_lsh",
     Some {
@@ -1061,6 +1100,36 @@ object QueriesText {
     (s, dir) =>
       Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, k = 3, tables = 8, planesOverride = 6)
+        .orderBy(col("qid"), col("cosine").desc, col("cid")))
+
+  /** X-SS7: attribute-constrained (pre-filtered) ANN — top-3 same-
+    * label neighbors per vector. The label equality is composed INTO
+    * the LSH candidate key (tbl, bucket, label), not applied after
+    * ranking: post-filtering a global top-k under-returns for
+    * selective filters, pre-filtering keeps the OR-banding recall
+    * bound within each stratum (the tenant/language-scoped search
+    * every production vector store ships). Oracle mirrors the planes
+    * as literals and the widened join key exactly. */
+  private val ssFiltered = Q(
+    "ss_topk_filtered",
+    Some {
+      val tableRows = lshKeyedRowsSqlLabeled(planes = 6, tables = 8, dim = 64)
+      s"""WITH keyed AS ($tableRows),
+          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+              a.embedding AS qv, b.embedding AS cv
+            FROM keyed a JOIN keyed b
+              ON a.tbl = b.tbl AND a.key = b.key AND a.label = b.label
+            WHERE a.vec_id != b.vec_id),
+          scored AS (SELECT DISTINCT qid, cid,
+              ${cosSql("qv", "cv")} AS cosine FROM cand),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, cid) AS rn FROM scored)
+          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+          ORDER BY qid, cosine DESC, cid"""
+    },
+    (s, dir) =>
+      Vectors.lshTopKFiltered(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", dim = 64, k = 3, tables = 8, planes = 6)
         .orderBy(col("qid"), col("cosine").desc, col("cid")))
 
   /** X-SS6: ANN recall evaluation as a first-class operator — LSH
@@ -1544,12 +1613,12 @@ object QueriesText {
     })
 
   val all: Seq[Q] = Seq(txTokens, txQuality, txLangid, txFingerprint,
-    txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txBigramLm, txTfidf, txBm25,
+    txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txBigramLm, txPmi, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
-    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssIvf, ssIvfPq,
+    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)

@@ -248,6 +248,11 @@ object syntax {
     def commonnessScore(idCol: String, textCol: String): DataFrame =
       Text.commonnessScore(df, idCol, textCol)
 
+    /** PMI co-occurrence pairs over the top-V corpus vocabulary. */
+    def pmiCooccur(idCol: String, textCol: String, vocabSize: Int = 64,
+                   minPairDocs: Long = 2): DataFrame =
+      Text.pmiCooccur(df, idCol, textCol, vocabSize, minPairDocs)
+
     // ---- temporal surface ----
 
     /** As-of join: latest `right` row at-or-before each row's ts. */
@@ -273,6 +278,11 @@ object syntax {
     def semanticDupGroups(idCol: String, vecCol: String, dim: Int,
                           threshold: Double): DataFrame =
       Dedup.semanticDupGroups(df, idCol, vecCol, dim, threshold)
+
+    /** Attribute-constrained (pre-filtered) ANN top-k per vector. */
+    def filteredTopK(idCol: String, vecCol: String, attrCol: String,
+                     dim: Int, k: Int): DataFrame =
+      Vectors.lshTopKFiltered(df, idCol, vecCol, attrCol, dim, k)
 
     /** Group-size report over a duplicateGroups-shaped frame. */
     def dupGroupStats(): DataFrame = Dedup.dupGroupStats(df)

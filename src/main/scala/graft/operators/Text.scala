@@ -491,6 +491,48 @@ object Text {
         (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("commonness"))
   }
 
+  /** Pointwise-mutual-information co-occurrence pairs over the
+    * corpus' top-V vocabulary: for terms w1 < w2,
+    * pmi = ln(N · docs(w1,w2) / (docs(w1) · docs(w2))) — the
+    * collocation / topic-affinity signal (PMI > 0 ⇒ the pair
+    * co-occurs more than independence predicts). Doc-level distinct
+    * occurrence counts, so a term repeated inside one doc counts
+    * once (the standard document-PMI estimator).
+    *
+    * Scale: the self-join that enumerates pairs runs AFTER the
+    * vocabulary cut, so per-doc fanout is ≤ min(distinct terms, V)²/2
+    * and the pair key space is ≤ V² — both bounded by the vocabulary
+    * parameter, never by corpus size. The top-V vocabulary is a
+    * distributed TakeOrdered (orderBy + limit) broadcast to the scan;
+    * N is a 1-row broadcast cross (the tx_commonness shape). All PMI
+    * inputs are exact integers; the single ln runs over a
+    * bit-identical double in both engines and is floor-quantized at
+    * 1e-6 (the bigram-LM recipe). */
+  def pmiCooccur(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, vocabSize: Int = 64,
+                 minPairDocs: Long = 2): org.apache.spark.sql.DataFrame = {
+    val docTerms = df.select(col(idCol),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+      .distinct()
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val vocab = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(vocabSize)
+    val ft = docTerms.join(broadcast(vocab), Seq("term"))
+    val a = ft.select(col(idCol), col("term").as("w1"), col("df").as("df1"))
+    val b = ft.select(col(idCol), col("term").as("w2"), col("df").as("df2"))
+    a.join(b, Seq(idCol)).where(col("w1") < col("w2"))
+      // df1/df2 are functions of w1/w2 — riding them through the
+      // group keys avoids a join back onto the vocab
+      .groupBy(col("w1"), col("w2"), col("df1"), col("df2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minPairDocs)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("c12"),
+        (floor(log((col("c12").cast(DoubleType) * col("n_docs")) /
+            (col("df1").cast(DoubleType) * col("df2"))) * lit(1000000.0)
+          + lit(0.5)) / lit(1000000.0)).as("pmi"))
+  }
+
   /** Per-(doc, bigram) counts — the bigram analogue of
     * [[termCounts]]. Empty tokens (regexp-split artifacts around
     * leading whitespace) are dropped BEFORE pairing so the bigram

@@ -423,6 +423,39 @@ object Vectors {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Attribute-constrained (PRE-filtered) ANN top-k: each query sees
+    * only corpus vectors whose `attrCol` equals its own — the
+    * "filtered vector search" every production vector store offers
+    * (tenant / language / category scoping). The constraint is
+    * COMPOSED INTO the LSH shuffle key — candidates are pairs
+    * colliding on (table, bucket, attr) — rather than post-filtering
+    * a top-k computed over the whole corpus, which silently returns
+    * fewer than k (or zero) rows for selective filters: with
+    * pre-filtering, recall within the filtered stratum follows the
+    * same OR-banding bound as the unfiltered search. Same plan shape
+    * as [[lshTopK]] — one exchange on the widened key, candidates ∝
+    * within-stratum collisions, never corpus × filter. */
+  def lshTopKFiltered(df: DataFrame, idCol: String, vecCol: String,
+                      attrCol: String, dim: Int, k: Int,
+                      tables: Int = 8, planes: Int = 6): DataFrame = {
+    val keyed = graft.core.Tables.spread(
+        df.select(col(idCol), col(vecCol), col(attrCol)), col(idCol))
+      .select(col(idCol), col(vecCol), col(attrCol),
+        posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val a = keyed.select(col("_tbl"), col("_key"), col(attrCol).as("_attr"),
+      col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val b = keyed.select(col("_tbl"), col("_key"), col(attrCol).as("_attr"),
+      col(idCol).as("cid"), col(vecCol).as("_cv"))
+    val scored = a.join(b, Seq("_tbl", "_key", "_attr"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
+      .distinct() // a pair may collide in several tables
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** Embedding near-dup pairs blocked by LSH buckets instead of a
     * label column — removes [[cosineNearDupPairs]]'s dependence on a
     * meaningful blocking key: candidates are the pairs colliding in

@@ -30,8 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  /** Version manifest: bucket id → data-file paths. */
-  final case class Manifest(version: Int, files: Map[Int, Seq[String]]) {
+  /** Version manifest: bucket id → data-file paths, plus the
+    * version's accumulated equality-delete files (Iceberg v2-style
+    * row-level deletes: each delete file lists KEY VALUES removed
+    * from the table; data files are never rewritten). `deleteKey` is
+    * the key column name the delete files carry. */
+  final case class Manifest(version: Int, files: Map[Int, Seq[String]],
+                            deletes: Seq[String] = Nil,
+                            deleteKey: Option[String] = None) {
     def allFiles: Seq[String] = files.toSeq.sortBy(_._1).flatMap(_._2)
   }
 
@@ -71,12 +77,63 @@ object Snapshots {
     m
   }
 
+  /** Commits an equality-DELETE as version `version`: `deletedKeys`
+    * (a one-column frame of key values, or any frame containing
+    * `keyCol`) is written as a small delete file; the manifest
+    * inherits the parent's data files UNCHANGED and appends the
+    * delete file to the parent's accumulated delete list. This is the
+    * Iceberg v2 equality-delete / Delta deletion-vector pattern: a
+    * delete of 0.001% of a 100 TB table writes kilobytes — readers
+    * apply the (metadata-sized, broadcast) delete keys as an
+    * anti-join until a compaction folds them into data files. */
+  def deleteCommit(deletedKeys: DataFrame, tableDir: String, version: Int,
+                   keyCol: String, parent: Manifest): Manifest = {
+    require(parent.deleteKey.forall(_ == keyCol),
+      s"delete key $keyCol differs from parent's ${parent.deleteKey}")
+    val delDir = s"$tableDir/deletes/v$version"
+    deletedKeys.select(col(keyCol)).distinct()
+      .repartition(1).write.mode("overwrite").parquet(delDir)
+    val fs = Files.list(Paths.get(delDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    require(fs.nonEmpty, s"delete commit v$version wrote no files")
+    val m = Manifest(version, parent.files, parent.deletes ++ fs, Some(keyCol))
+    writeManifest(tableDir, m)
+    m
+  }
+
+  /** Compaction commit: folds the parent's accumulated equality
+    * deletes INTO the data files — reads the parent (deletes
+    * applied), rewrites every bucket, and commits a version with an
+    * EMPTY delete list. Content-identical to the parent by
+    * construction; what changes is the physical layout: after
+    * compaction readers stop paying the anti-join and the delete
+    * files are dead (eligible for expiry). The periodic maintenance
+    * action every delete-vector lake schedules once deletes
+    * accumulate past a read-amplification budget. */
+  def compact(spark: SparkSession, tableDir: String, version: Int,
+              bucketCol: org.apache.spark.sql.Column, nBuckets: Int,
+              parent: Manifest): Manifest = {
+    require(parent.deletes.nonEmpty,
+      s"v${parent.version} has no deletes to compact")
+    commit(read(spark, parent), tableDir, version, bucketCol, nBuckets)
+  }
+
   /** Time-travel read: exactly the files the version's manifest
-    * names. The bucket partition column is not re-derived (it is a
-    * function of the key); the frame has the table's own schema. */
+    * names, minus rows whose key appears in the version's accumulated
+    * equality-delete files (applied as a broadcast LEFT ANTI join —
+    * delete files are metadata-sized by the protocol's contract). The
+    * bucket partition column is not re-derived (it is a function of
+    * the key); the frame has the table's own schema. */
   def read(spark: SparkSession, m: Manifest): DataFrame = {
     require(m.allFiles.nonEmpty, s"manifest v${m.version} lists no files")
-    spark.read.parquet(m.allFiles: _*)
+    val data = spark.read.parquet(m.allFiles: _*)
+    if (m.deletes.isEmpty) data
+    else {
+      val k = m.deleteKey.getOrElse(
+        sys.error(s"manifest v${m.version} has delete files but no delete key"))
+      data.join(broadcast(spark.read.parquet(m.deletes: _*).select(col(k))),
+        Seq(k), "left_anti")
+    }
   }
 
   def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
@@ -97,10 +154,16 @@ object Snapshots {
     Paths.get(tableDir, "manifests", s"v$version.json")
 
   private def writeManifest(tableDir: String, m: Manifest): Unit = {
+    def arr(fs: Seq[String]) =
+      fs.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString(", ")
     val entries = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
-      s"""  "$b": [${fs.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString(", ")}]"""
+      s"""  "$b": [${arr(fs)}]"""
     }.mkString(",\n")
-    val json = s"""{"version": ${m.version}, "files": {\n$entries\n}}"""
+    val delPart =
+      if (m.deletes.isEmpty) ""
+      else s""", "delete_key": "${m.deleteKey.get}", "deletes": [${arr(m.deletes)}]"""
+    val json =
+      s"""{"version": ${m.version}$delPart, "files": {\n$entries\n}}"""
     Files.createDirectories(manifestPath(tableDir, m.version).getParent)
     Files.write(manifestPath(tableDir, m.version),
       json.getBytes(StandardCharsets.UTF_8))
@@ -121,7 +184,14 @@ object Snapshots {
         .map(_.group(1).replace("\\\\", "\\")).toSeq
       b -> fs
     }.toMap
-    Manifest(version, files)
+    val delKeyRe = """"delete_key":\s*"((?:[^"\\]|\\.)*)"""".r
+    val delsRe = """"deletes":\s*\[([^\]]*)\]""".r
+    val deleteKey = delKeyRe.findFirstMatchIn(s).map(_.group(1))
+    val deletes = delsRe.findFirstMatchIn(s).map { m =>
+      strRe.findAllMatchIn(m.group(1))
+        .map(_.group(1).replace("\\\\", "\\")).toSeq
+    }.getOrElse(Nil)
+    Manifest(version, files, deletes, deleteKey)
   }
 
   // Files.list returns a Java stream; 2.13 CollectionConverters

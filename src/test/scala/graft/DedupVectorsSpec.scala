@@ -144,6 +144,23 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("lshTopKFiltered == lshTopK run per label stratum (pre-filter exactness)") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val filtered = Vectors.lshTopKFiltered(e, "vec_id", "embedding", "label",
+        dim = 64, k = 3, tables = 8, planes = 6)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // composing the attribute into the candidate key must be EXACTLY
+    // equivalent to filtering the corpus to the stratum first
+    val labels = e.select("label").distinct().as[Int].collect()
+    val perStratum = labels.flatMap { l =>
+      Vectors.lshTopK(e.where(col("label") === l), "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8, planesOverride = 6)
+        .select("qid", "cid").as[(Long, Long)].collect()
+    }.toSet
+    assert(filtered == perStratum)
+    assert(filtered.nonEmpty)
+  }
+
   test("minhash poly family finds the same near-dup as md5 family") {
     val base = "the quick brown fox jumps over the lazy dog again and again for fun"
     val nearDup = base.replace("lazy", "sleepy")

@@ -39,12 +39,14 @@ class PlanAuditSpec extends SparkSpec {
     *   shape).
     * - tx_bigram_lm: the single-row vocabulary-size aggregate V rides
     *   back onto the per-(doc,bigram) frame (the tx_commonness /
-    *   tx_tfidf N shape). */
+    *   tx_tfidf N shape).
+    * - tx_pmi_cooccur: the single-row corpus-size aggregate N rides
+    *   back onto the ≤V² pair frame (the tx_commonness N shape). */
   private val bnljAllowed = Set(
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
     "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration",
-    "tx_bigram_lm")
+    "tx_bigram_lm", "tx_pmi_cooccur")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a

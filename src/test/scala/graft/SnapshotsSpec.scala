@@ -67,4 +67,59 @@ class SnapshotsSpec extends SparkSpec {
         touched = Some(Set(0)))
     }
   }
+
+  test("equality-delete commit removes keys without rewriting data files") {
+    val tdir = freshDir
+    val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val m1 = Snapshots.commit(base, tdir, 1, pmod(col("k"), lit(4)), nBuckets = 4)
+    val m2 = Snapshots.deleteCommit(base.where(col("k") % 10 === 3),
+      tdir, 2, keyCol = "k", parent = m1)
+    // data files are INHERITED verbatim — a delete never rewrites
+    assert(m2.files == m1.files)
+    assert(m2.deletes.size == 1 && m2.deleteKey.contains("k"))
+    val v2 = Snapshots.read(spark, m2).as[(Long, Double)].collect().sortBy(_._1)
+    assert(v2.toSeq == (0L until 64L).filter(_ % 10 != 3).map(k => (k, k * 1.5)))
+    // v1 still reads the full content (time travel across the delete)
+    assert(Snapshots.read(spark, m1).count() == 64)
+  }
+
+  test("delete commits accumulate and round-trip through the manifest JSON") {
+    val tdir = freshDir
+    val base = (0L until 40L).map(k => (k, k)).toDF("k", "v")
+    val m1 = Snapshots.commit(base, tdir, 1, pmod(col("k"), lit(2)), nBuckets = 2)
+    val m2 = Snapshots.deleteCommit(base.where(col("k") < 5), tdir, 2, "k", m1)
+    val m3 = Snapshots.deleteCommit(base.where(col("k") >= 35), tdir, 3, "k", m2)
+    assert(m3.deletes.size == 2 && m3.files == m1.files)
+    val loaded = Snapshots.loadManifest(tdir, 3)
+    assert(loaded == m3)
+    val v3 = Snapshots.readVersion(spark, tdir, 3)
+      .as[(Long, Long)].collect().map(_._1).sorted
+    assert(v3.toSeq == (5L until 35L))
+    // key-column mismatch with the parent's delete key is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteCommit(base.limit(1).withColumnRenamed("k", "other"),
+        tdir, 4, "other", m3)
+    }
+  }
+
+  test("compact folds deletes into fresh data files, content unchanged") {
+    val tdir = freshDir
+    val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val bucket = pmod(col("k"), lit(4))
+    val m1 = Snapshots.commit(base, tdir, 1, bucket, nBuckets = 4)
+    val m2 = Snapshots.deleteCommit(base.where(col("k") % 4 === 2),
+      tdir, 2, "k", m1)
+    val m3 = Snapshots.compact(spark, tdir, 3, bucket, nBuckets = 4, m2)
+    // physical change: all-new data files, no surviving delete files
+    assert(m3.deletes.isEmpty)
+    assert(m3.allFiles.toSet.intersect(m2.allFiles.toSet).isEmpty)
+    // logical no-op: compacted content == pre-compaction read
+    val before = Snapshots.read(spark, m2).as[(Long, Double)].collect().sortBy(_._1)
+    val after = Snapshots.read(spark, m3).as[(Long, Double)].collect().sortBy(_._1)
+    assert(after.toSeq == before.toSeq && after.nonEmpty)
+    // compacting a version with nothing to fold is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, tdir, 4, bucket, nBuckets = 4, m3)
+    }
+  }
 }

@@ -139,6 +139,36 @@ class TextRelevanceSpec extends SparkSpec {
       ("b", 0L, 10L, 0L, 2L)))
   }
 
+  test("pmiCooccur: hand-computed counts and PMI, vocabulary cut respected") {
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c d"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Text.pmiCooccur(corpus, "doc_id", "text",
+        vocabSize = 64, minPairDocs = 2)
+      .orderBy("w1", "w2").collect()
+    // doc-level pairs: (a,b)x2, (a,c)x2, (b,c)x2, (a,d)x1, (c,d)x1;
+    // min 2 docs keeps three pairs, each with df=3 on both sides
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 2L), ("a", "c", 2L), ("b", "c", 2L)))
+    val expected = math.floor(math.log((2.0 * 4) / (3.0 * 3.0)) * 1e6 + 0.5) / 1e6
+    out.foreach(r => assert(r.getDouble(3) == expected))
+    // vocabSize=2 keeps only {a, b} (df ties broken by term): one pair
+    val cut = Text.pmiCooccur(corpus, "doc_id", "text",
+        vocabSize = 2, minPairDocs = 2).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+  }
+
+  test("pmiCooccur: within-doc repeats count once (doc-level estimator)") {
+    val corpus = Seq((1L, "x y x y x"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Text.pmiCooccur(corpus, "doc_id", "text",
+        vocabSize = 8, minPairDocs = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("x", "y", 2L))
+    // c12 = df1 = df2 = N = 2 -> pmi = ln(1) = 0 exactly
+    assert(r.getDouble(3) == 0.0)
+  }
+
   test("madOutliers: only the far tail is flagged") {
     val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
       ("h", 5.0), ("h", 5.0), ("h", 5.0))
