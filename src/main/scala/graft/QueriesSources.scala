@@ -1134,5 +1134,79 @@ object QueriesSources {
       summarize(m3).unionByName(summarize(m4)).orderBy("version")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
+  /** X-S26: change data feed between two snapshot versions — the
+    * incremental-consumption pattern (Delta CDF / Iceberg incremental
+    * read): a downstream job asks "what changed between v1 and v2?"
+    * and the answer is computed by scanning ONLY the buckets whose
+    * file lists differ between the two manifests (a metadata-sized
+    * diff), never the whole table. Inside the changed buckets a
+    * key-keyed full-outer join classifies each row insert / update /
+    * delete; unchanged rows drop out. `incremental_ok` asserts the
+    * file-list diff named exactly the touched buckets (the scan
+    * subset is real); the oracle derives the change set from the base
+    * table with the same mutation expressions. */
+  private val s26 = Q(
+    "s26_change_data_feed",
+    Some("""WITH scope AS (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 8 < 2),
+          v2 AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice
+            FROM scope WHERE o_orderkey % 5 != 1
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice FROM scope
+              WHERE o_orderkey % 7 = 2),
+          ch AS (SELECT
+              coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+              a.o_totalprice AS old_price, b.o_totalprice AS new_price,
+              CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                   WHEN b.o_orderkey IS NULL THEN 'delete'
+                   ELSE 'update' END AS change_type
+            FROM scope a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+          SELECT o_orderkey, change_type, old_price, new_price,
+            TRUE AS incremental_ok
+          FROM ch
+          WHERE old_price IS NULL OR new_price IS NULL
+             OR old_price != new_price
+          ORDER BY o_orderkey, change_type"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = scratch(dir, "snap_orders_cdf")
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bucket = pmod(col("o_orderkey"), lit(8))
+      val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+      val scope = base.where(pmod(col("o_orderkey"), lit(8)) < 2)
+      // v2 rewrites buckets 0-1: +100 where key%3=0, key%5=1 deleted,
+      // key%7=2 re-inserted under key+1e8 (1e8 % 8 = 0 keeps buckets)
+      val v2Content = scope.where(col("o_orderkey") % 5 =!= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(100.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(scope.where(col("o_orderkey") % 7 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      val m2 = Snapshots.commit(v2Content, tdir, version = 2, bucket,
+        nBuckets = 8, parent = Some(m1), touched = Some(Set(0, 1)))
+      // the CDF plan step: which buckets changed = manifest file-list
+      // diff (metadata-sized, never touches data)
+      val changed = (m1.files.keySet ++ m2.files.keySet)
+        .filter(b => m1.files.get(b) != m2.files.get(b))
+      val incrementalOk = changed == Set(0, 1)
+      def side(m: Snapshots.Manifest, as: String): DataFrame =
+        s.read.parquet(changed.toSeq.sorted.flatMap(m.files(_)): _*)
+          .select(col("o_orderkey"), col("o_totalprice").as(as))
+      side(m1, "old_price")
+        .join(side(m2, "new_price"), Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, "insert")
+            .when(col("new_price").isNull, "delete")
+            .otherwise("update"))
+        .where(col("old_price").isNull || col("new_price").isNull ||
+          col("old_price") =!= col("new_price"))
+        .withColumn("incremental_ok", lit(incrementalOk))
+        .select("o_orderkey", "change_type", "old_price", "new_price",
+          "incremental_ok")
+        .orderBy("o_orderkey", "change_type")
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }
