@@ -24,14 +24,17 @@ object QueriesText {
   private val txTokens = Q(
     "tx_token_count",
     Some(s"""SELECT doc_id, len($toksSql) AS n_tokens, length(text) AS n_chars,
-             greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_bpe_est
+             greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_bpe_est,
+             CAST(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_pretokens
              FROM documents ORDER BY doc_id"""),
     (s, dir) =>
       t(s, dir, "documents").select(
           col("doc_id"),
           Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars"),
-          Text.bpeTokenEstimate(col("text")).as("n_bpe_est"))
+          Text.bpeTokenEstimate(col("text")).as("n_bpe_est"),
+          Text.pretokenCount(col("text")).as("n_pretokens"))
         .orderBy("doc_id"))
 
   /** Quality scoring: stopword density + length + token-shape. */

@@ -21,6 +21,17 @@ object Text {
   def bpeTokenEstimate(c: Column): Column =
     greatest(lit(1L), ceil(length(c) / 4.0).cast(LongType))
 
+  /** BPE-style PRE-tokenizer count: the GPT-2 pretokenizer's
+    * letter-run / digit-run / punctuation-run split (the category
+    * boundaries BPE merges never cross), minus its lookahead-based
+    * space handling so the pattern stays in the Java ∩ RE2 dialect.
+    * Counts the units a real subword tokenizer would then merge
+    * within — a far better length signal than chars/4 for
+    * mixed-alphanumeric text (e.g. code, URLs). */
+  val pretokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  def pretokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(pretokenPattern), lit(0))).cast(LongType)
+
   def meanTokenLen(c: Column): Column =
     length(regexp_replace(c, "\\s+", "")) / tokenCount(c)
 

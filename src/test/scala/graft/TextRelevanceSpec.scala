@@ -169,6 +169,19 @@ class TextRelevanceSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
   }
 
+  test("pretokenCount: category runs split like a BPE pretokenizer") {
+    val rows = Seq(
+      (1L, "hello world"),        // 2 letter runs
+      (2L, "abc123def"),          // letters|digits|letters = 3
+      (3L, "don't stop!"),        // don + ' + t + stop + ! = 5
+      (4L, "  x  "),              // whitespace never counts = 1
+      (5L, "v2.0-rc1"))           // v|2|.|0|-|rc|1 = 7
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Text.pretokenCount(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 3L), (3L, 5L), (4L, 1L), (5L, 7L)))
+  }
+
   test("madOutliers: only the far tail is flagged") {
     val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
       ("h", 5.0), ("h", 5.0), ("h", 5.0))
