@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSpec {
     "m5_reindex" ->
       "cumulative offsets over the per-partition counts frame: ≤ numShufflePartitions rows by construction (operators/Reindex)")
 
+  /** Queries that deliberately funnel the RETURNED frame through a
+    * single-partition SHUFFLE (the other way a plan serializes
+    * besides a global window). Currently none: the registry's only
+    * repartition(1) uses are side-effect SINK writes over
+    * metadata/report-sized frames (delete-key lists, report csvs),
+    * which run as separate jobs and never appear in the audited
+    * plan. Any future entry must be provably bounded and justified
+    * here. */
+  private val singlePartitionAllowed: Map[String, String] = Map.empty
+
   /** All physical nodes, descending through AQE wrappers and
     * subqueries (an AdaptiveSparkPlanExec is a leaf to collect()). */
   private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -102,6 +112,14 @@ class PlanAuditSpec extends SparkSpec {
       }
       if (globalWins.nonEmpty && !globalWindowAllowed.contains(name))
         offenders += s"$name: global WindowExec (${globalWins.size})"
+      // a single-partition SHUFFLE serializes the frame through one
+      // task — same scale-killer as a global window, different node
+      val singleParts = physicalNodes(qe.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+      }
+      if (singleParts.nonEmpty && !singlePartitionAllowed.contains(name))
+        offenders += s"$name: SinglePartition exchange (${singleParts.size})"
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
