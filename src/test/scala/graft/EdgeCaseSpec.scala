@@ -138,6 +138,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ffill_value") == 7.0)
   }
 
+  test("pmiCooccur: empty corpus and single-doc corpus never throw") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.pmiCooccur(empty, "doc_id", "text").count() == 0)
+    // one doc: every pair has c12 = df1 = df2 = N = 1 -> pmi = 0
+    val one = Seq((1L, "p q")).toDF("doc_id", "text")
+    val rows = Text.pmiCooccur(one, "doc_id", "text", minPairDocs = 1).collect()
+    assert(rows.length == 1 && rows.head.getDouble(3) == 0.0)
+  }
+
+  test("lshTopKFiltered: empty corpus and all-distinct attrs are sane") {
+    import graft.operators.Vectors
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Vectors.lshTopKFiltered(empty, "vec_id", "embedding", "label",
+      dim = 4, k = 3).count() == 0)
+    // every vector its own stratum -> no candidates at all
+    val solo = Seq((1L, Array(1f, 0f, 0f, 0f), 1), (2L, Array(0f, 1f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(Vectors.lshTopKFiltered(solo, "vec_id", "embedding", "label",
+      dim = 4, k = 3).count() == 0)
+  }
+
+  test("deleteCommit with zero matching keys leaves reads unchanged") {
+    import graft.sources.Snapshots
+    val tdir = java.nio.file.Files.createTempDirectory("graft_snap_edge").toString
+    val base = (0L until 16L).map(k => (k, k)).toDF("k", "v")
+    val m1 = Snapshots.commit(base, tdir, 1, pmod(col("k"), lit(2)), nBuckets = 2)
+    val m2 = Snapshots.deleteCommit(base.where(lit(false)), tdir, 2, "k", m1)
+    assert(m2.deletes.size == 1)
+    assert(Snapshots.read(spark, m2).count() == 16)
+  }
+
   test("profile on an empty table still reports one row per column") {
     val df = Seq((1L, 2.0)).toDF("a", "b").where(lit(false))
     val out = Tables.profile(df, Seq("a", "b")).collect()
