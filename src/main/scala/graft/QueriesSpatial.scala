@@ -391,5 +391,26 @@ object QueriesSpatial {
         lit(fit.r2).as("r2"), lit(fit.n).as("n"))
     })
 
-  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6, m7)
+  /** X-M12: per-GROUP OLS — one regression per supplier, fit wholly
+    * inside one keyed aggregate (9-moment state per key) with the
+    * Cramer closed form + R² evaluated as column expressions on the
+    * aggregate rows. Output ∝ distinct suppliers; the driver-side
+    * loop a pandas user would write is replaced by a single
+    * map-side-combine shuffle. Inputs quantized exactly as m7 (the
+    * r5 decimal-cast tie trap). */
+  private val m12 = Q(
+    "m12_grouped_ols",
+    Some(Ols.olsGroupSql("lineitem", Seq("l_suppkey"),
+      "l_quantity",
+      "floor(l_discount * 100 + 0.5)",
+      "floor(l_extendedprice / 10.0 + 0.5) / 100.0")),
+    (s, dir) =>
+      Ols.olsFitPerGroup(
+        t(s, dir, "lineitem"), Seq("l_suppkey"),
+        col("l_quantity"),
+        floor(col("l_discount") * 100 + 0.5).cast("double"),
+        floor(col("l_extendedprice") / 10.0 + 0.5).cast("double") / 100.0)
+        .orderBy("l_suppkey"))
+
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6, m7, m12)
 }

@@ -219,6 +219,11 @@ object syntax {
       Vectors.ivfPqTopK(df, idCol, vecCol, centroids, codebooks, nProbe, k, rerank)
 
     /** Robust MAD outlier flags per group. */
+    /** One two-predictor OLS fit per group key (b0, b1, b2, r2, n). */
+    def olsPerGroup(keys: Seq[String], x1: Column, x2: Column,
+                    y: Column): DataFrame =
+      graft.ml.Ols.olsFitPerGroup(df, keys, x1, x2, y)
+
     def madOutliers(keys: Seq[String], valCol: Column, k: Double): DataFrame =
       Outliers.madOutliers(df, keys, valCol, k)
 

@@ -213,4 +213,44 @@ class OlsSpec extends SparkSpec {
     assert(!fit.b0.isNaN && !fit.b1.isNaN && !fit.b2.isNaN)
     assert(!fit.b0.isInfinite && !fit.b1.isInfinite && !fit.b2.isInfinite)
   }
+
+  test("olsFitPerGroup: each group recovers ITS plane; tiny groups dropped") {
+    val g1 = (1 to 200).map { i =>
+      val x1 = (i % 13).toDouble; val x2 = (i % 5).toDouble
+      ("a", x1, x2, 1.0 + 2.0 * x1 + 0.5 * x2)
+    }
+    val g2 = (1 to 200).map { i =>
+      val x1 = (i % 11).toDouble; val x2 = (i % 6).toDouble
+      ("b", x1, x2, -3.0 - 1.0 * x1 + 4.0 * x2)
+    }
+    val tiny = Seq(("c", 1.0, 1.0, 1.0), ("c", 2.0, 1.0, 2.0)) // n = 2 < 3
+    val df = (g1 ++ g2 ++ tiny).toDF("grp", "x1", "x2", "y")
+    val out = Ols.olsFitPerGroup(df, Seq("grp"), col("x1"), col("x2"), col("y"))
+      .orderBy("grp").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0); val b = out(1)
+    assert(math.abs(a.getAs[Double]("b0") - 1.0) < 1e-6)
+    assert(math.abs(a.getAs[Double]("b1") - 2.0) < 1e-7)
+    assert(math.abs(a.getAs[Double]("b2") - 0.5) < 1e-7)
+    assert(math.abs(b.getAs[Double]("b0") + 3.0) < 1e-6)
+    assert(math.abs(b.getAs[Double]("b1") + 1.0) < 1e-7)
+    assert(math.abs(b.getAs[Double]("b2") - 4.0) < 1e-7)
+    assert(a.getAs[Double]("r2") > 0.999999 && b.getAs[Double]("r2") > 0.999999)
+    assert(a.getAs[Long]("n") == 200 && b.getAs[Long]("n") == 200)
+  }
+
+  test("olsFitPerGroup on one group == olsFit2 bit-for-bit") {
+    val pts = (1 to 300).map { i =>
+      val x1 = (i % 17).toDouble; val x2 = (i % 7).toDouble
+      (1, x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2 + (i % 3) * 0.25)
+    }
+    val df = pts.toDF("grp", "x1", "x2", "y")
+    val global = Ols.olsFit2(df, col("x1"), col("x2"), col("y"))
+    val grouped = Ols.olsFitPerGroup(df, Seq("grp"),
+      col("x1"), col("x2"), col("y")).collect()(0)
+    assert(grouped.getAs[Double]("b0") == global.b0)
+    assert(grouped.getAs[Double]("b1") == global.b1)
+    assert(grouped.getAs[Double]("b2") == global.b2)
+    assert(grouped.getAs[Double]("r2") == global.r2)
+  }
 }
