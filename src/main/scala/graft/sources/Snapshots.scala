@@ -54,6 +54,15 @@ object Snapshots {
       touched.getOrElse((0 until nBuckets).toSet)
     require(parent.nonEmpty || writeBuckets == (0 until nBuckets).toSet,
       "initial commit must write every bucket")
+    // equality deletes apply table-wide by key at read time; a data
+    // commit on top of them has no way to express "this key is back"
+    // without Iceberg-style sequence numbers, so untouched-bucket
+    // deletes would either resurrect (if dropped) or wrongly suppress
+    // re-inserts (if inherited). The minimal protocol refuses the
+    // ambiguous composition: fold deletes with [[compact]] first.
+    require(parent.forall(_.deletes.isEmpty),
+      s"parent v${parent.map(_.version).getOrElse(-1)} carries equality-delete " +
+        "files; compact them before a data commit")
     val dataDir = s"$tableDir/data/v$version"
     df.withColumn("_bucket", bucketCol.cast("int"))
       .where(col("_bucket").isInCollection(writeBuckets))

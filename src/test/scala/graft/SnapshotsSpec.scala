@@ -102,6 +102,65 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("protocol model check: random delete/compact/rewrite sequences time-travel exactly") {
+    val nB = 4
+    def dfOf(m: Map[Long, Long]) = m.toSeq.sortBy(_._1).toDF("k", "v")
+    def readBack(m: Snapshots.Manifest): Map[Long, Long] =
+      Snapshots.read(spark, m).as[(Long, Long)].collect().toMap
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val tdir = freshDir
+      val bucket = pmod(col("k"), lit(nB))
+      var model: Map[Long, Long] = (0L until 48L).map(k => k -> k * 2).toMap
+      var m = Snapshots.commit(dfOf(model), tdir, 1, bucket, nB)
+      var states = Vector(model) // states(i) = expected content of version i+1
+      var nextKey = 1000L
+      for (_ <- 1 to 6) {
+        val v = states.size + 1
+        if (m.deletes.nonEmpty) {
+          // a data commit over live deletes must be refused, not lossy
+          intercept[IllegalArgumentException] {
+            Snapshots.commit(dfOf(model), tdir, v, bucket, nB,
+              parent = Some(m), touched = Some(Set(0)))
+          }
+          if (rnd.nextBoolean()) { // compact: content unchanged
+            m = Snapshots.compact(spark, tdir, v, bucket, nB, m)
+          } else { // stack another delete
+            val doomed = model.keySet.filter(_ => rnd.nextInt(5) == 0)
+            model = model -- doomed
+            m = Snapshots.deleteCommit(doomed.toSeq.toDF("k"), tdir, v, "k", m)
+          }
+        } else if (rnd.nextBoolean()) { // first delete of a stack
+          val doomed = model.keySet.filter(_ => rnd.nextInt(5) == 0)
+          model = model -- doomed
+          m = Snapshots.deleteCommit(doomed.toSeq.toDF("k"), tdir, v, "k", m)
+        } else { // copy-on-write rewrite of a random touched set
+          val touched = (0 until nB).filter(_ => rnd.nextBoolean()) match {
+            case Nil => Set(0)
+            case s   => s.toSet
+          }
+          val delta = rnd.nextInt(90) + 1L
+          model = model.map { case (k, x) =>
+            k -> (if (touched(((k % nB) + nB).toInt % nB)) x + delta else x)
+          }
+          nextKey += 1 // occasional insert routed to a touched bucket
+          val ins = nextKey * nB + touched.head
+          model += ins -> ins
+          m = Snapshots.commit(dfOf(model), tdir, v, bucket, nB,
+            parent = Some(m), touched = Some(touched))
+        }
+        states :+= model
+        assert(readBack(m) == model, s"seed=$seed v=$v live read drifted")
+      }
+      // FULL time travel: every version still reads its exact state,
+      // including versions superseded by deletes and compactions
+      states.zipWithIndex.foreach { case (st, i) =>
+        assert(readBack(Snapshots.loadManifest(tdir, i + 1)) == st,
+          s"seed=$seed version ${i + 1} time travel drifted")
+      }
+    }
+  }
+
   test("compact folds deletes into fresh data files, content unchanged") {
     val tdir = freshDir
     val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
