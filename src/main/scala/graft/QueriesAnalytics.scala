@@ -112,6 +112,43 @@ object QueriesAnalytics {
         .orderBy("user_id", "ts", "event_id")
     })
 
+  /** X-EV11: rolling z-score anomaly detection — each observation
+    * scored against its key's TRAILING 8 observations (current row
+    * excluded so a spike can't dilute its own baseline); needs ≥ 4
+    * history rows and non-degenerate variance, else null z / never
+    * flagged. One keyed window, frames O(8) at any corpus size.
+    * Mean/std from exact decimal window sums (ev_rolling_mean +
+    * Det.dstd identity) so z is the same IEEE division in both
+    * engines, emitted round-6. */
+  private val evAnomaly = Q(
+    "ev_anomaly_zscore",
+    Some("""WITH b AS (SELECT user_id, ts, event_id, value,
+              count(*) OVER w AS n,
+              CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+              CAST(sum(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+          zz AS (SELECT user_id, ts, event_id, value, n,
+              sqrt(greatest(0.0, (s2 - s1*s1/CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0))) AS sd,
+              s1/CAST(n AS DOUBLE) AS mu
+            FROM b),
+          z3 AS (SELECT user_id, ts, event_id, value, n, sd, mu,
+              CASE WHEN n >= 4 AND sd > 0.0
+                THEN round((value - mu) / sd, 6) END AS z
+            FROM zz)
+          SELECT user_id, ts, event_id, value, z,
+            coalesce(abs(z) > 3.0, FALSE)
+              OR (n >= 4 AND sd = 0.0 AND value != mu) AS is_anomaly
+          FROM z3 ORDER BY user_id, ts, event_id"""),
+    (s, dir) =>
+      graft.operators.Temporal.rollingAnomaly(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          window = 8, minHistory = 4, k = 3.0)
+        .select("user_id", "ts", "event_id", "value", "z", "is_anomaly")
+        .orderBy("user_id", "ts", "event_id"))
+
   /** X-EV4: ordered-step funnel (view → click → purchase, each step
     * within 7 days of the previous step's first completion) — the
     * product-analytics staple. Three user-keyed min aggregates, each
@@ -689,7 +726,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evFunnel,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
     evDrift, ep5User360, evCep, stCep, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

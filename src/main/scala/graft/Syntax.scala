@@ -352,6 +352,14 @@ object syntax {
       Temporal.scd2History(df, keyCol, tsCol, stateCol, tieBreak)
 
     /** X-EV10 calendar-spine daily resample with forward fill. */
+    /** Rolling z-score anomaly flags against each key's trailing
+      * window. */
+    def rollingAnomaly(keyCol: String, tsCol: String, tieCol: String,
+                       valCol: String, window: Int = 8,
+                       minHistory: Int = 4, k: Double = 3.0): DataFrame =
+      Temporal.rollingAnomaly(df, keyCol, tsCol, tieCol, valCol,
+        window, minHistory, k)
+
     def resampleDaily(keyCol: String, tsCol: String, valueCol: String,
                       tieBreak: String): DataFrame =
       Temporal.resampleDaily(df, keyCol, tsCol, valueCol, tieBreak)

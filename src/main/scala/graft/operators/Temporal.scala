@@ -224,6 +224,47 @@ object Temporal {
     * tie-break columns required in `order`) — the "best k per key"
     * idiom as one window pass; partial top-k runs map-side via the
     * rank filter pushed into the window's sort. */
+  /** Rolling z-score anomaly detection: each observation is scored
+    * against the TRAILING `window` observations of its own key
+    * (current row excluded — a spike must not dilute the history it
+    * is judged against). z = (x − mean)/std over that frame; rows
+    * with fewer than `minHistory` predecessors or a degenerate
+    * (zero-variance) history carry a null z and are never flagged.
+    * The monitoring primitive for metric streams: one keyed window,
+    * no self-join, no global state.
+    *
+    * Determinism: the frame's mean and std come from exact decimal
+    * window sums (the ev_rolling_mean recipe extended with the
+    * [[graft.core.Det.dstd]] identity), so both engines feed the
+    * same doubles into the one IEEE division; z is emitted on the
+    * round-6 grid.
+    *
+    * Scale: a single hash exchange on the key; every frame is
+    * O(window) rows regardless of corpus size. */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, valCol: String,
+                     window: Int = 8, minHistory: Int = 4,
+                     k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-window, -1)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col(valCol).cast(DecimalType(30, 6))).over(w).cast(DoubleType)
+    val s2 = sum((col(valCol) * col(valCol)).cast(DecimalType(30, 6)))
+      .over(w).cast(DoubleType)
+    val nD = n.cast(DoubleType)
+    val mean = s1 / nD
+    val std = sqrt(greatest(lit(0.0), (s2 - s1 * s1 / nD) / (nD - lit(1.0))))
+    val z = when(n >= minHistory && std > 0.0,
+      round((col(valCol) - mean) / std, 6))
+    // zero-variance history (exactly constant on the decimal grid):
+    // any departure is an infinite z — flag it, with z left null
+    val degenerate = n >= minHistory && std === 0.0 && col(valCol) =!= mean
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > k, lit(false)) || degenerate)
+  }
+
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
                    k: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

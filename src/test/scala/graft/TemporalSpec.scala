@@ -138,6 +138,32 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 1L)))
   }
 
+  test("rollingAnomaly: trailing-window z, min history, zero-variance spike") {
+    def mkDf(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    // varying history: row 5 scored against [1..4], row 6 against [1..5]
+    val out = Temporal.rollingAnomaly(mkDf(Seq(1, 2, 3, 4, 5, 30)),
+      "user_id", "ts", "event_id", "value", window = 8, minHistory = 4)
+      .orderBy("event_id").collect()
+    assert(out.take(4).forall(r => r.isNullAt(4) && !r.getBoolean(5)),
+      "rows with < minHistory must be unscored and unflagged")
+    val z5 = { // hand formula: mean 2.5, sample std over [1,2,3,4]
+      val (s1, s2, n) = (10.0, 30.0, 4.0)
+      val std = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+      math.floor((5.0 - s1 / n) / std * 1e6 + 0.5) / 1e6
+    }
+    assert(out(4).getDouble(4) == z5 && !out(4).getBoolean(5))
+    assert(out(5).getDouble(4) > 3.0 && out(5).getBoolean(5))
+    // constant history: in-band repeats never flag; a spike flags
+    // with null z (infinite departure from a zero-variance baseline)
+    val const = Temporal.rollingAnomaly(mkDf(Seq(10, 10, 10, 10, 10, 100)),
+      "user_id", "ts", "event_id", "value", window = 8, minHistory = 4)
+      .orderBy("event_id").collect()
+    assert(const.take(5).forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    assert(const(5).isNullAt(4) && const(5).getBoolean(5))
+  }
+
   test("cohortRetention: cohort by first date, weekly offsets, shares") {
     // user 1: first 2024-01-01, active again day 8 (week 1)
     // user 2: first 2024-01-01 only (two events same day -> one row)
