@@ -120,9 +120,8 @@ object QueriesAnalytics {
     * Mean/std from exact decimal window sums (ev_rolling_mean +
     * Det.dstd identity) so z is the same IEEE division in both
     * engines, emitted round-6. */
-  private val evAnomaly = Q(
-    "ev_anomaly_zscore",
-    Some("""WITH b AS (SELECT user_id, ts, event_id, value,
+  private val anomalySql =
+    """WITH b AS (SELECT user_id, ts, event_id, value,
               count(*) OVER w AS n,
               CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
               CAST(sum(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2
@@ -141,12 +140,31 @@ object QueriesAnalytics {
           SELECT user_id, ts, event_id, value, z,
             coalesce(abs(z) > 3.0, FALSE)
               OR (n >= 4 AND sd = 0.0 AND value != mu) AS is_anomaly
-          FROM z3 ORDER BY user_id, ts, event_id"""),
+          FROM z3 ORDER BY user_id, ts, event_id"""
+
+  private val evAnomaly = Q(
+    "ev_anomaly_zscore",
+    Some(anomalySql),
     (s, dir) =>
       graft.operators.Temporal.rollingAnomaly(
           t(s, dir, "events"), "user_id", "ts", "event_id", "value",
           window = 8, minHistory = 4, k = 3.0)
         .select("user_id", "ts", "event_id", "value", "z", "is_anomaly")
+        .orderBy("user_id", "ts", "event_id"))
+
+  /** X-ST9: STATEFUL-STREAMING rolling anomaly — the EV11 semantics
+    * as events arrive: flatMapGroupsWithState with O(window) per-user
+    * state (the trailing observations), each arrival scored against
+    * the state BEFORE it joins it; the long-quanta state arithmetic
+    * mirrors the batch twin's decimal grid bit-for-bit. The registry
+    * entry runs the same state function on the static frame and
+    * shares the EV11 oracle VERBATIM; StatefulStreamsSpec drives the
+    * real multi-micro-batch engine and asserts parity. */
+  private val stAnomaly = Q(
+    "st_anomaly_stream",
+    Some(anomalySql),
+    (s, dir) =>
+      graft.streaming.Streams.anomalyStream(t(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id"))
 
   /** X-EV4: ordered-step funnel (view → click → purchase, each step
@@ -728,5 +746,5 @@ object QueriesAnalytics {
 
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
-    evDrift, ep5User360, evCep, stCep, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
+    evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -278,6 +278,68 @@ object Streams {
       .toDF("user_id", "view_id", "click_id", "purchase_id", "view_ts", "span_us")
   }
 
+  /** X-ST9: stateful-streaming rolling anomaly (the
+    * [[graft.operators.Temporal.rollingAnomaly]] semantics as events
+    * arrive). Per-user state: the trailing `window` observations,
+    * newest first; every arrival is scored against the state BEFORE
+    * it joins it, so a spike never dilutes its own baseline. Exact
+    * batch parity: values and their squares are held as longs of
+    * 1e-6 quanta (the batch twin's DECIMAL(30,6) grid — quantization
+    * ties are not binary-representable, so HALF_UP here cannot
+    * disagree with either engine's cast), the long sums are exact,
+    * and the final divisions/sqrt are the same correctly-rounded
+    * IEEE ops the window expressions compile to. State is O(window)
+    * per key; output mode Append. */
+  def anomalyStream(events: DataFrame, window: Int = 8,
+                    minHistory: Int = 4, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def q6(x: Double): Long =
+      BigDecimal.valueOf(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    // state: trailing observations, newest first: (usec, eventId, value)
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+           state: GroupState[List[(Long, Long, Double)]])
+        : Iterator[(Long, java.sql.Timestamp, Long, Double, Option[Double], Boolean)] = {
+      var hist = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, java.sql.Timestamp, Long, Double, Option[Double], Boolean)]()
+      rows.toSeq.sortBy(r => (us(r._2), r._3)).foreach { case (_, ts, id, v) =>
+        val n = hist.size
+        var z: Option[Double] = None
+        var flag = false
+        if (n >= minHistory) {
+          val s1 = hist.iterator.map(h => q6(h._3)).sum.toDouble / 1e6
+          val s2 = hist.iterator.map(h => q6(h._3 * h._3)).sum.toDouble / 1e6
+          val nD = n.toDouble
+          val mean = s1 / nD
+          val std = math.sqrt(math.max(0.0, (s2 - s1 * s1 / nD) / (nD - 1.0)))
+          if (std > 0.0) {
+            val zz = round6((v - mean) / std)
+            z = Some(zz); flag = math.abs(zz) > k
+          } else flag = v != mean
+        }
+        out += ((user, ts, id, v, z, flag))
+        hist = ((us(ts), id, v) :: hist).take(window)
+      }
+      state.update(hist)
+      out.iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "ts", "event_id", "value", "z", "is_anomaly")
+  }
+
   /** Read the events table as a (bounded) stream: same parquet file,
     * streaming source semantics. The file-source schema is taken from
     * a batch read of the same directory (streaming requires an explicit

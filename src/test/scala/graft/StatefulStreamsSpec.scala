@@ -86,7 +86,14 @@ class StatefulStreamsSpec extends SparkSpec {
       java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
         .filter(_.toString.endsWith(".parquet"))
         .forEach { f =>
-          java.nio.file.Files.copy(f, srcDir.resolve(s"$n.parquet")); n += 1
+          val dst = srcDir.resolve(s"$n.parquet")
+          java.nio.file.Files.copy(f, dst)
+          // pin mtimes so micro-batch order follows event time (the
+          // file source orders by modification time; same-millisecond
+          // copies would make the order arbitrary)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+          n += 1
         }
     }
     val stream = spark.readStream.schema(ev.schema)
@@ -100,6 +107,54 @@ class StatefulStreamsSpec extends SparkSpec {
     val streamed = spark.table("cep_out")
       .select("user_id", "view_id", "click_id", "purchase_id", "span_us")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming rolling anomaly across micro-batches == batch window twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = core.Tables.load(spark, sf001, "events")
+    val batch = graft.operators.Temporal.rollingAnomaly(
+        ev, "user_id", "ts", "event_id", "value")
+      .select("user_id", "event_id", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+    assert(batch.exists(_._4), "batch twin must flag at least one anomaly")
+
+    // split by event TIME so trailing windows must span the batch
+    // boundary through the per-user state
+    val mid = ev.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .head.getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_stream")
+    ev.where(unix_micros(col("ts")) <= mid).repartition(1).write.parquet(s"$dir/p0")
+    ev.where(unix_micros(col("ts")) > mid).repartition(1).write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_anom_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val dst = srcDir.resolve(s"$n.parquet")
+          java.nio.file.Files.copy(f, dst)
+          // the file source orders micro-batches by modification time;
+          // two quick copies can land in the same millisecond, which
+          // would feed the halves in arbitrary order — pin the mtimes
+          // so arrival follows event time (the source contract)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+          n += 1
+        }
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.anomalyStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("anom_out")
+      .select("user_id", "event_id", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
