@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)    => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -68,5 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Expressions.LshTableKeys(
         args(0), intLit(args(1), "dim"),
         intLit(args(2), "planes"), intLit(args(3), "tables"))))
+
+    // graft_healpix_cover(ra_deg, dec_deg, nside, radius_rad): all
+    // NESTED cells a radius-disk around the point can touch — the
+    // catalog-side explode key for the spatial NN join
+    ext.injectFunction((
+      new FunctionIdentifier("graft_healpix_cover"),
+      new ExpressionInfo(classOf[Expressions.HealpixCoverDisk].getName, "graft_healpix_cover"),
+      (args: Seq[Expression]) => Expressions.HealpixCoverDisk(
+        args(0), args(1), intLit(args(2), "nside"),
+        doubleLit(args(3), "radiusRad"))))
   }
 }

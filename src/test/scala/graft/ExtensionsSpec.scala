@@ -52,4 +52,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == graft.functions.Healpix.ang2pixNest(64, 0.0, 90.0))
     assert(row.getSeq[Long](2).length == 3)
   }
+
+  test("graft_healpix_cover from SQL == the Scala disk cover") {
+    val got = spark.sql(
+      "SELECT graft_healpix_cover(10.0D, -45.0D, 64, 0.01D) AS cells")
+      .head().getSeq[Long](0).toSet
+    val expected = graft.functions.Healpix.coverDisk(64,
+      graft.functions.Healpix.ang2pixNest(64, 10.0, -45.0), 0.01).toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
