@@ -1063,7 +1063,7 @@ object QueriesSources {
             SELECT 3, o_orderkey, o_totalprice FROM orders
               WHERE o_orderkey % 10 != 3 AND o_orderkey % 10 != 7)
           SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
-            ${Det.sqlDsum("o_totalprice", 6)} AS price_sum,
+            ${Det.sqlDsum("o_totalprice", 2)} AS price_sum,
             TRUE AS no_rewrite_ok
           FROM v GROUP BY version ORDER BY version"""),
     (s, dir) => {
@@ -1083,7 +1083,7 @@ object QueriesSources {
       def summarize(m: Snapshots.Manifest): DataFrame =
         Snapshots.read(s, m)
           .agg(count(lit(1)).as("n_rows"),
-            Det.dsum(col("o_totalprice"), 6).as("price_sum"))
+            Det.dsum(col("o_totalprice"), 2).as("price_sum"))
           .select(lit(m.version.toLong).as("version"), col("n_rows"),
             col("price_sum"), lit(noRewrite).as("no_rewrite_ok"))
       summarize(m1).unionByName(summarize(m2)).unionByName(summarize(m3))
@@ -1109,7 +1109,7 @@ object QueriesSources {
             SELECT 4, o_orderkey, o_totalprice FROM orders
               WHERE o_orderkey % 10 != 3 AND o_orderkey % 10 != 7)
           SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
-            ${Det.sqlDsum("o_totalprice", 6)} AS price_sum,
+            ${Det.sqlDsum("o_totalprice", 2)} AS price_sum,
             TRUE AS compacted_ok
           FROM v GROUP BY version ORDER BY version"""),
     (s, dir) => {
@@ -1128,7 +1128,7 @@ object QueriesSources {
       def summarize(m: Snapshots.Manifest): DataFrame =
         Snapshots.read(s, m)
           .agg(count(lit(1)).as("n_rows"),
-            Det.dsum(col("o_totalprice"), 6).as("price_sum"))
+            Det.dsum(col("o_totalprice"), 2).as("price_sum"))
           .select(lit(m.version.toLong).as("version"), col("n_rows"),
             col("price_sum"), lit(compactedOk).as("compacted_ok"))
       summarize(m3).unionByName(summarize(m4)).orderBy("version")
@@ -1208,5 +1208,92 @@ object QueriesSources {
         .orderBy("o_orderkey", "change_type")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
+  /** X-EP6: lakehouse-lifecycle flagship — the full maintenance story
+    * the s21–s26 operators cover individually, composed and gated
+    * END-TO-END: initial load → copy-on-write update (buckets 0–1,
+    * +50) → equality delete (keys %9=5) → compaction, with the change
+    * feed computed at every transition. One row per stage carries
+    * (n_rows, exact price sum, n_changes INTO the stage, invariant
+    * ok): the hash gate pins stage-2 n_changes to the changed-bucket
+    * CDF row count, stage-3 to the rows the delete removed, and
+    * stage-4 to the v3→v4 change feed — which MUST be empty
+    * (compaction is a physical rewrite and a logical no-op; a single
+    * resurrected or lost row flips n_changes). ok booleans assert the
+    * physical invariants (COW sharing, no-rewrite deletes, zero
+    * remaining delete files). Price sums use decimal scale 2:
+    * o_totalprice is 2-decimal so the sum is exact, and the unscaled
+    * value stays far inside the 2^53 cross-engine conversion bound
+    * where scale 6 would exceed it at sf0.1 (Det.scala bound #2). */
+  private val ep6 = Q(
+    "ep6_lakehouse_lifecycle",
+    Some(s"""WITH v2 AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 8 < 2 THEN o_totalprice + 50.0
+              ELSE o_totalprice END AS p FROM orders),
+          v3 AS (SELECT * FROM v2 WHERE o_orderkey % 9 != 5)
+          SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_rows,
+            ${Det.sqlDsum("o_totalprice", 2)} AS price_sum,
+            CAST(0 AS BIGINT) AS n_changes, TRUE AS ok FROM orders
+          UNION ALL
+          SELECT 2, count(*), ${Det.sqlDsum("p", 2)},
+            (SELECT count(*) FROM orders WHERE o_orderkey % 8 < 2), TRUE
+          FROM v2
+          UNION ALL
+          SELECT 3, count(*), ${Det.sqlDsum("p", 2)},
+            (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 5), TRUE
+          FROM v3
+          UNION ALL
+          SELECT 4, count(*), ${Det.sqlDsum("p", 2)},
+            CAST(0 AS BIGINT), TRUE
+          FROM v3
+          ORDER BY stage"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = scratch(dir, "snap_lifecycle")
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bucket = pmod(col("o_orderkey"), lit(8))
+      val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+      val v2Content = base.where(pmod(col("o_orderkey"), lit(8)) < 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0))
+      val m2 = Snapshots.commit(v2Content, tdir, version = 2, bucket,
+        nBuckets = 8, parent = Some(m1), touched = Some(Set(0, 1)))
+      val m3 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 9 === 5), tdir, 3, "o_orderkey", m2)
+      val m4 = Snapshots.compact(s, tdir, version = 4, bucket, nBuckets = 8, m3)
+      // change feed INTO each stage; diffFull counts rows that appear,
+      // disappear, or change value between two delete-aware reads
+      def diffFull(a: DataFrame, b: DataFrame): Long =
+        a.select(col("o_orderkey"), col("o_totalprice").as("_old"))
+          .join(b.select(col("o_orderkey"), col("o_totalprice").as("_new")),
+            Seq("o_orderkey"), "full_outer")
+          .where(col("_old").isNull || col("_new").isNull ||
+            col("_old") =!= col("_new"))
+          .count()
+      // stage 2: s26's changed-bucket path (metadata diff names 0-1)
+      val changed = (m1.files.keySet ++ m2.files.keySet)
+        .filter(b => m1.files.get(b) != m2.files.get(b)).toSeq.sorted
+      def bucketRead(m: Snapshots.Manifest): DataFrame =
+        s.read.parquet(changed.flatMap(m.files(_)): _*)
+      val cdf12 = diffFull(bucketRead(m1), bucketRead(m2))
+      val r2 = Snapshots.read(s, m2); val r3 = Snapshots.read(s, m3)
+      val cdf23 = r2.count() - r3.count() // delete-only transition
+      val cdf34 = diffFull(r3, Snapshots.read(s, m4)) // MUST be 0
+      val ok2 = Snapshots.cowShared(m1, m2, Set(0, 1))
+      val ok3 = m3.files == m2.files && m3.deletes.size == 1
+      val ok4 = m4.deletes.isEmpty
+      def summarize(m: Snapshots.Manifest, stage: Int, nChanges: Long,
+                    ok: Boolean): DataFrame =
+        Snapshots.read(s, m)
+          .agg(count(lit(1)).as("n_rows"),
+            Det.dsum(col("o_totalprice"), 2).as("price_sum"))
+          .select(lit(stage.toLong).as("stage"), col("n_rows"),
+            col("price_sum"), lit(nChanges).as("n_changes"),
+            lit(ok).as("ok"))
+      summarize(m1, 1, 0L, ok = true)
+        .unionByName(summarize(m2, 2, cdf12, ok2))
+        .unionByName(summarize(m3, 3, cdf23, ok3))
+        .unionByName(summarize(m4, 4, cdf34, ok4))
+        .orderBy("stage")
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }
