@@ -114,4 +114,33 @@ class SyntaxSpec extends SparkSpec {
     val w = docs.softDedupWeights("doc_id", "text").collect()
     assert(w.forall(_.getAs[Double]("weight") == 0.5))
   }
+
+  test("analytics fluent surface: pmi, grouped OLS, rolling anomaly, filtered ANN") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val pmi = docs.pmiCooccur("doc_id", "text", minPairDocs = 2).collect()
+    assert(pmi.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+
+    val pts = (1 to 50).map(i =>
+      ("g", (i % 7).toDouble, (i % 3).toDouble, 1.0 + (i % 7) * 2.0))
+      .toDF("grp", "x1", "x2", "y")
+    val fit = pts.olsPerGroup(Seq("grp"), col("x1"), col("x2"), col("y")).head()
+    assert(math.abs(fit.getAs[Double]("b1") - 2.0) < 1e-6)
+
+    val ev = (0 until 6).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 10:0$i:00"), i.toLong,
+        if (i == 5) 99.0 else (i % 2) + 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val anom = ev.rollingAnomaly("user_id", "ts", "event_id", "value",
+      window = 8, minHistory = 4).where(col("is_anomaly")).collect()
+    assert(anom.map(_.getLong(2)).toSeq == Seq(5L))
+
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(0.9f, 0.1f), 7), (3L, Array(1f, 0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val ann = vecs.filteredTopK("vec_id", "embedding", "label", dim = 2, k = 1)
+    assert(ann.collect().forall { r => // only same-label candidates appear
+      Set((1L, 2L), (2L, 1L)).contains((r.getLong(0), r.getLong(1)))
+    })
+  }
 }
