@@ -139,7 +139,8 @@ object QueriesAnalytics {
             FROM zz)
           SELECT user_id, ts, event_id, value, z,
             coalesce(abs(z) > 3.0, FALSE)
-              OR (n >= 4 AND sd = 0.0 AND value != mu) AS is_anomaly
+              OR coalesce(n >= 4 AND sd = 0.0 AND value != mu, FALSE)
+              AS is_anomaly
           FROM z3 ORDER BY user_id, ts, event_id"""
 
   private val evAnomaly = Q(

@@ -257,8 +257,11 @@ object Temporal {
     val z = when(n >= minHistory && std > 0.0,
       round((col(valCol) - mean) / std, 6))
     // zero-variance history (exactly constant on the decimal grid):
-    // any departure is an infinite z — flag it, with z left null
-    val degenerate = n >= minHistory && std === 0.0 && col(valCol) =!= mean
+    // any departure is an infinite z — flag it, with z left null.
+    // coalesce keeps is_anomaly non-null even for NULL observations
+    // (val =!= mean is NULL then, and false || NULL would leak it)
+    val degenerate = coalesce(
+      n >= minHistory && std === 0.0 && col(valCol) =!= mean, lit(false))
     df.select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
       .withColumn("z", z)
       .withColumn("is_anomaly",
