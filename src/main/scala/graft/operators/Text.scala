@@ -528,7 +528,12 @@ object Text {
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     val vocab = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(vocabSize)
-    val ft = docTerms.join(broadcast(vocab), Seq("term"))
+    // the vocab-filtered frame feeds BOTH sides of the pair self-join;
+    // without materialization each side re-derives the explode from
+    // the raw text (5 scans of the corpus in the executed plan).
+    // Checkpointing is safe to size: ft is ≤ vocabSize rows per doc
+    // at any corpus scale, unlike the unfiltered docTerms.
+    val ft = docTerms.join(broadcast(vocab), Seq("term")).localCheckpoint()
     val a = ft.select(col(idCol), col("term").as("w1"), col("df").as("df1"))
     val b = ft.select(col(idCol), col("term").as("w2"), col("df").as("df2"))
     a.join(b, Seq(idCol)).where(col("w1") < col("w2"))
