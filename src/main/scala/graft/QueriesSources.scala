@@ -1295,5 +1295,42 @@ object QueriesSources {
         .orderBy("stage")
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
+  /** X-S27: snapshot expiry (VACUUM) — the third maintenance action
+    * after compaction and CDF: files referenced only by versions
+    * older than the retention point are PHYSICALLY deleted (manifest
+    * set algebra names them; superseded bucket files + folded delete
+    * files). The gate is end-to-end: after the unlink loop the
+    * retained version's content is hash-checked against the oracle's
+    * recomputation (expiry must not touch anything live — a shared
+    * file wrongly expired breaks the sum), and `vacuum_ok` asserts
+    * that files were actually removed AND that reading an expired
+    * version now fails. */
+  private val s27 = Q(
+    "s27_snapshot_expiry",
+    Some(s"""SELECT count(*) AS n_rows,
+            ${Det.sqlDsum("o_totalprice", 2)} AS price_sum,
+            TRUE AS vacuum_ok
+          FROM orders WHERE o_orderkey % 7 != 3"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = scratch(dir, "snap_expiry")
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bucket = pmod(col("o_orderkey"), lit(8))
+      val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+      val m2 = Snapshots.deleteCommit(
+        base.where(col("o_orderkey") % 7 === 3), tdir, 2, "o_orderkey", m1)
+      val m3 = Snapshots.compact(s, tdir, version = 3, bucket, nBuckets = 8, m2)
+      val (nLive, nExpired) = Snapshots.expire(tdir, keepFrom = 3, upTo = 3)
+      // v1/v2 are gone for good; v3 must read exactly as before
+      val oldGone =
+        try { Snapshots.read(s, m1).count(); false }
+        catch { case _: Exception => true }
+      val vacuumOk = nExpired > 0 && nLive > 0 && oldGone
+      Snapshots.readVersion(s, tdir, 3)
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice"), 2).as("price_sum"))
+        .withColumn("vacuum_ok", lit(vacuumOk))
+    })
+
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }

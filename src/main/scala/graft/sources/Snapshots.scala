@@ -159,6 +159,25 @@ object Snapshots {
     }
   }
 
+  /** Snapshot expiry (VACUUM): physically deletes every file that is
+    * referenced ONLY by versions older than `keepFrom` — data files
+    * superseded by copy-on-write or compaction, and delete files
+    * folded by compaction. Versions >= keepFrom keep reading exactly
+    * as before (their whole file graph is retained, including files
+    * they still share with expired versions); older versions become
+    * unreadable. Pure manifest set algebra + a driver-side unlink
+    * loop — metadata-sized like every planning step in the protocol.
+    * Returns (live file count, expired-and-deleted file count). */
+  def expire(tableDir: String, keepFrom: Int, upTo: Int): (Int, Int) = {
+    require(keepFrom >= 1 && keepFrom <= upTo, "need 1 <= keepFrom <= upTo")
+    val all = (1 to upTo).map(loadManifest(tableDir, _))
+    def refs(m: Manifest): Set[String] = m.allFiles.toSet ++ m.deletes
+    val live = all.filter(_.version >= keepFrom).flatMap(refs).toSet
+    val expired = all.filter(_.version < keepFrom).flatMap(refs).toSet -- live
+    expired.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    (live.size, expired.size)
+  }
+
   private def manifestPath(tableDir: String, version: Int) =
     Paths.get(tableDir, "manifests", s"v$version.json")
 

@@ -161,6 +161,27 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("expire removes only old-version-only files; retained versions still read") {
+    val tdir = freshDir
+    val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val bucket = pmod(col("k"), lit(4))
+    val m1 = Snapshots.commit(base, tdir, 1, bucket, nBuckets = 4)
+    // v2 rewrites bucket 0 only — buckets 1-3 stay SHARED with v1
+    val m2 = Snapshots.commit(
+      base.where(pmod(col("k"), lit(4)) === 0).withColumn("v", col("v") * 2),
+      tdir, 2, bucket, nBuckets = 4, parent = Some(m1), touched = Some(Set(0)))
+    val (nLive, nExpired) = Snapshots.expire(tdir, keepFrom = 2, upTo = 2)
+    // only v1's superseded bucket-0 files die; the shared ones survive
+    assert(nExpired > 0 && nLive > 0)
+    m1.files(0).foreach(f => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    (1 to 3).foreach(b => m2.files(b).foreach(f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)), s"shared file $f expired")))
+    // v2 reads complete content; v1 is gone
+    assert(Snapshots.read(spark, m2).count() == 64)
+    intercept[Exception] { Snapshots.read(spark, m1).count() }
+    intercept[IllegalArgumentException] { Snapshots.expire(tdir, 0, 2) }
+  }
+
   test("compact folds deletes into fresh data files, content unchanged") {
     val tdir = freshDir
     val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
