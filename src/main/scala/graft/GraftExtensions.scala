@@ -21,13 +21,22 @@ import graft.functions.Expressions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)   => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _)  => v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  // Spark SQL parses an unsuffixed fractional literal (0.01) as DECIMAL,
+  // not DOUBLE — accept Decimal/Long/Float spellings too so the natural
+  // `graft_healpix_cover(ra, dec, 64, 0.01)` works without a D suffix.
   private def doubleLit(e: Expression, what: String): Double = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _)  => v.toDouble
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)    => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)   => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 

@@ -27,6 +27,24 @@ object QueriesSources {
     p
   }
 
+  /** scratch() wiped clean first — for the snapshot tables, whose
+    * commit protocol CASes on version-manifest creation (CREATE_NEW)
+    * and so is deliberately NOT overwrite-idempotent: a re-run must
+    * start from an empty table, exactly like a real lake table that
+    * is created once. */
+  private def freshScratch(dir: String, tag: String): String = {
+    val p = scratch(dir, tag)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    val root = new java.io.File(p)
+    val kids = root.listFiles()
+    if (kids != null) kids.foreach(rm)
+    p
+  }
+
   /** Build (once per scratch dir) a months-partitioned copy of orders
     * — the "directory of per-exposure files" layout the reference
     * globs (dataset_base.py:24-53). */
@@ -920,13 +938,15 @@ object QueriesSources {
 
   /** The shared two-version snapshot table for s21/s23: v1 = the
     * customer table in 8 key buckets; v2 = an update touching buckets
-    * 0–1 only (acctbal + 100 where custkey % 8 < 2). Commits are
-    * deterministic and overwrite-idempotent per scale dir. */
+    * 0–1 only (acctbal + 100 where custkey % 8 < 2). The table dir is
+    * wiped per invocation (freshScratch) — the commit protocol CASes
+    * on manifest creation, so re-commits of an existing version are
+    * conflicts by design. */
   private val snapTouched = Set(0, 1)
   private def snapCustomer(s: SparkSession, dir: String)
       : (graft.sources.Snapshots.Manifest, graft.sources.Snapshots.Manifest) = {
     import graft.sources.Snapshots
-    val tdir = scratch(dir, "snap_customer")
+    val tdir = freshScratch(dir, "snap_customer")
     val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
     val bucket = pmod(col("c_custkey"), lit(8))
     val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
@@ -1068,7 +1088,7 @@ object QueriesSources {
           FROM v GROUP BY version ORDER BY version"""),
     (s, dir) => {
       import graft.sources.Snapshots
-      val tdir = scratch(dir, "snap_orders_deletes")
+      val tdir = freshScratch(dir, "snap_orders_deletes")
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val m1 = Snapshots.commit(base, tdir, version = 1,
         pmod(col("o_orderkey"), lit(8)), nBuckets = 8)
@@ -1114,7 +1134,7 @@ object QueriesSources {
           FROM v GROUP BY version ORDER BY version"""),
     (s, dir) => {
       import graft.sources.Snapshots
-      val tdir = scratch(dir, "snap_orders_compact")
+      val tdir = freshScratch(dir, "snap_orders_compact")
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val bucket = pmod(col("o_orderkey"), lit(8))
       val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
@@ -1171,7 +1191,7 @@ object QueriesSources {
           ORDER BY o_orderkey, change_type"""),
     (s, dir) => {
       import graft.sources.Snapshots
-      val tdir = scratch(dir, "snap_orders_cdf")
+      val tdir = freshScratch(dir, "snap_orders_cdf")
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val bucket = pmod(col("o_orderkey"), lit(8))
       val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
@@ -1248,7 +1268,7 @@ object QueriesSources {
           ORDER BY stage"""),
     (s, dir) => {
       import graft.sources.Snapshots
-      val tdir = scratch(dir, "snap_lifecycle")
+      val tdir = freshScratch(dir, "snap_lifecycle")
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val bucket = pmod(col("o_orderkey"), lit(8))
       val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
@@ -1313,7 +1333,7 @@ object QueriesSources {
           FROM orders WHERE o_orderkey % 7 != 3"""),
     (s, dir) => {
       import graft.sources.Snapshots
-      val tdir = scratch(dir, "snap_expiry")
+      val tdir = freshScratch(dir, "snap_expiry")
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val bucket = pmod(col("o_orderkey"), lit(8))
       val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)

@@ -531,9 +531,12 @@ object Text {
     // the vocab-filtered frame feeds BOTH sides of the pair self-join;
     // without materialization each side re-derives the explode from
     // the raw text (5 scans of the corpus in the executed plan).
-    // Checkpointing is safe to size: ft is ≤ vocabSize rows per doc
-    // at any corpus scale, unlike the unfiltered docTerms.
-    val ft = docTerms.join(broadcast(vocab), Seq("term")).localCheckpoint()
+    // persist (recomputable, spills to disk) rather than
+    // localCheckpoint: ft is ≤ vocabSize rows PER DOC, i.e. O(N·V)
+    // total — bounded per-doc but linear in corpus size, so it must
+    // not be pinned unrecoverable on executor storage at scale.
+    val ft = docTerms.join(broadcast(vocab), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ft.select(col(idCol), col("term").as("w1"), col("df").as("df1"))
     val b = ft.select(col(idCol), col("term").as("w2"), col("df").as("df2"))
     a.join(b, Seq(idCol)).where(col("w1") < col("w2"))

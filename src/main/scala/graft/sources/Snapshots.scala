@@ -30,6 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** Typed optimistic-concurrency failure: another writer already
+    * committed this version (i.e. won the compare-and-swap on the
+    * version pointer). The loser should reload the latest manifest
+    * ([[latestVersion]] + [[loadManifest]]), rebase its change, and
+    * retry at version+1 — the standard optimistic commit loop every
+    * snapshot lake (Iceberg/Delta) runs. */
+  final class SnapshotConflict(val tableDir: String, val version: Int)
+    extends RuntimeException(
+      s"concurrent commit conflict: version $version already exists in $tableDir")
+
+  /** Typed expiry failure: the version's files were vacuumed by
+    * [[expire]]; its manifest remains as a tombstone so readers get a
+    * protocol-level error instead of a raw missing-path failure deep
+    * in the parquet reader. */
+  final class SnapshotExpired(val tableDir: String, val version: Int)
+    extends RuntimeException(
+      s"version $version of $tableDir was expired (files vacuumed); " +
+        "time travel is only available back to the retention boundary")
+
   /** Version manifest: bucket id → data-file paths, plus the
     * version's accumulated equality-delete files (Iceberg v2-style
     * row-level deletes: each delete file lists KEY VALUES removed
@@ -63,7 +82,15 @@ object Snapshots {
     require(parent.forall(_.deletes.isEmpty),
       s"parent v${parent.map(_.version).getOrElse(-1)} carries equality-delete " +
         "files; compact them before a data commit")
-    val dataDir = s"$tableDir/data/v$version"
+    require(parent.forall(_.version < version),
+      s"version $version must be greater than parent v${parent.map(_.version).get}")
+    // attempt-unique data dir: two writers racing for the same version
+    // number stage their files in DISJOINT directories, so the CAS
+    // loser cannot have clobbered the winner's data. The loser's
+    // staged files are orphans (unreferenced by any manifest) and are
+    // reclaimable by any path-sweeping GC.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$tableDir/data/v$version-$attempt"
     df.withColumn("_bucket", bucketCol.cast("int"))
       .where(col("_bucket").isInCollection(writeBuckets))
       .repartition(math.min(writeBuckets.size, 32), col("_bucket"))
@@ -99,7 +126,10 @@ object Snapshots {
                    keyCol: String, parent: Manifest): Manifest = {
     require(parent.deleteKey.forall(_ == keyCol),
       s"delete key $keyCol differs from parent's ${parent.deleteKey}")
-    val delDir = s"$tableDir/deletes/v$version"
+    require(parent.version < version,
+      s"version $version must be greater than parent v${parent.version}")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$tableDir/deletes/v$version-$attempt"
     deletedKeys.select(col(keyCol)).distinct()
       .repartition(1).write.mode("overwrite").parquet(delDir)
     val fs = Files.list(Paths.get(delDir)).iterator().asScala
@@ -164,23 +194,68 @@ object Snapshots {
     * superseded by copy-on-write or compaction, and delete files
     * folded by compaction. Versions >= keepFrom keep reading exactly
     * as before (their whole file graph is retained, including files
-    * they still share with expired versions); older versions become
-    * unreadable. Pure manifest set algebra + a driver-side unlink
-    * loop — metadata-sized like every planning step in the protocol.
+    * they still share with expired versions); older versions get a
+    * tombstone marker next to their manifest, so [[loadManifest]] /
+    * [[readVersion]] fail with a protocol-level [[SnapshotExpired]]
+    * instead of a raw missing-path error deep in the parquet reader.
+    * (A Manifest object obtained BEFORE expiry still fails only at
+    * scan time — the marker is checked at manifest load.)
+    * `upTo` must be the table's LATEST version: the ref-count algebra
+    * is only sound over the full version graph (a newer, unexamined
+    * version could share files with the expired range). Pure manifest
+    * set algebra + a driver-side unlink loop — metadata-sized like
+    * every planning step in the protocol.
     * Returns (live file count, expired-and-deleted file count). */
   def expire(tableDir: String, keepFrom: Int, upTo: Int): (Int, Int) = {
     require(keepFrom >= 1 && keepFrom <= upTo, "need 1 <= keepFrom <= upTo")
-    val all = (1 to upTo).map(loadManifest(tableDir, _))
+    val latest = latestVersion(tableDir)
+    require(latest.contains(upTo),
+      s"expire's upTo ($upTo) must be the table's latest version " +
+        s"(${latest.getOrElse("none")}): newer versions may share files " +
+        "with the expired range and must enter the ref-count")
+    val all = (1 to upTo).map(loadManifestRaw(tableDir, _))
     def refs(m: Manifest): Set[String] = m.allFiles.toSet ++ m.deletes
     val live = all.filter(_.version >= keepFrom).flatMap(refs).toSet
-    val expired = all.filter(_.version < keepFrom).flatMap(refs).toSet -- live
-    expired.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    val expired0 = all.filter(_.version < keepFrom).flatMap(refs).toSet -- live
+    // count actual unlinks so a re-run over the same range reports 0
+    val expired = expired0.filter(f => Files.deleteIfExists(Paths.get(f)))
+    all.filter(_.version < keepFrom).foreach { m =>
+      val t = tombstonePath(tableDir, m.version)
+      if (!Files.exists(t)) Files.write(t,
+        s"""{"version": ${m.version}, "expired": true}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
     (live.size, expired.size)
+  }
+
+  /** Latest committed version: max over the manifest directory, the
+    * read side of the version pointer the commit CAS swaps. */
+  def latestVersion(tableDir: String): Option[Int] = {
+    val dir = Paths.get(tableDir, "manifests")
+    if (!Files.isDirectory(dir)) None
+    else {
+      val vRe = """^v(\d+)\.json$""".r
+      val vs = Files.list(dir).iterator().asScala
+        .flatMap(p => vRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   private def manifestPath(tableDir: String, version: Int) =
     Paths.get(tableDir, "manifests", s"v$version.json")
 
+  private def tombstonePath(tableDir: String, version: Int) =
+    Paths.get(tableDir, "manifests", s"v$version.expired")
+
+  /** The commit CAS: the manifest file IS the version pointer, and
+    * CREATE_NEW is the atomic compare-and-swap — of any number of
+    * writers racing to commit version N, exactly one create succeeds
+    * (POSIX O_EXCL semantics; object stores use if-none-match for the
+    * same effect). Losers get a typed [[SnapshotConflict]] and must
+    * rebase on the new latest version and retry — their staged data
+    * files live in attempt-unique directories, so the winner's files
+    * are untouched. */
   private def writeManifest(tableDir: String, m: Manifest): Unit = {
     def arr(fs: Seq[String]) =
       fs.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString(", ")
@@ -193,14 +268,30 @@ object Snapshots {
     val json =
       s"""{"version": ${m.version}$delPart, "files": {\n$entries\n}}"""
     Files.createDirectories(manifestPath(tableDir, m.version).getParent)
-    Files.write(manifestPath(tableDir, m.version),
-      json.getBytes(StandardCharsets.UTF_8))
+    try Files.write(manifestPath(tableDir, m.version),
+      json.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new SnapshotConflict(tableDir, m.version)
+    }
   }
 
   /** Minimal strict parser for the manifest JSON this object writes
     * (single-level object of int → string-array; paths were escaped
-    * on write). */
+    * on write). Fails with [[SnapshotExpired]] when the version was
+    * vacuumed by [[expire]] — the manifest survives as a tombstone. */
   def loadManifest(tableDir: String, version: Int): Manifest = {
+    if (Files.exists(tombstonePath(tableDir, version)))
+      throw new SnapshotExpired(tableDir, version)
+    loadManifestRaw(tableDir, version)
+  }
+
+  /** Tombstone-blind load — expiry's own ref-count pass must read
+    * expired versions' manifests (e.g. on a re-run over a wider
+    * range). */
+  private def loadManifestRaw(tableDir: String, version: Int): Manifest = {
     val p = manifestPath(tableDir, version)
     require(Files.exists(p), s"no manifest for version $version at $p")
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

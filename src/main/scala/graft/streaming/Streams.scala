@@ -289,9 +289,16 @@ object Streams {
     * disagree with either engine's cast), the long sums are exact,
     * and the final divisions/sqrt are the same correctly-rounded
     * IEEE ops the window expressions compile to. State is O(window)
-    * per key; output mode Append. */
+    * per key; output mode Append.
+    *
+    * State per key is O(window), but keys themselves are unbounded in
+    * a long-running stream — `stateTtlMs` (off by default) arms a
+    * ProcessingTimeTimeout that drops a user's history after that
+    * much inactivity, bounding total state at the cost of exact batch
+    * parity (a user returning after the TTL is scored as new). */
   def anomalyStream(events: DataFrame, window: Int = 8,
-                    minHistory: Int = 4, k: Double = 3.0): DataFrame = {
+                    minHistory: Int = 4, k: Double = 3.0,
+                    stateTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -311,6 +318,10 @@ object Streams {
     def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
            state: GroupState[List[(Long, Long, Double)]])
         : Iterator[(Long, java.sql.Timestamp, Long, Double, Option[Double], Boolean)] = {
+      if (state.hasTimedOut) { // TTL expiry tick: drop idle key's history
+        state.remove()
+        return Iterator.empty
+      }
       var hist = state.getOption.getOrElse(Nil)
       val out = scala.collection.mutable
         .ArrayBuffer[(Long, java.sql.Timestamp, Long, Double, Option[Double], Boolean)]()
@@ -333,10 +344,13 @@ object Streams {
         hist = ((us(ts), id, v) :: hist).take(window)
       }
       state.update(hist)
+      stateTtlMs.foreach(state.setTimeoutDuration)
       out.iterator
     }
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
       .toDF("user_id", "ts", "event_id", "value", "z", "is_anomaly")
   }
 

@@ -182,6 +182,91 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Snapshots.expire(tdir, 0, 2) }
   }
 
+  test("two-writer race: exactly one wins the version CAS; loser rebases and retries") {
+    val nB = 4
+    def dfOf(m: Map[Long, Long]) = m.toSeq.sortBy(_._1).toDF("k", "v")
+    def readBack(m: Snapshots.Manifest): Map[Long, Long] =
+      Snapshots.read(spark, m).as[(Long, Long)].collect().toMap
+    for (seed <- Seq(7, 93)) {
+      val rnd = new scala.util.Random(seed)
+      val tdir = freshDir
+      val bucket = pmod(col("k"), lit(nB))
+      var model: Map[Long, Long] = (0L until 32L).map(k => k -> k).toMap
+      var m = Snapshots.commit(dfOf(model), tdir, 1, bucket, nB)
+      for (round <- 1 to 3) {
+        val v = m.version + 1
+        // two writers, disjoint touched buckets, same target version —
+        // a latch releases both as close to simultaneously as possible
+        val deltas = Seq(0, 1).map(b => b -> (rnd.nextInt(50) + 1L)).toMap
+        def content(base: Map[Long, Long], b: Int): Map[Long, Long] =
+          base.map { case (k, x) => k -> (if (k % nB == b) x + deltas(b) else x) }
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val base0 = model
+        val attempts = Seq(0, 1).map { b =>
+          val t = new java.util.concurrent.FutureTask(() =>
+            try {
+              latch.await()
+              Right(b -> Snapshots.commit(dfOf(content(base0, b)), tdir, v,
+                bucket, nB, parent = Some(m), touched = Some(Set(b))))
+                : Either[(Int, Throwable), (Int, Snapshots.Manifest)]
+            } catch { case e: Throwable => Left(b -> rootOf(e)) })
+          new Thread(t).start(); t
+        }
+        latch.countDown()
+        val outcomes = attempts.map(_.get())
+        val wins = outcomes.collect { case Right(w) => w }
+        val losses = outcomes.collect { case Left(l) => l }
+        assert(wins.size == 1 && losses.size == 1,
+          s"seed=$seed round=$round expected exactly one CAS winner, got $outcomes")
+        val (winB, winM) = wins.head
+        val (loseB, err) = losses.head
+        assert(err.isInstanceOf[Snapshots.SnapshotConflict],
+          s"seed=$seed loser must fail with SnapshotConflict, got $err")
+        // winner's commit is intact despite the concurrent staging
+        model = content(base0, winB)
+        assert(readBack(winM) == model, s"seed=$seed round=$round winner clobbered")
+        // optimistic retry: loser reloads the latest version and rebases
+        val latest = Snapshots.latestVersion(tdir)
+        assert(latest.contains(v))
+        val rebased = Snapshots.loadManifest(tdir, v)
+        model = content(model, loseB)
+        m = Snapshots.commit(dfOf(content(readBack(rebased), loseB)), tdir, v + 1,
+          bucket, nB, parent = Some(rebased), touched = Some(Set(loseB)))
+        assert(readBack(m) == model, s"seed=$seed round=$round rebase drifted")
+      }
+    }
+  }
+
+  private def rootOf(e: Throwable): Throwable = {
+    // the loser's conflict may arrive wrapped (ExecutionException)
+    var c = e
+    while (c.getCause != null && !c.isInstanceOf[Snapshots.SnapshotConflict])
+      c = c.getCause
+    c
+  }
+
+  test("expired versions fail at manifest load with a typed protocol error") {
+    val tdir = freshDir
+    val base = (0L until 32L).map(k => (k, k)).toDF("k", "v")
+    val bucket = pmod(col("k"), lit(2))
+    val m1 = Snapshots.commit(base, tdir, 1, bucket, nBuckets = 2)
+    Snapshots.commit(base.withColumn("v", col("v") + 1), tdir, 2, bucket,
+      nBuckets = 2, parent = Some(m1), touched = Some(Set(0, 1)))
+    // expiring a prefix while ignoring newer versions is refused:
+    // the ref-count is only sound over the full graph
+    intercept[IllegalArgumentException] { Snapshots.expire(tdir, 1, 1) }
+    val (_, nExpired) = Snapshots.expire(tdir, keepFrom = 2, upTo = 2)
+    assert(nExpired > 0)
+    // protocol-level error, not a raw parquet path failure
+    intercept[Snapshots.SnapshotExpired] { Snapshots.loadManifest(tdir, 1) }
+    intercept[Snapshots.SnapshotExpired] { Snapshots.readVersion(spark, tdir, 1) }
+    // re-running the same expiry is idempotent (tombstones are not errors)
+    val (_, again) = Snapshots.expire(tdir, keepFrom = 2, upTo = 2)
+    assert(again == 0)
+    // retained version unaffected
+    assert(Snapshots.readVersion(spark, tdir, 2).count() == 32)
+  }
+
   test("compact folds deletes into fresh data files, content unchanged") {
     val tdir = freshDir
     val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
