@@ -247,12 +247,21 @@ object Pipeline {
   }
 
   /** The full notebook pipeline; with `dump = true` it also runs the
-    * S10 CSV sink (notebook cell 10: one gzip CSV of the final frame).
+    * S10 CSV sink (notebook cell 10: a gzip CSV of the final frame).
     * The dump is a SIDE EFFECT — bench and verify time/check the
     * returned frame only, so they run `dump = false` (the r05 bench
     * paid the single-task gzip write 3× per measurement — VERDICT
-    * #5); notebook parity is exercised once in [[SparkEntry.entry]]. */
-  def flagship(spark: SparkSession, dir: String, dump: Boolean = false): DataFrame = {
+    * #5); notebook parity is exercised once in [[SparkEntry.entry]].
+    *
+    * The dump defaults to the SHARDED contract — part-parallel gzip
+    * CSV plus a JSON sidecar naming every part and the row count
+    * ([[graft.sources.Reports.dumpSharded]]) — because the final
+    * frame is fact-sized (one row per calibrated detection) and a
+    * one-task writer is the plan's only non-scaling stage at 100 TB.
+    * `singleFile = true` restores the notebook's exact one-file
+    * `to_csv` contract (dataset_base.py:98-136) for small runs. */
+  def flagship(spark: SparkSession, dir: String, dump: Boolean = false,
+               singleFile: Boolean = false): DataFrame = {
     if (!dump) return stages(spark, dir).last._2
     // materialize the final frame once: both consumers (the CSV dump
     // here and whatever action the caller runs next) would otherwise
@@ -260,12 +269,17 @@ object Pipeline {
     val result = cp("result", stages(spark, dir).last._2)
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
-    // repartition(1), NOT coalesce(1): coalesce would collapse the
-    // whole tail (two group-selection joins + metadata join) into a
-    // single task; repartition keeps them parallel and only the final
-    // gzip write runs single-task (one output file, as the notebook's)
-    timed("csv_dump")(result.repartition(1).write.mode("overwrite")
-      .option("compression", "gzip").option("header", "true").csv(out))
+    if (singleFile) {
+      // repartition(1), NOT coalesce(1): coalesce would collapse the
+      // whole tail (two group-selection joins + metadata join) into a
+      // single task; repartition keeps them parallel and only the
+      // final gzip write runs single-task (one output file)
+      timed("csv_dump")(result.repartition(1).write.mode("overwrite")
+        .option("compression", "gzip").option("header", "true").csv(out))
+    } else {
+      timed("csv_dump")(graft.sources.Reports.dumpSharded(
+        result, out, "result", provenance = "ep2_flagship"))
+    }
     result
   }
 }

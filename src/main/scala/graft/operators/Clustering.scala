@@ -116,14 +116,14 @@ object Clustering {
       val labels = labeled.toSeq.toDF("_id", "_label")
         .select(col("_id").cast(idType).as("_id"),
           col("_label").cast(idType).as("_label"))
-      // parity with the distributed path: only endpoints that are in
-      // `nodes` get a label row; nodes without an edge are their own
-      // component. `nodes` streams; the tiny label table broadcasts.
-      val inNodes = nodes.join(broadcast(labels), Seq("_id"))
-        .select(col("_id"), col("_label"))
-      val ownComponent = nodes.join(broadcast(labels), Seq("_id"), "left_anti")
-        .select(col("_id"), col("_id").as("_label"))
-      return inNodes.unionByName(ownComponent)
+      // parity with the distributed path: endpoints that are in
+      // `nodes` get their component label; nodes without an edge are
+      // their own component. ONE left broadcast join + coalesce — not
+      // a semi/anti pair — so `nodes` is scanned once and the tiny
+      // label table broadcasts once (two fewer stages per CC call;
+      // the fixed job latency is the whole cost at ep2's scale).
+      return nodes.join(broadcast(labels), Seq("_id"), "left")
+        .select(col("_id"), coalesce(col("_label"), col("_id")).as("_label"))
     }
 
     // Distributed path: alternating large-star/small-star rounds

@@ -43,6 +43,43 @@ object Reports {
     (csvDir, sidecar)
   }
 
+  /** Sharded fact-frame sink: the frame's natural partitioning writes
+    * N gzip CSV parts in parallel, plus the same JSON sidecar carrying
+    * row count, schema AND the part list — the scale path for
+    * fact-sized dumps (ep2's final calibrated table), where the
+    * single-file `to_csv` contract would funnel 100 TB through one
+    * task. Single-file consumers keep [[dump]]; everyone else gets
+    * part-parallel IO and a manifest to drive it. */
+  def dumpSharded(df: DataFrame, dir: String, name: String,
+                  provenance: String = ""): (String, String) = {
+    val base = s"$dir/$name"
+    val csvDir = s"$base/data.csv"
+    val n = df.count()
+    df.write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(csvDir)
+    val parts = {
+      val d = Paths.get(csvDir)
+      val it = Files.list(d).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next().getFileName.toString
+        if (f.startsWith("part-") && !f.endsWith(".crc")) buf += f
+      }
+      buf.sorted.toSeq
+    }
+    val fields = df.schema.fields.map { f =>
+      s"""{"name":${q(f.name)},"type":${q(f.dataType.simpleString)}}"""
+    }.mkString("[", ",", "]")
+    val sidecar = s"$base/meta.json"
+    val json =
+      s"""{"report":${q(name)},"rows":$n,"columns":$fields,
+         |"parts":${parts.map(q).mkString("[", ",", "]")},
+         |"provenance":${q(provenance)}}""".stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(base))
+    Files.write(Paths.get(sidecar), json.getBytes(StandardCharsets.UTF_8))
+    (csvDir, sidecar)
+  }
+
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

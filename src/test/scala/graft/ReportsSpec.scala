@@ -31,4 +31,45 @@ class ReportsSpec extends SparkSpec {
     assert(back.count() == report.count())
     assert(back.columns.toSeq == report.columns.toSeq)
   }
+
+  test("sharded dump writes part-parallel csv.gz + sidecar part manifest") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 10000).select(col("id"),
+      (col("id") % 97).as("k"), (col("id") * 1.5).as("v"))
+      .repartition(8)
+    val dir = Files.createTempDirectory("graft_reports").toString
+    val (csvDir, sidecar) = Reports.dumpSharded(fact, dir, "fact",
+      provenance = "spec")
+    // MULTIPLE parts — no one-task write stage
+    val it = Files.list(Paths.get(csvDir)).iterator()
+    var nParts = 0
+    while (it.hasNext) if (it.next().toString.endsWith(".csv.gz")) nParts += 1
+    assert(nParts > 1, s"expected sharded parts in $csvDir, got $nParts")
+    // sidecar: row count + every part named
+    val meta = Files.readString(Paths.get(sidecar))
+    assert(meta.contains("\"rows\":10000"), meta)
+    assert(meta.contains("\"parts\":["), meta)
+    assert(nParts == "part-".r.findAllIn(
+      meta.substring(meta.indexOf("\"parts\":"))).size, meta)
+    // data layer round-trips
+    val back = spark.read.option("header", "true").csv(csvDir)
+    assert(back.count() == 10000)
+    assert(back.columns.toSeq == fact.columns.toSeq)
+  }
+
+  test("flagship dump: sharded by default, single-file under the notebook contract") {
+    // sf0.001 keeps this cheap; the flagship's returned frame is
+    // identical either way — only the sink layout changes
+    val sharded = Pipeline.flagship(spark, sf001, dump = true)
+    val outDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
+    val meta = Files.readString(Paths.get(s"$outDir/result/meta.json"))
+    assert(meta.contains(s"\"rows\":${sharded.count()}"), meta)
+    val single = Pipeline.flagship(spark, sf001, dump = true, singleFile = true)
+    var nFiles = 0
+    val it = Files.list(Paths.get(outDir)).iterator()
+    while (it.hasNext) if (it.next().toString.endsWith(".csv.gz")) nFiles += 1
+    assert(nFiles == 1, s"notebook contract: exactly one gzip csv, got $nFiles")
+    assert(single.count() == sharded.count())
+  }
 }
