@@ -10,16 +10,27 @@ package graft.operators
   *
   * Supported TFORM codes: L (logical), B (unsigned byte), I (int16),
   * J (int32), K (int64), E (float32), D (float64), A (characters —
-  * repeat = string width, trailing blanks stripped like astropy).
-  * Non-A repeats > 1 are array columns. X/P/Q/C/M are rejected.
+  * repeat = string width, trailing blanks stripped like astropy),
+  * and the variable-length array descriptors P (32-bit) / Q (64-bit)
+  * over any of those element codes — `rPt(emax)`: the main-table
+  * cell holds (count, heap offset) and the elements live in the
+  * PCOUNT-sized heap after the table (FITS 4.0 §7.3.5; astropy keeps
+  * these cells, df_utils.py:62-66). Non-A repeats > 1 are array
+  * columns. X/C/M are rejected. Gzipped FITS (astropy-transparent)
+  * is handled by [[maybeGunzip]] at the byte boundary.
   */
 object FitsCodec {
 
   val Block = 2880
   val CardLen = 80
 
-  final case class FitsCol(name: String, repeat: Int, tcode: Char) {
-    def elemBytes: Int = tcode match {
+  /** `heap` is the element code for variable-length columns (tcode
+    * P or Q); the canonical [[tform]] omits the optional `(emax)` so
+    * cross-file layout checks don't reject files that differ only in
+    * their per-file maximum. */
+  final case class FitsCol(name: String, repeat: Int, tcode: Char,
+                           heap: Option[Char] = None) {
+    private def codeBytes(c: Char): Int = c match {
       case 'L' | 'B' | 'A' => 1
       case 'I' => 2
       case 'J' | 'E' => 4
@@ -27,9 +38,20 @@ object FitsCodec {
       case other => throw new IllegalArgumentException(
         s"unsupported TFORM code '$other' for column $name")
     }
+    def elemBytes: Int = tcode match {
+      case 'P' => 8  // (int32 count, int32 offset)
+      case 'Q' => 16 // (int64 count, int64 offset)
+      case c => codeBytes(c)
+    }
+    /** element width of the HEAP data for P/Q columns. */
+    def heapElemBytes: Int = codeBytes(heap.getOrElse(
+      throw new IllegalStateException(s"$name is not variable-length")))
     def fieldBytes: Int = repeat * elemBytes
-    def isArray: Boolean = repeat > 1 && tcode != 'A'
-    def tform: String = s"$repeat$tcode"
+    def isVar: Boolean = tcode == 'P' || tcode == 'Q'
+    def isArray: Boolean = (repeat > 1 && tcode != 'A') ||
+      (isVar && !heap.contains('A'))
+    def tform: String =
+      if (isVar) s"$repeat$tcode${heap.get}" else s"$repeat$tcode"
   }
 
   final case class Hdu(header: Vector[(String, Any)], dataOff: Int,
@@ -81,15 +103,29 @@ object FitsCodec {
 
   private val SupportedCodes = "LBIJKAED".toSet
 
-  /** Parses "rT" (repeat optional, default 1); only the supported
-    * codes are accepted (X/P/Q/C/M rejected here, eagerly). */
-  def parseTform(tform: String): (Int, Char) = {
-    val m = "^([0-9]*)([A-Z])$".r.findFirstMatchIn(tform.trim).getOrElse(
-      throw new IllegalArgumentException(s"bad TFORM: '$tform'"))
+  /** Parses "rT" / "rPt(emax)" / "rQt(emax)" (repeat optional,
+    * default 1; `(emax)` optional on read). Only the supported codes
+    * are accepted (X/C/M rejected here, eagerly); P/Q require a
+    * supported heap element code. Returns (repeat, code, heapCode). */
+  def parseTform(tform: String): (Int, Char, Option[Char]) = {
+    val m = "^([0-9]*)([A-Z])([A-Z])?(?:\\((\\d+)\\))?$".r
+      .findFirstMatchIn(tform.trim).getOrElse(
+        throw new IllegalArgumentException(s"bad TFORM: '$tform'"))
     val code = m.group(2).head
-    require(SupportedCodes.contains(code), s"unsupported TFORM code '$code'")
+    val heap = Option(m.group(3)).map(_.head)
     val r = if (m.group(1).isEmpty) 1 else m.group(1).toInt
-    (r, code)
+    if (code == 'P' || code == 'Q') {
+      val h = heap.getOrElse(throw new IllegalArgumentException(
+        s"variable-length TFORM '$tform' lacks an element code"))
+      require(SupportedCodes.contains(h),
+        s"unsupported heap element code '$h' in '$tform'")
+      require(r <= 1, s"descriptor repeat > 1 unsupported: '$tform'")
+      (r, code, Some(h))
+    } else {
+      require(SupportedCodes.contains(code), s"unsupported TFORM code '$code'")
+      require(heap.isEmpty && m.group(4) == null, s"bad TFORM: '$tform'")
+      (r, code, None)
+    }
   }
 
   /** Builds a complete 2-HDU FITS file: a minimal primary HDU carrying
@@ -97,57 +133,118 @@ object FitsCodec {
     * extension with `cols`/`rows` (the table-scan surface). Row cells
     * must match the column code: L→Boolean, B/I/J→Int, K→Long,
     * E→Float, D→Double, A→String (truncated/padded to the width);
-    * array columns take Seq of the element type. */
+    * fixed array columns take a Seq of exactly `repeat` elements.
+    * Variable-length columns ("1PJ(…)", "1QD(…)" — the `(emax)` is
+    * derived, don't pass it) take a Seq of ANY length (PA/QA take a
+    * String); their elements go to the heap, PCOUNT-sized after the
+    * table, with (count, offset) descriptors in the cells. */
   def buildFits(primaryKeys: Seq[(String, Any)], cols: Seq[(String, String)],
                 rows: Seq[Seq[Any]]): Array[Byte] = {
     val parsed = cols.map { case (n, tf) =>
-      val (r, c) = parseTform(tf); FitsCol(n, r, c)
+      val (r, c, h) = parseTform(tf); FitsCol(n, r, c, h)
     }
     val rowBytes = parsed.map(_.fieldBytes).sum
+
+    // heap pass: per-varlen-cell element count, in row-major cell
+    // order — offsets then accumulate in the same order
+    def varLen(c: FitsCol, cell: Any): Int = (c.heap, cell) match {
+      case (Some('A'), s: String) => s.length
+      case (Some(_), xs: Seq[_])  => xs.size
+      case other => throw new IllegalArgumentException(
+        s"varlen cell/TFORM mismatch on ${c.name}: $other")
+    }
+    var heapSize = 0L
+    val maxElems = scala.collection.mutable.Map[String, Int]()
+    rows.foreach { r =>
+      require(r.size == parsed.size, s"row arity ${r.size} != ${parsed.size}")
+      r.lazyZip(parsed).foreach { (cell, c) =>
+        if (c.isVar) {
+          val n = varLen(c, cell)
+          maxElems(c.name) = math.max(maxElems.getOrElse(c.name, 0), n)
+          heapSize += n.toLong * c.heapElemBytes
+        }
+      }
+    }
+    require(heapSize <= Int.MaxValue - Block, s"heap too large: $heapSize")
+
     val primary = headerBytes(
       Seq(card("SIMPLE", true), card("BITPIX", 8L), card("NAXIS", 0L),
         card("EXTEND", true)) ++ primaryKeys.map { case (k, v) => card(k, v) })
     val tblHeader = headerBytes(
       Seq(card("XTENSION", "BINTABLE"), card("BITPIX", 8L),
         card("NAXIS", 2L), card("NAXIS1", rowBytes.toLong),
-        card("NAXIS2", rows.size.toLong), card("PCOUNT", 0L),
+        card("NAXIS2", rows.size.toLong), card("PCOUNT", heapSize),
         card("GCOUNT", 1L), card("TFIELDS", parsed.size.toLong)) ++
         parsed.zipWithIndex.flatMap { case (c, i) =>
-          Seq(card(s"TTYPE${i + 1}", c.name), card(s"TFORM${i + 1}", c.tform))
+          val tf = if (c.isVar) s"${c.tform}(${maxElems.getOrElse(c.name, 0)})"
+                   else c.tform
+          Seq(card(s"TTYPE${i + 1}", c.name), card(s"TFORM${i + 1}", tf))
         })
-    val dataLen = rowBytes * rows.size
+    val tableLen = rowBytes * rows.size
+    val dataLen = tableLen + heapSize.toInt // THEAP default: heap abuts table
     val padded = (dataLen + Block - 1) / Block * Block
     val buf = java.nio.ByteBuffer.allocate(
       primary.length + tblHeader.length + padded)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     buf.put(primary).put(tblHeader)
+    val tableStart = buf.position()
+    val heapStart = tableStart + tableLen
+    var heapAt = 0 // next free heap offset (bytes, relative)
+
+    def putElem(code: Char, name: String)(v: Any): Unit = (code, v) match {
+      case ('L', b: Boolean) => buf.put((if (b) 'T' else 'F').toByte)
+      case ('B', i: Int) => buf.put(i.toByte)
+      case ('I', i: Int) => buf.putShort(i.toShort)
+      case ('J', i: Int) => buf.putInt(i)
+      case ('K', l: Long) => buf.putLong(l)
+      case ('E', f: Float) => buf.putFloat(f)
+      case ('D', d: Double) => buf.putDouble(d)
+      case other => throw new IllegalArgumentException(
+        s"cell/TFORM mismatch on $name: $other")
+    }
+
     rows.foreach { r =>
-      require(r.size == parsed.size, s"row arity ${r.size} != ${parsed.size}")
       r.lazyZip(parsed).foreach { (cell, c) =>
-        def one(v: Any): Unit = (c.tcode, v) match {
-          case ('L', b: Boolean) => buf.put((if (b) 'T' else 'F').toByte)
-          case ('B', i: Int) => buf.put(i.toByte)
-          case ('I', i: Int) => buf.putShort(i.toShort)
-          case ('J', i: Int) => buf.putInt(i)
-          case ('K', l: Long) => buf.putLong(l)
-          case ('E', f: Float) => buf.putFloat(f)
-          case ('D', d: Double) => buf.putDouble(d)
-          case other => throw new IllegalArgumentException(
-            s"cell/TFORM mismatch on ${c.name}: $other")
-        }
         (c.tcode, cell) match {
+          case ('P' | 'Q', _) =>
+            val n = varLen(c, cell)
+            // descriptor in the cell, elements at the heap cursor
+            if (c.tcode == 'P') { buf.putInt(n); buf.putInt(heapAt) }
+            else { buf.putLong(n.toLong); buf.putLong(heapAt.toLong) }
+            val cellAt = buf.position()
+            buf.position(heapStart + heapAt)
+            (c.heap.get, cell) match {
+              case ('A', s: String) => buf.put(s.getBytes("US-ASCII"))
+              case (h, xs: Seq[_])  => xs.foreach(putElem(h, c.name))
+              case _ => // varLen already rejected this shape
+            }
+            heapAt += n * c.heapElemBytes
+            buf.position(cellAt)
           case ('A', s: String) =>
             val fixed = s.take(c.repeat).padTo(c.repeat, ' ')
             buf.put(fixed.getBytes("US-ASCII"))
           case (_, xs: Seq[_]) if c.isArray =>
             require(xs.size == c.repeat,
               s"array cell size ${xs.size} != repeat ${c.repeat} on ${c.name}")
-            xs.foreach(one)
-          case (_, v) => one(v)
+            xs.foreach(putElem(c.tcode, c.name))
+          case (_, v) => putElem(c.tcode, c.name)(v)
         }
       }
     }
     buf.array()
+  }
+
+  /** Transparent gzip unwrap at the byte boundary (astropy reads
+    * `.fits.gz` the same way): gzip magic → inflate, else identity.
+    * Callers must pass the SAME (unwrapped) bytes to [[hdus]] and
+    * [[readRows]] — offsets are relative to the uncompressed image. */
+  def maybeGunzip(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) b
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 64 * 1024)
+      try in.readAllBytes() finally in.close()
+    }
   }
 
   // ---------------------------------------------------------------
@@ -261,8 +358,8 @@ object FitsCodec {
         case Some(s: String) => s
         case _ => throw new IllegalArgumentException(s"missing TFORM$i")
       }
-      val (r, c) = parseTform(tf)
-      FitsCol(name, r, c)
+      val (r, c, hp) = parseTform(tf)
+      FitsCol(name, r, c, hp)
     }
     val rowBytes = h.longKey("NAXIS1").getOrElse(0L)
     require(cols.map(_.fieldBytes.toLong).sum == rowBytes,
@@ -275,15 +372,21 @@ object FitsCodec {
     * projection reaches the byte parser: unselected fields are never
     * decoded. Cell types: L→Boolean, B/I/J→Int, K→Long, E→Float,
     * D→Double, A→String (trailing blanks stripped); array columns
-    * yield Seq of the element type. */
+    * yield Seq of the element type. Variable-length (P/Q) cells
+    * resolve through their (count, offset) descriptor into the heap
+    * (THEAP, default = NAXIS1·NAXIS2) and yield a Seq of the heap
+    * element type — PA/QA yield a String (no blank stripping: the
+    * length is explicit). */
   def readRows(b: Array[Byte], h: Hdu, wanted: Array[Int]): Iterator[Array[Any]] = {
     val cols = bintableCols(h)
     val offsets = cols.scanLeft(0)(_ + _.fieldBytes).toArray
     val rowBytes = h.longKey("NAXIS1").getOrElse(0L).toInt
     val nRows = h.longKey("NAXIS2").getOrElse(0L).toInt
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val heapBase = h.dataOff +
+      h.longKey("THEAP").getOrElse(rowBytes.toLong * nRows).toInt
 
-    def readElem(c: FitsCol, at: Int): Any = c.tcode match {
+    def readCode(code: Char, at: Int): Any = code match {
       case 'L' => b(at) == 'T'
       case 'B' => b(at) & 0xff
       case 'I' => bb.getShort(at).toInt
@@ -294,17 +397,35 @@ object FitsCodec {
       case other => throw new IllegalArgumentException(s"unsupported code $other")
     }
 
+    def readVar(c: FitsCol, at: Int): Any = {
+      val (n, off) =
+        if (c.tcode == 'P') (bb.getInt(at).toLong, bb.getInt(at + 4).toLong)
+        else (bb.getLong(at), bb.getLong(at + 8))
+      require(n >= 0 && off >= 0 &&
+        heapBase + off + n * c.heapElemBytes <= b.length &&
+        heapBase + off + n * c.heapElemBytes <= h.dataOff + h.dataLen,
+        s"varlen descriptor (n=$n, off=$off) on ${c.name} runs past the heap")
+      val start = heapBase + off.toInt
+      c.heap.get match {
+        case 'A' => new String(b, start, n.toInt, "US-ASCII")
+        case hc  =>
+          val w = c.heapElemBytes
+          (0 until n.toInt).map(k => readCode(hc, start + k * w))
+      }
+    }
+
     Iterator.tabulate(nRows) { r =>
       val base = h.dataOff + r * rowBytes
       wanted.map { ci =>
         val c = cols(ci)
         val at = base + offsets(ci)
-        if (c.tcode == 'A') {
+        if (c.isVar) readVar(c, at)
+        else if (c.tcode == 'A') {
           val s = new String(b, at, c.repeat, "US-ASCII")
           s.reverse.dropWhile(_ == ' ').reverse
         } else if (c.isArray) {
-          (0 until c.repeat).map(k => readElem(c, at + k * c.elemBytes))
-        } else readElem(c, at)
+          (0 until c.repeat).map(k => readCode(c.tcode, at + k * c.elemBytes))
+        } else readCode(c.tcode, at)
       }
     }
   }

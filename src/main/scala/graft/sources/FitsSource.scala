@@ -33,19 +33,25 @@ import graft.operators.FitsCodec.FitsCol
   * `keepArrayCols` — same class of reference-bug fix as C4/C5. */
 object FitsSource {
 
-  /** Sorted *.fits listing — the driver's only filesystem touch. */
+  /** Sorted *.fits / *.fits.gz listing — the driver's only
+    * filesystem touch. Gzipped members are inflated transparently at
+    * read time ([[FitsCodec.maybeGunzip]]), like astropy. */
   def listFits(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     require(Files.isDirectory(p), s"not a directory: $dir")
     val files = Files.list(p).iterator().asScala
-      .filter(f => f.toString.endsWith(".fits"))
+      .filter(f => f.toString.endsWith(".fits") || f.toString.endsWith(".fits.gz"))
       .map(_.toAbsolutePath.toString).toSeq.sorted
     require(files.nonEmpty, s"no .fits files under $dir")
     files
   }
 
+  private def readBytes(path: String): Array[Byte] =
+    FitsCodec.maybeGunzip(Files.readAllBytes(Paths.get(path)))
+
   private def sparkType(c: FitsCol): DataType = {
-    val elem: DataType = c.tcode match {
+    val code = c.heap.getOrElse(c.tcode) // varlen: type of the heap elements
+    val elem: DataType = code match {
       case 'L' => BooleanType
       case 'B' | 'I' | 'J' => IntegerType
       case 'K' => LongType
@@ -91,7 +97,7 @@ object FitsSource {
                      downcast: Boolean = false): DataFrame = {
     require(files.nonEmpty, "empty FITS file list")
     // one driver-side read fixes the schema for the whole load
-    val first = FitsCodec.hdus(Files.readAllBytes(Paths.get(files.head)))
+    val first = FitsCodec.hdus(readBytes(files.head))
     require(extension < first.size, s"file ${files.head} has no HDU $extension")
     val cols = FitsCodec.bintableCols(first(extension))
     val wanted = selectIdx(cols, selectColumns)
@@ -111,7 +117,7 @@ object FitsSource {
     var df = spark.createDataset(files).repartition(slices)
       .mapPartitions { paths =>
         paths.flatMap { path =>
-          val bytes = Files.readAllBytes(Paths.get(path))
+          val bytes = FitsCodec.maybeGunzip(Files.readAllBytes(Paths.get(path)))
           val hs = FitsCodec.hdus(bytes)
           require(extension < hs.size, s"$path: no HDU $extension")
           val h = hs(extension)
@@ -147,7 +153,7 @@ object FitsSource {
       cards.filter { case (k, _) =>
         headerKeys.contains(k) || stripped.exists(k.contains)
       }
-    val first = FitsCodec.hdus(Files.readAllBytes(Paths.get(files.head)))
+    val first = FitsCodec.hdus(readBytes(files.head))
     require(extension < first.size, s"file ${files.head} has no HDU $extension")
     val resolved = matching(first(extension).header)
     require(resolved.nonEmpty, s"no requested header keys $headerKeys present")
@@ -171,7 +177,7 @@ object FitsSource {
       .mapPartitions { paths =>
         paths.flatMap { path =>
           try {
-            val hs = FitsCodec.hdus(Files.readAllBytes(Paths.get(path)))
+            val hs = FitsCodec.hdus(readBytes(path))
             if (extension >= hs.size) None
             else {
               val hmap = hs(extension).hmap

@@ -58,6 +58,88 @@ class FitsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { FitsCodec.parseTform("1X") }
   }
 
+  test("codec round-trip: variable-length P/Q columns through the heap") {
+    val cols = Seq("id" -> "1K", "pj" -> "1PJ", "qd" -> "1QD", "pa" -> "1PA")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq[Any](1L, Seq(7, -3, Int.MaxValue), Seq(1.5, -2.25), "abc"),
+      Seq[Any](2L, Seq.empty[Int], Seq(math.Pi), ""), // empty varlen cells
+      Seq[Any](3L, Seq(0), Seq.empty[Double], "x'y"))
+    val bytes = FitsCodec.buildFits(Seq("EXPID" -> 9L), cols, rows)
+    val hs = FitsCodec.hdus(bytes)
+    // PCOUNT sizes the heap: 4*4 (pj ints) + 3*8 (qd doubles) + 6 (pa chars)
+    assert(hs(1).hmap("PCOUNT") == (16L + 24L + 6L), hs(1).hmap("PCOUNT"))
+    val got = FitsCodec.readRows(bytes, hs(1), cols.indices.toArray)
+      .map(_.toSeq).toSeq
+    assert(got == rows, s"$got")
+    // the written TFORM carries (emax); the parsed layout canonicalizes
+    assert(hs(1).hmap("TFORM2") == "1PJ(3)")
+    assert(FitsCodec.bintableCols(hs(1)).map(_.tform) ==
+      Vector("1K", "1PJ", "1QD", "1PA"))
+  }
+
+  test("codec property: random varlen tables round-trip writer -> parser") {
+    for (seed <- Seq(1, 22, 333)) {
+      val rnd = new scala.util.Random(seed)
+      val nRows = rnd.nextInt(40) + 1
+      val rows: Seq[Seq[Any]] = (0 until nRows).map { r =>
+        Seq[Any](
+          r.toLong,
+          Seq.fill(rnd.nextInt(9))(rnd.nextInt()),
+          Seq.fill(rnd.nextInt(5))(rnd.nextDouble()),
+          Seq.fill(rnd.nextInt(6))(rnd.nextPrintableChar())
+            .mkString.replace('\'', 'q'))
+      }
+      val cols = Seq("id" -> "1K", "xs" -> "1PJ", "ys" -> "1QD", "s" -> "1QA")
+      val bytes = FitsCodec.buildFits(Seq("SEED" -> seed.toLong), cols, rows)
+      val hs = FitsCodec.hdus(bytes)
+      val got = FitsCodec.readRows(bytes, hs(1), cols.indices.toArray)
+        .map(_.toSeq).toSeq
+      assert(got == rows, s"seed=$seed")
+      // descriptors pointing past the heap are rejected, not misread:
+      // corrupt the first pj descriptor's count field (big-endian int
+      // at the cell) to a huge value
+      val bad = bytes.clone()
+      val cellAt = hs(1).dataOff + 8 // after the 1K id field of row 0
+      bad(cellAt) = 0x7f.toByte
+      intercept[IllegalArgumentException] {
+        FitsCodec.readRows(bad, FitsCodec.hdus(bad)(1),
+          cols.indices.toArray).foreach(_ => ())
+      }
+    }
+  }
+
+  test("gzipped FITS: maybeGunzip is transparent, mixed dirs scan as one table") {
+    val dir = tmpDir("gz")
+    val cols = Seq("id" -> "1K", "v" -> "1D", "xs" -> "1PJ")
+    def rows(base: Long): Seq[Seq[Any]] = (0 until 4).map(i =>
+      Seq[Any](base + i, base * 0.25 + i,
+        (0 until i).map(k => (base + k).toInt): Seq[Int]))
+    val plain = FitsCodec.buildFits(Seq("EXPID" -> 1L), cols, rows(100))
+    val zipped = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(FitsCodec.buildFits(Seq("EXPID" -> 2L), cols, rows(200)))
+      gz.close(); bos.toByteArray
+    }
+    Files.write(Paths.get(s"$dir/a.fits"), plain)
+    Files.write(Paths.get(s"$dir/b.fits.gz"), zipped)
+    // identity on plain bytes, inflate on gzip
+    assert(FitsCodec.maybeGunzip(plain) eq plain)
+    assert(FitsCodec.hdus(FitsCodec.maybeGunzip(zipped))(0).hmap("EXPID") == 2L)
+    val df = FitsSource.readTable(spark, dir, keepArrayCols = true)
+    assert(df.schema("xs").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    val got = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2).toList)).toList
+    assert(got.map(_._1) == List(100L, 101L, 102L, 103L, 200L, 201L, 202L, 203L))
+    assert(got.last._2 == List(200, 201, 202))
+    // header scan sees both files' primaries (gz inflated there too)
+    val heads = FitsSource.readHeaders(spark, dir, Seq("EXPID"))
+    assert(heads.select("EXPID").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("readTable: wildcard select, array-col policy, row filter, schema check") {
     val dir = tmpDir("tbl")
     val cols = Seq("id" -> "1K", "mag" -> "1D", "flux_ap" -> "3E",
