@@ -1084,22 +1084,139 @@ object QueriesText {
     lshKeyedRowsSql(planes, tables, dim)
       .replace("SELECT vec_id, embedding,", "SELECT vec_id, embedding, label,")
 
+  // ----- per-method "SELECT qid, cid, cosine" ANN bodies (no ORDER
+  // BY), shared by the individual top-k oracles and the multi-method
+  // recall report — one source of truth per method's SQL mirror -----
+
+  /** LSH top-k body (the ss_topk_lsh pipeline). */
+  private def lshTopkSql(planes: Int = 6, tables: Int = 8,
+                         dim: Int = 64, k: Int = 3): String = {
+    val tableRows = lshKeyedRowsSql(planes, tables, dim)
+    s"""WITH keyed AS ($tableRows),
+        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+            a.embedding AS qv, b.embedding AS cv
+          FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
+          WHERE a.vec_id != b.vec_id),
+        scored AS (SELECT DISTINCT qid, cid,
+            ${cosSql("qv", "cv")} AS cosine FROM cand),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, cid) AS rn FROM scored)
+        SELECT qid, cid, cosine FROM r WHERE rn <= $k"""
+  }
+
+  /** IVF top-k body: trained coarse centroids inlined as literals;
+    * assignment/probing mirror NearestCells op-for-op. */
+  private def ivfTopkSql(cents: Array[Array[Double]], nProbe: Int = 2,
+                         k: Int = 3): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})"
+    }.mkString(",\n              ")
+    val distExpr =
+      """list_sum(list_transform(range(1, 65), i ->
+         (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+         * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+    s"""WITH cents AS (SELECT * FROM (VALUES
+            $centRows) AS t(cell, cvec)),
+        d AS (SELECT e.vec_id, e.embedding, c.cell, $distExpr AS dist
+          FROM embeddings e CROSS JOIN cents c),
+        ranked AS (SELECT vec_id, embedding, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+          FROM d),
+        cand AS (SELECT vec_id AS cid, embedding AS cv, cell
+          FROM ranked WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, embedding AS qv, cell
+          FROM ranked WHERE crn <= $nProbe),
+        scored AS (SELECT qid, cid, ${cosSql("qv", "cv")} AS cosine
+          FROM probe JOIN cand USING (cell) WHERE qid != cid),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, cid) AS rn FROM scored)
+        SELECT qid, cid, cosine FROM r WHERE rn <= $k"""
+  }
+
+  /** IVF-PQ top-k body: coarse centroids AND all codebook rows (with
+    * precomputed squared norms) inlined; encode, ADC, shortlist and
+    * exact rerank mirror the Spark plan op-for-op. */
+  private def ivfPqTopkSql(cents: Array[Array[Double]],
+                           cbs: Array[Array[Array[Double]]],
+                           nProbe: Int = 2, k: Int = 3,
+                           rerank: Int = 20): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})"
+    }.mkString(",\n              ")
+    // norm2 emitted as a literal = the exact left-to-right sum
+    // ivfPqTopK computes driver-side (not recomputed in SQL)
+    val cbRows = (for {
+      j <- cbs.indices
+      code <- cbs(j).indices
+    } yield {
+      val cv = cbs(j)(code)
+      var n2 = 0.0; var i = 0
+      while (i < cv.length) { n2 += cv(i) * cv(i); i += 1 }
+      s"($j, $code, ${cv.mkString("[", ", ", "]")}, $n2)"
+    }).mkString(",\n              ")
+    val coarseDist =
+      """list_sum(list_transform(range(1, 65), i ->
+         (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+         * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+    val subDist =
+      """list_sum(list_transform(range(1, 9), i ->
+         (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])
+         * (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])))"""
+    val subIp =
+      """list_sum(list_transform(range(1, 9), i ->
+         CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) * cb.cvec[CAST(i AS INT)]))"""
+    s"""WITH cents AS (SELECT * FROM (VALUES
+            $centRows) AS t(cell, cvec)),
+        cb AS (SELECT * FROM (VALUES
+            $cbRows) AS t(j, code, cvec, n2)),
+        d AS (SELECT e.vec_id, e.embedding, c.cell, $coarseDist AS dist
+          FROM embeddings e CROSS JOIN cents c),
+        ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+          FROM d),
+        subd AS (SELECT e.vec_id, cb.j, cb.code, cb.n2, $subDist AS dist
+          FROM embeddings e CROSS JOIN cb),
+        enc0 AS (SELECT vec_id, j, code, n2,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+          FROM subd),
+        enc AS (SELECT vec_id, array_agg(code ORDER BY j) AS codes,
+            list_sum(array_agg(n2 ORDER BY j)) AS cnorm2
+          FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+        qt AS (SELECT e.vec_id AS qid, cb.j, cb.code, $subIp AS ip
+          FROM embeddings e CROSS JOIN cb),
+        qn AS (SELECT vec_id AS qid,
+            sqrt(list_sum(list_transform(range(1, 65), i ->
+              CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+              * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS qnorm
+          FROM embeddings),
+        cand AS (SELECT r.vec_id AS cid, r.cell, enc.codes, enc.cnorm2
+          FROM ranked r JOIN enc ON enc.vec_id = r.vec_id WHERE r.crn = 1),
+        probe AS (SELECT vec_id AS qid, cell FROM ranked WHERE crn <= $nProbe),
+        pairs AS (SELECT p.qid, c.cid, c.codes, c.cnorm2
+          FROM probe p JOIN cand c USING (cell) WHERE p.qid != c.cid),
+        adc AS (SELECT pr.qid, pr.cid,
+            round(list_sum(array_agg(qt.ip ORDER BY qt.j))
+              / (min(qn.qnorm) * sqrt(min(pr.cnorm2))), 6) AS acos
+          FROM pairs pr
+            JOIN qt ON qt.qid = pr.qid AND qt.code = pr.codes[qt.j + 1]
+            JOIN qn ON qn.qid = pr.qid
+          GROUP BY pr.qid, pr.cid),
+        short AS (SELECT qid, cid FROM (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, cid) AS srn
+          FROM adc) WHERE srn <= $rerank),
+        ex AS (SELECT s2.qid, s2.cid, ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+          FROM short s2
+            JOIN embeddings qe ON qe.vec_id = s2.qid
+            JOIN embeddings ce ON ce.vec_id = s2.cid),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, cid) AS rn FROM ex)
+        SELECT qid, cid, cosine FROM r WHERE rn <= $k"""
+  }
+
   private val ssLsh = Q(
     "ss_topk_lsh",
-    Some {
-      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
-      s"""WITH keyed AS ($tableRows),
-          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
-              a.embedding AS qv, b.embedding AS cv
-            FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
-            WHERE a.vec_id != b.vec_id),
-          scored AS (SELECT DISTINCT qid, cid,
-              ${cosSql("qv", "cv")} AS cosine FROM cand),
-          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY cosine DESC, cid) AS rn FROM scored)
-          SELECT qid, cid, cosine FROM r WHERE rn <= 3
-          ORDER BY qid, cosine DESC, cid"""
-    },
+    Some(s"""${lshTopkSql(planes = 6, tables = 8, dim = 64, k = 3)}
+          ORDER BY qid, cosine DESC, cid"""),
     (s, dir) =>
       Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, k = 3, tables = 8, planesOverride = 6)
@@ -1270,33 +1387,10 @@ object QueriesText {
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
-      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"), "embedding", nCentroids = 8)
       // Double.toString is shortest-round-trip, so DuckDB re-parses the
-      // literal to the bit-identical double NearestCells uses.
-      val centRows = cents.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.mkString("[", ", ", "]")})"
-      }.mkString(",\n              ")
-      // (x - c)^2 summed left-to-right in double = NearestCells' loop
-      val distExpr =
-        """list_sum(list_transform(range(1, 65), i ->
-           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
-           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
-      s"""WITH cents AS (SELECT * FROM (VALUES
-              $centRows) AS t(cell, cvec)),
-          d AS (SELECT e.vec_id, e.embedding, c.cell, $distExpr AS dist
-            FROM embeddings e CROSS JOIN cents c),
-          ranked AS (SELECT vec_id, embedding, cell,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
-            FROM d),
-          cand AS (SELECT vec_id AS cid, embedding AS cv, cell
-            FROM ranked WHERE crn = 1),
-          probe AS (SELECT vec_id AS qid, embedding AS qv, cell
-            FROM ranked WHERE crn <= 2),
-          scored AS (SELECT qid, cid, ${cosSql("qv", "cv")} AS cosine
-            FROM probe JOIN cand USING (cell) WHERE qid != cid),
-          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS rn FROM scored)
-          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+      // literals to the bit-identical doubles NearestCells uses.
+      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"), "embedding", nCentroids = 8)
+      s"""${ivfTopkSql(cents, nProbe = 2, k = 3)}
           ORDER BY qid, cosine DESC, cid"""
     })
 
@@ -1326,82 +1420,101 @@ object QueriesText {
     },
     sqlGen = Some { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
-      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
       // Double.toString literals round-trip to the bit-identical
       // doubles the compiled kernels use (proven by ss_topk_ivf).
-      val centRows = cents.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.mkString("[", ", ", "]")})"
-      }.mkString(",\n              ")
-      // norm2 emitted as a literal = the exact left-to-right sum
-      // ivfPqTopK computes driver-side (not recomputed in SQL)
-      val cbRows = (for {
-        j <- cbs.indices
-        code <- cbs(j).indices
-      } yield {
-        val cv = cbs(j)(code)
-        var n2 = 0.0; var i = 0
-        while (i < cv.length) { n2 += cv(i) * cv(i); i += 1 }
-        s"($j, $code, ${cv.mkString("[", ", ", "]")}, $n2)"
-      }).mkString(",\n              ")
-      val coarseDist =
-        """list_sum(list_transform(range(1, 65), i ->
-           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
-           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
-      val subDist =
-        """list_sum(list_transform(range(1, 9), i ->
-           (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])
-           * (CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) - cb.cvec[CAST(i AS INT)])))"""
-      val subIp =
-        """list_sum(list_transform(range(1, 9), i ->
-           CAST(e.embedding[CAST(cb.j * 8 + i AS INT)] AS DOUBLE) * cb.cvec[CAST(i AS INT)]))"""
-      s"""WITH cents AS (SELECT * FROM (VALUES
-              $centRows) AS t(cell, cvec)),
-          cb AS (SELECT * FROM (VALUES
-              $cbRows) AS t(j, code, cvec, n2)),
-          d AS (SELECT e.vec_id, e.embedding, c.cell, $coarseDist AS dist
-            FROM embeddings e CROSS JOIN cents c),
-          ranked AS (SELECT vec_id, cell,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
-            FROM d),
-          subd AS (SELECT e.vec_id, cb.j, cb.code, cb.n2, $subDist AS dist
-            FROM embeddings e CROSS JOIN cb),
-          enc0 AS (SELECT vec_id, j, code, n2,
-              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
-            FROM subd),
-          enc AS (SELECT vec_id, array_agg(code ORDER BY j) AS codes,
-              list_sum(array_agg(n2 ORDER BY j)) AS cnorm2
-            FROM enc0 WHERE rn = 1 GROUP BY vec_id),
-          qt AS (SELECT e.vec_id AS qid, cb.j, cb.code, $subIp AS ip
-            FROM embeddings e CROSS JOIN cb),
-          qn AS (SELECT vec_id AS qid,
-              sqrt(list_sum(list_transform(range(1, 65), i ->
-                CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-                * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS qnorm
-            FROM embeddings),
-          cand AS (SELECT r.vec_id AS cid, r.cell, enc.codes, enc.cnorm2
-            FROM ranked r JOIN enc ON enc.vec_id = r.vec_id WHERE r.crn = 1),
-          probe AS (SELECT vec_id AS qid, cell FROM ranked WHERE crn <= 2),
-          pairs AS (SELECT p.qid, c.cid, c.codes, c.cnorm2
-            FROM probe p JOIN cand c USING (cell) WHERE p.qid != c.cid),
-          adc AS (SELECT pr.qid, pr.cid,
-              round(list_sum(array_agg(qt.ip ORDER BY qt.j))
-                / (min(qn.qnorm) * sqrt(min(pr.cnorm2))), 6) AS acos
-            FROM pairs pr
-              JOIN qt ON qt.qid = pr.qid AND qt.code = pr.codes[qt.j + 1]
-              JOIN qn ON qn.qid = pr.qid
-            GROUP BY pr.qid, pr.cid),
-          short AS (SELECT qid, cid FROM (SELECT *,
-              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, cid) AS srn
-            FROM adc) WHERE srn <= 20),
-          ex AS (SELECT s2.qid, s2.cid, ${cosSql("qe.embedding", "ce.embedding")} AS cosine
-            FROM short s2
-              JOIN embeddings qe ON qe.vec_id = s2.qid
-              JOIN embeddings ce ON ce.vec_id = s2.cid),
-          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS rn FROM ex)
-          SELECT qid, cid, cosine FROM r WHERE rn <= 3
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      s"""${ivfPqTopkSql(cents, cbs, nProbe = 2, k = 3, rerank = 20)}
           ORDER BY qid, cosine DESC, cid"""
+    })
+
+  /** X-SS6b: the recall report across EVERY approximate method —
+    * LSH, IVF and IVF-PQ each graded against the exact brute-force
+    * top-3 on the %20 query subset, one row per method (n_queries,
+    * mean recall, perfect-query count). The eval a production index
+    * runs when choosing its operating point: the PQ path has the
+    * most approximation knobs (codebooks, rerank depth) and is the
+    * one a 100 TB deployment runs, so it is graded first-class, not
+    * only its ranking. Oracle generated at Verify time — the three
+    * method bodies are the SAME SQL mirrors the individual top-k
+    * oracles use ([[lshTopkSql]]/[[ivfTopkSql]]/[[ivfPqTopkSql]]),
+    * composed as CTEs against one brute-force baseline. Recall
+    * floors asserted in VectorsSpec. */
+  private val ssRecallMethods = Q(
+    "ss_recall_methods",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // re-scanned once per method below — tiny (3 rows per query)
+      val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
+          e, "vec_id", "embedding", k = 3)
+        .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+        .localCheckpoint()
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      def top3(m: String, df: org.apache.spark.sql.DataFrame) =
+        df.where(col("qid") % 20 === 0)
+          .select(lit(m).as("method"), col("qid"), col("cid"))
+      val methods = top3("lsh", Vectors.lshTopK(e, "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8, planesOverride = 6))
+        .unionByName(top3("ivf", Vectors.ivfTopK(e, "vec_id", "embedding",
+          cents, nProbe = 2, k = 3)))
+        .unionByName(top3("ivfpq", Vectors.ivfPqTopK(e, "vec_id", "embedding",
+          cents, cbs, nProbe = 2, k = 3, rerank = 20)))
+      val mm = methods.select("method").distinct()
+      val hits = mm.crossJoin(brute)
+        .join(methods.withColumn("_hit", lit(1)),
+          Seq("method", "qid", "cid"), "left")
+        .groupBy(col("method"), col("qid"))
+        .agg(count(col("_hit")).as("n_hits"))
+      hits.select(col("method"), col("qid"),
+          (floor(col("n_hits").cast(org.apache.spark.sql.types.DoubleType)
+            / 3 * 1e6 + 0.5) / 1e6).as("recall"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_queries"),
+          graft.core.Det.davgLong(col("recall"), 6).as("mean_recall"),
+          sum(when(col("recall") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
+        .orderBy("method")
+    },
+    sqlGen = Some { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id % 20 = 0),
+          c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+          bscored AS (SELECT q.qid, c.cid, ${cosSql("qv", "cv")} AS cosine
+            FROM q, c WHERE q.qid != c.cid),
+          brute AS (SELECT qid, cid FROM (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS rn FROM bscored)
+            WHERE rn <= 3),
+          lsht AS (${lshTopkSql(planes = 6, tables = 8, dim = 64, k = 3)}),
+          ivft AS (${ivfTopkSql(cents, nProbe = 2, k = 3)}),
+          pqt AS (${ivfPqTopkSql(cents, cbs, nProbe = 2, k = 3, rerank = 20)}),
+          methods AS (
+            SELECT 'lsh' AS method, qid, cid FROM lsht WHERE qid % 20 = 0
+            UNION ALL
+            SELECT 'ivf' AS method, qid, cid FROM ivft WHERE qid % 20 = 0
+            UNION ALL
+            SELECT 'ivfpq' AS method, qid, cid FROM pqt WHERE qid % 20 = 0),
+          mm AS (SELECT DISTINCT method FROM methods),
+          hits AS (SELECT mm.method, b.qid,
+              CAST(count(m.cid) AS BIGINT) AS n_hits
+            FROM mm CROSS JOIN brute b
+            LEFT JOIN methods m ON m.method = mm.method
+              AND m.qid = b.qid AND m.cid = b.cid
+            GROUP BY mm.method, b.qid),
+          rq AS (SELECT method, qid,
+              floor(CAST(n_hits AS DOUBLE) / 3 * 1e6 + 0.5) / 1e6 AS recall
+            FROM hits)
+          SELECT method, count(*) AS n_queries,
+            ${graft.core.Det.sqlDavgLong("recall", 6)} AS mean_recall,
+            CAST(sum(CASE WHEN recall = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_perfect
+          FROM rq GROUP BY method ORDER BY method"""
     })
 
   /** X-M8: distributed k-means cluster report — deterministic
@@ -1622,7 +1735,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
-    m8Kmeans, ssRecall, ssQuant,
+    m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ep4Corpus)
 }

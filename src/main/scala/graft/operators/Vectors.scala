@@ -409,13 +409,29 @@ object Vectors {
           }
         planesFor(n, bucketTarget)
       }
-    val keyed = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
-      .select(col(idCol), col(vecCol),
+    lshTopKKeyed(df, idCol, vecCol, Nil, dim, k, planes, tables)
+  }
+
+  /** Shared candidate-generation body for [[lshTopK]] and
+    * [[lshTopKFiltered]]: spread → table-key posexplode → self-join
+    * on (table, bucket) widened by `extraKeys` → compiled cosine →
+    * OR-dedup → per-query rank. One copy of the logic, so the plain
+    * and attribute-constrained searches cannot drift. */
+  private def lshTopKKeyed(df: DataFrame, idCol: String, vecCol: String,
+                           extraKeys: Seq[String], dim: Int, k: Int,
+                           planes: Int, tables: Int): DataFrame = {
+    val carried = Seq(idCol, vecCol) ++ extraKeys
+    val keyed = graft.core.Tables.spread(
+        df.select(carried.map(col): _*), col(idCol))
+      .select(carried.map(col) :+
         posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
-          .as(Seq("_tbl", "_key")))
-    val a = keyed.select(col("_tbl"), col("_key"), col(idCol).as("qid"), col(vecCol).as("_qv"))
-    val b = keyed.select(col("_tbl"), col("_key"), col(idCol).as("cid"), col(vecCol).as("_cv"))
-    val scored = a.join(b, Seq("_tbl", "_key")).where(col("qid") =!= col("cid"))
+          .as(Seq("_tbl", "_key")): _*)
+    val joinKeys = Seq("_tbl", "_key") ++ extraKeys
+    val a = keyed.select(joinKeys.map(col) ++
+      Seq(col(idCol).as("qid"), col(vecCol).as("_qv")): _*)
+    val b = keyed.select(joinKeys.map(col) ++
+      Seq(col(idCol).as("cid"), col(vecCol).as("_cv")): _*)
+    val scored = a.join(b, joinKeys).where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
       .distinct() // a pair may collide in several tables
@@ -437,24 +453,8 @@ object Vectors {
     * within-stratum collisions, never corpus × filter. */
   def lshTopKFiltered(df: DataFrame, idCol: String, vecCol: String,
                       attrCol: String, dim: Int, k: Int,
-                      tables: Int = 8, planes: Int = 6): DataFrame = {
-    val keyed = graft.core.Tables.spread(
-        df.select(col(idCol), col(vecCol), col(attrCol)), col(idCol))
-      .select(col(idCol), col(vecCol), col(attrCol),
-        posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
-          .as(Seq("_tbl", "_key")))
-    val a = keyed.select(col("_tbl"), col("_key"), col(attrCol).as("_attr"),
-      col(idCol).as("qid"), col(vecCol).as("_qv"))
-    val b = keyed.select(col("_tbl"), col("_key"), col(attrCol).as("_attr"),
-      col(idCol).as("cid"), col(vecCol).as("_cv"))
-    val scored = a.join(b, Seq("_tbl", "_key", "_attr"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
-      .distinct() // a pair may collide in several tables
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
-  }
+                      tables: Int = 8, planes: Int = 6): DataFrame =
+    lshTopKKeyed(df, idCol, vecCol, Seq(attrCol), dim, k, planes, tables)
 
   /** Embedding near-dup pairs blocked by LSH buckets instead of a
     * label column — removes [[cosineNearDupPairs]]'s dependence on a

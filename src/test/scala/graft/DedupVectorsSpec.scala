@@ -256,6 +256,25 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("ss_recall_methods: one row per method, recall floors and bounds hold") {
+    val rows = SparkEntry.queries("ss_recall_methods")(spark, sf01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("lsh", "ivf", "ivfpq"), rows.keySet)
+    // every method grades the SAME query subset
+    assert(rows.values.map(_._1).toSet.size == 1, rows)
+    rows.foreach { case (m, (nq, mean, perfect)) =>
+      assert(nq > 0 && mean >= 0.0 && mean <= 1.0, s"$m: $mean")
+      assert(perfect >= 0 && perfect <= nq, s"$m: $perfect/$nq")
+    }
+    // operating floors on the real embeddings at sf0.01 (measured
+    // ~0.55/0.44/0.36; floors leave headroom, they catch collapses
+    // like an untrained codebook or a broken probe, not noise)
+    assert(rows("ivf")._2 > 0.35, s"ivf recall ${rows("ivf")._2}")
+    assert(rows("ivfpq")._2 > 0.25, s"ivfpq recall ${rows("ivfpq")._2}")
+    assert(rows("lsh")._2 > 0.2, s"lsh recall ${rows("lsh")._2}")
+  }
+
   test("IVF training is write-order-independent: cluster-sorted corpus keeps recall") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     // a corpus written sorted by its position in embedding space — the
