@@ -350,6 +350,38 @@ object QueriesRelational {
         .orderBy("k")
     })
 
+  /** J13b: the report→remedy wiring made executable —
+    * [[graft.operators.Skew.autoJoin]] runs the skew report on the
+    * join key as a bounded pre-flight, derives the salt factor from
+    * the top-1 share (or picks the plain join when near-uniform), and
+    * joins. Same hot-key shape as j13 (ratio ≫ threshold, so the
+    * salted path is the one exercised here); the oracle is the PLAIN
+    * join because the output is salt-decision-independent — the
+    * uniform/plain-path equality is asserted in SkewSpec. */
+  private val j13a = Q(
+    "j13_auto_skew_join",
+    Some(s"""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+               ELSE l_orderkey % 25 END AS k, l_extendedprice FROM lineitem),
+             d AS (SELECT n_nationkey AS k, n_name FROM nation)
+             SELECT f.k, d.n_name, count(*) AS n,
+               ${Det.sqlDsum("f.l_extendedprice", 4)} AS price_sum
+             FROM f JOIN d ON f.k = d.k
+             GROUP BY f.k, d.n_name ORDER BY f.k"""),
+    (s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25))).as("k"),
+        col("l_extendedprice"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_name"))
+      val (joined, factor) =
+        graft.operators.Skew.autoJoin(fact, dim, Seq("k"))
+      assert(factor > 1, s"hot-key fixture must trigger salting, got $factor")
+      joined.groupBy("k", "n_name")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice"), 4).as("price_sum"))
+        .orderBy("k")
+    })
+
   /** X-J14: Bloom-prefiltered semi join — the explicit runtime-filter
     * pattern: a Bloom filter over the filtered dimension's keys probes
     * INSIDE the fact scan (compiled expression, no UDF), the exact
@@ -390,5 +422,5 @@ object QueriesRelational {
     })
 
   val all: Seq[Q] = Seq(p2, p5, p6, p8a, p8b, p9, p10, p11, j2, j6, j7,
-    j8a, j8b, j10, j13, j14, u1, u2, u3, u5, o1, m5, c1, c9)
+    j8a, j8b, j10, j13, j13a, j14, u1, u2, u3, u5, o1, m5, c1, c9)
 }

@@ -33,6 +33,41 @@ object Skew {
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Executable pre-flight: runs [[skewReport]] on the join key and
+    * picks the strategy from it — the plain join when the key
+    * distribution is near-uniform, [[saltedJoin]] with a DERIVED
+    * factor otherwise — so the report→remedy decision is code, not a
+    * human reading a dashboard. The decision metric is LANES, not the
+    * report's max/mean ratio (which reads ~2 on a two-key table whose
+    * hot key holds 99.9% of the rows): a hash shuffle pins each key
+    * to one of P lanes, so the hottest key demands ceil(share · P)
+    * lanes of capacity; when that is ≥ `minSaltLanes` the key is
+    * split that many ways (clamped to `maxFactor`), otherwise the
+    * plain join stands. The report read is one bounded driver action
+    * (top-1 row) — the same pre-flight cost class as a broadcast-
+    * threshold probe. Returns the join AND the chosen factor
+    * (1 = plain) so callers can log the decision; the OUTPUT is
+    * decision-independent (SkewSpec asserts equality on uniform, hot
+    * and multi-key distributions). */
+  def autoJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+               joinType: String = "inner", minSaltLanes: Double = 4.0,
+               maxFactor: Int = 64): (DataFrame, Int) = {
+    val (keyed, keyCol) =
+      if (keys.size == 1) (large, keys.head)
+      else (large.withColumn("_ck",
+        concat_ws("\u0001", keys.map(col): _*)), "_ck")
+    val top = skewReport(keyed, keyCol, topK = 1)
+      .select("share").collect()
+    val share = top.headOption.map(_.getDouble(0)).getOrElse(0.0)
+    val parallelism = large.sparkSession.sparkContext.defaultParallelism
+    val lanes = math.ceil(share * parallelism).toInt
+    val factor = if (lanes < minSaltLanes) 1 else math.min(maxFactor, lanes)
+    val joined =
+      if (factor <= 1) large.join(small, keys, joinType)
+      else saltedJoin(large, small, keys, factor, joinType)
+    (joined, factor)
+  }
+
   /** Key-skew diagnostics: the report that decides whether a join/agg
     * key needs [[saltedJoin]] (or a coarser key) BEFORE burning a
     * cluster run on it. One group-cardinality count aggregate, a

@@ -30,6 +30,49 @@ class SkewSpec extends SparkSpec {
     assert(out.where(col("k") === 99 && col("w").isNull).count() == 1)
   }
 
+  test("autoJoin: uniform keys pick the plain join, output unchanged") {
+    import spark.implicits._
+    // skew 0: every key appears exactly 400 times -> skew_ratio = 1.0
+    val fact = (1L to 20000L).map(i => (i % 50, i)).toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val (joined, factor) = Skew.autoJoin(fact, dim, Seq("k"))
+    assert(factor == 1, s"uniform distribution must not salt, got $factor")
+    val plain = fact.join(dim, Seq("k")).agg(
+      count(lit(1)), sum("payload")).collect()(0)
+    assert(joined.agg(count(lit(1)), sum("payload")).collect()(0) == plain)
+  }
+
+  test("autoJoin: extreme skew salts with a derived factor, output unchanged") {
+    import spark.implicits._
+    // one key holds ~all rows — the single-literal-key shape AQE
+    // can't split pre-shuffle
+    val fact = (1L to 20000L).map(i => (if (i % 1000 == 0) i % 50 else 1L, i))
+      .toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val (joined, factor) = Skew.autoJoin(fact, dim, Seq("k"), maxFactor = 16)
+    assert(factor > 1 && factor <= 16, s"hot key must salt, got $factor")
+    val plain = fact.join(dim, Seq("k")).agg(
+      count(lit(1)), sum("payload")).collect()(0)
+    assert(joined.agg(count(lit(1)), sum("payload")).collect()(0) == plain)
+    // left join path keeps unmatched rows too
+    val factU = fact.withColumn("k",
+      when(col("payload") === 7L, lit(999L)).otherwise(col("k")))
+    val (leftJ, _) = Skew.autoJoin(factU, dim, Seq("k"), joinType = "left")
+    assert(leftJ.where(col("k") === 999L && col("name").isNull).count() == 1)
+  }
+
+  test("autoJoin: multi-key decision uses the combined key distribution") {
+    import spark.implicits._
+    // (k1,k2) combined is uniform even though k1 alone is constant —
+    // the combined-key report must NOT salt
+    val fact = (1L to 8000L).map(i => (1L, i % 40, i)).toDF("k1", "k2", "payload")
+    val dim = (0L until 40L).map(k => (1L, k, s"d_$k")).toDF("k1", "k2", "name")
+    val (joined, factor) = Skew.autoJoin(fact, dim, Seq("k1", "k2"))
+    assert(factor == 1, s"combined key is uniform, got factor=$factor")
+    assert(joined.count() == 8000L)
+    assert(!joined.columns.contains("_ck"), "decision column must not leak")
+  }
+
   test("skewReport: heavy hitter surfaces with exact share and ratio") {
     import spark.implicits._
     // key 7 holds 60 of 100 rows; 40 singleton keys
