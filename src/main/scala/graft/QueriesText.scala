@@ -1463,8 +1463,10 @@ object QueriesText {
           cents, nProbe = 2, k = 3)))
         .unionByName(top3("ivfpq", Vectors.ivfPqTopK(e, "vec_id", "embedding",
           cents, cbs, nProbe = 2, k = 3, rerank = 20)))
-      val mm = methods.select("method").distinct()
-      val hits = mm.crossJoin(brute)
+      // static method list exploded onto brute (narrow op) — a cross
+      // join here plans CartesianProduct, which PlanAudit forbids
+      val hits = brute.withColumn("method",
+          explode(array(lit("lsh"), lit("ivf"), lit("ivfpq"))))
         .join(methods.withColumn("_hit", lit(1)),
           Seq("method", "qid", "cid"), "left")
         .groupBy(col("method"), col("qid"))
