@@ -266,15 +266,19 @@ object Clustering {
   def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
              eps: Double, minSamples: Int): DataFrame = {
     val spark = points.sparkSession
-    // spread BEFORE the checkpoint: `points` typically arrives from an
+    // spread (NO checkpoint): `points` typically arrives from an
     // AQE-coalesced aggregate (1 post-shuffle partition at small SF),
     // and every downstream map — binning, the 9× probe explode, the
-    // pair join's shuffle write — inherits the checkpoint's width
-    // (the r05 tasks=1 stages, VERDICT #2).
+    // pair join's shuffle write — inherits this repartition's width
+    // (the r05 tasks=1 stages, VERDICT #2). The two consumers inside
+    // one job (binned + probe) converge on the same exchange, which
+    // AQE reuses; the labels job re-scans the source once more. Two
+    // source scans beat a materialization job at this end — and at
+    // 100 TB, pinning a FACT-sized points frame on executor storage
+    // is the bigger hazard (r10).
     val pts = graft.core.Tables.spread(
         points.select(col(idCol).as("_id"), col(xCol).as("_x"), col(yCol).as("_y")),
         col("_id"))
-      .localCheckpoint()
 
     val (cx, cy) = Spatial.cellCoords(col("_x"), col("_y"), eps)
     val binned0 = pts.withColumn("_cx", cx).withColumn("_cy", cy)
