@@ -15,8 +15,9 @@ package graft.operators
   * over any of those element codes — `rPt(emax)`: the main-table
   * cell holds (count, heap offset) and the elements live in the
   * PCOUNT-sized heap after the table (FITS 4.0 §7.3.5; astropy keeps
-  * these cells, df_utils.py:62-66). Non-A repeats > 1 are array
-  * columns. X/C/M are rejected. Gzipped FITS (astropy-transparent)
+  * these cells, df_utils.py:62-66). X is the packed bit-array code
+  * (§7.3.3, bool array). Non-A repeats > 1 are array columns.
+  * C/M (complex) are rejected. Gzipped FITS (astropy-transparent)
   * is handled by [[maybeGunzip]] at the byte boundary.
   */
 object FitsCodec {
@@ -27,7 +28,9 @@ object FitsCodec {
   /** `heap` is the element code for variable-length columns (tcode
     * P or Q); the canonical [[tform]] omits the optional `(emax)` so
     * cross-file layout checks don't reject files that differ only in
-    * their per-file maximum. */
+    * their per-file maximum. X is the bit-array code: `rX` packs r
+    * bits MSB-first into ceil(r/8) bytes (FITS 4.0 §7.3.3; astropy
+    * reads it as a bool array). */
   final case class FitsCol(name: String, repeat: Int, tcode: Char,
                            heap: Option[Char] = None) {
     private def codeBytes(c: Char): Int = c match {
@@ -41,12 +44,14 @@ object FitsCodec {
     def elemBytes: Int = tcode match {
       case 'P' => 8  // (int32 count, int32 offset)
       case 'Q' => 16 // (int64 count, int64 offset)
+      case 'X' => 1  // fieldBytes overridden: bits pack 8-per-byte
       case c => codeBytes(c)
     }
     /** element width of the HEAP data for P/Q columns. */
     def heapElemBytes: Int = codeBytes(heap.getOrElse(
       throw new IllegalStateException(s"$name is not variable-length")))
-    def fieldBytes: Int = repeat * elemBytes
+    def fieldBytes: Int =
+      if (tcode == 'X') (repeat + 7) / 8 else repeat * elemBytes
     def isVar: Boolean = tcode == 'P' || tcode == 'Q'
     def isArray: Boolean = (repeat > 1 && tcode != 'A') ||
       (isVar && !heap.contains('A'))
@@ -101,12 +106,13 @@ object FitsCodec {
     sb.toString.getBytes("US-ASCII")
   }
 
-  private val SupportedCodes = "LBIJKAED".toSet
+  private val SupportedCodes = "LBIJKAEDX".toSet
 
   /** Parses "rT" / "rPt(emax)" / "rQt(emax)" (repeat optional,
     * default 1; `(emax)` optional on read). Only the supported codes
-    * are accepted (X/C/M rejected here, eagerly); P/Q require a
-    * supported heap element code. Returns (repeat, code, heapCode). */
+    * are accepted (C/M rejected here, eagerly); P/Q require a
+    * supported heap element code (X can't be heaped — its packing is
+    * row-relative). Returns (repeat, code, heapCode). */
   def parseTform(tform: String): (Int, Char, Option[Char]) = {
     val m = "^([0-9]*)([A-Z])([A-Z])?(?:\\((\\d+)\\))?$".r
       .findFirstMatchIn(tform.trim).getOrElse(
@@ -117,7 +123,7 @@ object FitsCodec {
     if (code == 'P' || code == 'Q') {
       val h = heap.getOrElse(throw new IllegalArgumentException(
         s"variable-length TFORM '$tform' lacks an element code"))
-      require(SupportedCodes.contains(h),
+      require(SupportedCodes.contains(h) && h != 'X',
         s"unsupported heap element code '$h' in '$tform'")
       require(r <= 1, s"descriptor repeat > 1 unsupported: '$tform'")
       (r, code, Some(h))
@@ -206,6 +212,21 @@ object FitsCodec {
     rows.foreach { r =>
       r.lazyZip(parsed).foreach { (cell, c) =>
         (c.tcode, cell) match {
+          case ('X', b: Boolean) => // 1X scalar bit
+            require(c.repeat == 1, s"scalar bit cell on ${c.name} needs repeat 1")
+            buf.put((if (b) 0x80 else 0x00).toByte)
+          case ('X', bits: Seq[_]) =>
+            require(bits.size == c.repeat,
+              s"bit cell size ${bits.size} != repeat ${c.repeat} on ${c.name}")
+            // MSB-first packing, zero-padded to the byte boundary
+            val packed = new Array[Byte](c.fieldBytes)
+            bits.zipWithIndex.foreach {
+              case (b: Boolean, i) =>
+                if (b) packed(i / 8) = (packed(i / 8) | (0x80 >> (i % 8))).toByte
+              case (other, _) => throw new IllegalArgumentException(
+                s"bit cell on ${c.name} must hold Booleans, got $other")
+            }
+            buf.put(packed)
           case ('P' | 'Q', _) =>
             val n = varLen(c, cell)
             // descriptor in the cell, elements at the heap cursor
@@ -420,7 +441,12 @@ object FitsCodec {
         val c = cols(ci)
         val at = base + offsets(ci)
         if (c.isVar) readVar(c, at)
-        else if (c.tcode == 'A') {
+        else if (c.tcode == 'X') {
+          // MSB-first bit unpack; repeat == 1 yields a scalar Boolean
+          // (astropy's bool), larger repeats a Seq[Boolean]
+          def bit(i: Int): Boolean = (b(at + i / 8) & (0x80 >> (i % 8))) != 0
+          if (c.repeat == 1) bit(0) else (0 until c.repeat).map(bit)
+        } else if (c.tcode == 'A') {
           val s = new String(b, at, c.repeat, "US-ASCII")
           s.reverse.dropWhile(_ == ' ').reverse
         } else if (c.isArray) {

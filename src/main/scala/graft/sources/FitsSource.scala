@@ -52,7 +52,7 @@ object FitsSource {
   private def sparkType(c: FitsCol): DataType = {
     val code = c.heap.getOrElse(c.tcode) // varlen: type of the heap elements
     val elem: DataType = code match {
-      case 'L' => BooleanType
+      case 'L' | 'X' => BooleanType
       case 'B' | 'I' | 'J' => IntegerType
       case 'K' => LongType
       case 'E' => FloatType

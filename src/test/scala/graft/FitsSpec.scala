@@ -55,7 +55,47 @@ class FitsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FitsCodec.hdus(good.take(good.length - FitsCodec.Block))
     }
-    intercept[IllegalArgumentException] { FitsCodec.parseTform("1X") }
+    intercept[IllegalArgumentException] { FitsCodec.parseTform("1M") }
+  }
+
+  test("codec round-trip: X bit-array columns pack MSB-first") {
+    val cols = Seq("id" -> "1K", "flag" -> "1X", "mask" -> "12X")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq[Any](1L, true, (0 until 12).map(i => i % 3 == 0)),
+      Seq[Any](2L, false, Seq.fill(12)(true)),
+      Seq[Any](3L, true, Seq.fill(12)(false)))
+    val bytes = FitsCodec.buildFits(Seq("EXPID" -> 1L), cols, rows)
+    val hs = FitsCodec.hdus(bytes)
+    // 12 bits pack into 2 bytes: row width 8 (K) + 1 (1X) + 2 = 11
+    assert(hs(1).hmap("NAXIS1") == 11L, hs(1).hmap("NAXIS1"))
+    val got = FitsCodec.readRows(bytes, hs(1), cols.indices.toArray)
+      .map(_.toSeq).toSeq
+    assert(got == rows, s"$got")
+    // MSB-first on the wire: row 0's mask bits 100100100100 -> 0x92 0x40
+    val maskAt = hs(1).dataOff + 9
+    assert((bytes(maskAt) & 0xff) == 0x92 && (bytes(maskAt + 1) & 0xff) == 0x40,
+      f"${bytes(maskAt)}%02x ${bytes(maskAt + 1)}%02x")
+    // complex codes stay rejected; X can't be a heap element
+    intercept[IllegalArgumentException] { FitsCodec.parseTform("1C") }
+    intercept[IllegalArgumentException] { FitsCodec.parseTform("1PX") }
+  }
+
+  test("readTable: X columns surface as Boolean / ArrayType(Boolean)") {
+    val dir = tmpDir("bits")
+    val cols = Seq("id" -> "1K", "good" -> "1X", "flags" -> "9X")
+    val rows: Seq[Seq[Any]] = (0L until 6L).map(i =>
+      Seq[Any](i, i % 2 == 0, (0 until 9).map(b => (i + b) % 4 == 0)))
+    Files.write(Paths.get(s"$dir/a.fits"),
+      FitsCodec.buildFits(Seq("EXPID" -> 1L), cols, rows))
+    val df = FitsSource.readTable(spark, dir, keepArrayCols = true)
+    assert(df.schema("good").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(df.schema("flags").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BooleanType, containsNull = false))
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getSeq[Boolean](2).toList))
+    assert(got.length == 6 && got(0)._2 && !got(1)._2)
+    assert(got(1)._3 == (0 until 9).map(b => (1 + b) % 4 == 0).toList)
   }
 
   test("codec round-trip: variable-length P/Q columns through the heap") {
