@@ -157,6 +157,13 @@ object QueriesSources {
         .foreachPartition { (it: Iterator[(Int, Long, Seq[Int], Seq[Double])]) =>
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[(Int, Long, Seq[Int], Seq[Double])]
+          // bound task memory: a month larger than the cap splits into
+          // obs_<mon>_<part> files — the query's truth is row content,
+          // never file layout, so chunking is invisible to the oracle
+          // (and a single-buffered-month builder OOMs at ScaleStudy's
+          // 16x corpus)
+          val MaxRowsPerFile = 16384
+          var part = 0
           def flush(): Unit = if (buf.nonEmpty) {
             val mon = buf.head._1
             val rows: Seq[Seq[Any]] = buf.toSeq.map {
@@ -166,18 +173,20 @@ object QueriesSources {
               Seq("EXPID" -> (202400L + mon), "RCID" -> (mon % 4).toLong),
               Seq("o_orderkey" -> "1K", "qty_hi" -> "1PJ", "prices" -> "1QD"),
               rows)
+            val stem = f"$dataDir/obs_$mon%02d_$part%03d"
             if (mon % 2 == 1) {
               val bos = new java.io.ByteArrayOutputStream(bytes.length / 2)
               val gz = new java.util.zip.GZIPOutputStream(bos)
               gz.write(bytes); gz.close()
-              Files.write(Paths.get(f"$dataDir/obs_$mon%02d.fits.gz"),
-                bos.toByteArray)
+              Files.write(Paths.get(s"$stem.fits.gz"), bos.toByteArray)
             } else
-              Files.write(Paths.get(f"$dataDir/obs_$mon%02d.fits"), bytes)
+              Files.write(Paths.get(s"$stem.fits"), bytes)
+            part += 1
             buf.clear()
           }
           it.foreach { r =>
-            if (buf.nonEmpty && buf.head._1 != r._1) flush()
+            if (buf.nonEmpty && (buf.head._1 != r._1 || buf.size >= MaxRowsPerFile))
+              flush()
             buf += r
           }
           flush()
