@@ -32,11 +32,15 @@ object Bench {
     * co-tenant contention waves while steal_pct read a healthy 0.43%
     * (judge post-mortem). Probes every [[ProbeEvery]] queries bound
     * each query's measurement window; a window whose probes drift
-    * >2× the quiet-host reference gets its queries re-measured (the
-    * better median wins — contention only adds time), and when the
-    * RUN-WIDE probe median itself drifts >2× the artifact carries a
-    * machine-readable "contended": true a judge can trust without an
-    * independent re-run. */
+    * >2× the RUN'S OWN probe floor (p10 of its probes) gets its
+    * queries re-measured (the better median wins — contention only
+    * adds time), and when the run-wide probe median itself drifts >2×
+    * that floor the artifact carries a machine-readable
+    * "contended": true a judge can trust without an independent
+    * re-run. The floor self-calibrates per host (r10): a machine
+    * uniformly slower than the 2026-08 anchor is NOT contended — its
+    * medians are internally sound; the anchor stays in the artifact
+    * as ref_sec/drift_vs_anchor for cross-host comparisons. */
   private val ProbeRefSec32 = 0.12 // quiet-host median at local[32] (2026-08)
   private val ProbeEvery = 8
   private val DriftLimit = 2.0
@@ -115,6 +119,13 @@ object Bench {
     val stat0 = cpuStat()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    // per-query run spread (max/min of its successful runs): the
+    // workload as its own contention sensor. The CPU probe is blind
+    // to memory-bandwidth/IO waves (r10: a run with quiet probes
+    // measured uniformly ~15% slow); a dispersion median well above
+    // the quiet-host ~1.1-1.2 says the medians carry intra-run noise
+    // even when the probes look clean.
+    val spreads = scala.collection.mutable.ArrayBuffer[Double]()
 
     /** Median-of-Runs for one query (unchanged measurement protocol). */
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -138,6 +149,13 @@ object Bench {
             None
         } finally reclaim(spark, before)
       }
+      // dispersion over WARM runs only: a query's first run carries
+      // its own codegen JIT (routinely 1.5-2x), which would swamp the
+      // contention signal on a perfectly quiet host
+      locally {
+        val warm = times.drop(1)
+        if (warm.size >= 2) spreads += warm.max / math.max(warm.min, 1e-9)
+      }
       if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
     }
 
@@ -154,7 +172,17 @@ object Bench {
           spark = newSession(cpus)
           rebuilds += 1
         }
-        probe(spark)
+        // measure CAPACITY, not the suite's own allocation debt: right
+        // after a heavy query the old gen is full of dead blocks and
+        // the probe's allocations stall on collection — indistinguish-
+        // able from a co-tenant wave by timing alone (r10: in-suite
+        // probes read 0.31 s while idle probes read 0.19 s on the same
+        // quiet host). A collect first + min-of-2 probes strips the
+        // self-pressure; genuine external contention inflates both.
+        // Probe time is OUTSIDE the per-query timed sections, so this
+        // costs bench wall-clock, never the reported medians.
+        System.gc()
+        math.min(probe(spark), probe(spark))
       }
       try attempt() catch {
         case e: Throwable =>
@@ -187,6 +215,18 @@ object Bench {
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ref = probeRef(cpus)
+    // Self-calibrating reference (r10): the anchor `ref` was measured
+    // on one specific machine; a HOST that is uniformly slower than
+    // it is not "contended" — its medians-of-3 are internally sound,
+    // only cross-host absolute comparisons need the drift factor
+    // (which stays reported vs the anchor). What invalidates a run is
+    // WITHIN-RUN contention waves, and the run's own probe floor
+    // (p10 of its probes — min would let one lucky probe mark
+    // everything hot) is the correct baseline for detecting those.
+    def floor(): Double = {
+      val ok = allProbes.filter(_ >= 0).sorted
+      if (ok.size < 4) ref else math.max(ok(ok.size / 10), 1e-9)
+    }
     val (firstPass, ctx1) = pass(queries)
     // re-measure queries whose window probes ran hot (>DriftLimit × the
     // quiet-host reference): contention only ever ADDS time, so the
@@ -194,8 +234,9 @@ object Bench {
     // FAILED inside a hot window is retried too — the same contention
     // evidence that discounts a slow median discounts an environmental
     // failure (OOM under a co-tenant spike)
+    val floor1 = floor()
     val hot1 = firstPass.collect {
-      case (n, _) if ctx1(n) > DriftLimit * ref => n
+      case (n, _) if ctx1(n) > DriftLimit * floor1 => n
     }.toSet
     val errorsAfterFirst = errors.keySet.toSet
     val (secondPass, ctx2) =
@@ -221,7 +262,8 @@ object Bench {
     // informational: re-measured under hot probes both times (mild
     // in-suite heap/GC pressure lands here even on a quiet host; the
     // artifact-level verdict below keys on the run-wide median)
-    val contendedQs = hot1.filter(n => ctx2.get(n).forall(_ > DriftLimit * ref))
+    val floorAll = floor()
+    val contendedQs = hot1.filter(n => ctx2.get(n).forall(_ > DriftLimit * floorAll))
     val stealPct = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
     def q(s: String): String = "\"" + s.flatMap {
@@ -233,18 +275,33 @@ object Bench {
     val probesSorted = allProbes.filter(_ >= 0).sorted // drop failed-probe sentinels
     val probeMedian =
       if (probesSorted.isEmpty) -1.0 else probesSorted(probesSorted.size / 2)
-    // the judge-facing verdict: run-wide calibration median drifted
-    // past 2× the quiet-host reference — the r7 failure mode (4×
-    // contention waves under healthy steal) trips this; normal
-    // in-suite GC pressure (≈1.5×) does not
-    val contended = probeMedian > DriftLimit * ref
+    // the judge-facing verdict: the run's median probe drifted past
+    // 2× the run's OWN floor — within-run contention waves (the r7
+    // failure mode: 4× waves under healthy steal). A host uniformly
+    // slower than the 2026-08 anchor is NOT contended — its
+    // median-of-3s are internally sound; the anchor drift stays
+    // reported (drift_vs_anchor) for cross-host comparisons.
+    val dispersion = {
+      val sp = spreads.sorted
+      if (sp.isEmpty) -1.0 else sp(sp.size / 2)
+    }
+    // contended = probe waves OR workload-run waves: the MEDIAN query
+    // varying >=1.5x across its own back-to-back WARM runs is not a
+    // quiet machine by any definition (JIT is excluded above; what
+    // remains is GC jitter ~1.05-1.25), and memory-bandwidth waves
+    // show up here while the cache-resident CPU probe stays flat
+    // (r10 post-mortem)
+    val contended = probeMedian > DriftLimit * floorAll || dispersion >= 1.5
     val calib =
-      s""""calibration":{"ref_sec":${r3(ref)},"median_sec":${r3(probeMedian)},""" +
+      s""""calibration":{"ref_sec":${r3(ref)},"floor_sec":${r3(floorAll)},""" +
+      s""""median_sec":${r3(probeMedian)},""" +
       s""""max_sec":${r3(if (probesSorted.isEmpty) -1.0 else probesSorted.last)},""" +
       s""""n_probes":${allProbes.size},""" +
-      s""""drift":${r3(if (probeMedian > 0) probeMedian / ref else -1.0)},""" +
+      s""""drift_vs_anchor":${r3(if (probeMedian > 0) probeMedian / ref else -1.0)},""" +
+      s""""drift":${r3(if (probeMedian > 0) probeMedian / floorAll else -1.0)},""" +
       s""""requeued":${hot1.size},""" +
-      s""""still_hot":${contendedQs.size}},"contended":$contended"""
+      s""""still_hot":${contendedQs.size},""" +
+      s""""run_dispersion":${r3(dispersion)}},"contended":$contended"""
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     // Compact-line errors: the r6 driver artifact was "parsed": null
     // because 19 full error strings (~4 KB) pushed the JSON line past
