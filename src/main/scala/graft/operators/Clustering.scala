@@ -81,32 +81,41 @@ object Clustering {
     val integralId = idType == LongType || idType == IntegerType ||
       idType == ShortType || idType == ByteType
 
-    // Canonicalize FIRST — orientation _a > _b, self-loops stripped,
-    // duplicates collapsed — and checkpoint once; the adaptive probe
-    // and both execution paths read this single materialization, so
-    // the (possibly expensive) upstream edge computation runs exactly
-    // once. Self-loop stripping here also closes the ADVICE r05
-    // parity gap: a node whose only edges are self-loops has no
-    // canonical edge, is not active, and labels itself through the
-    // isolated/ownComponent path — identical on both paths (the
-    // union-find never unions a self-loop either).
+    // Canonicalize FIRST — orientation _a > _b, self-loops stripped —
+    // and checkpoint once; the adaptive probe and both execution
+    // paths read this single materialization, so the (possibly
+    // expensive) upstream edge computation runs exactly once.
+    // NO distinct here (r10): the union-find is duplicate-tolerant,
+    // so on the driver path a dedup exchange before the checkpoint is
+    // pure cost — and it sat in EVERY CC call (ep2/m1 dbscan, every
+    // dd group query, ep4). Orientation dups (exactly 2× from
+    // undirected emitters) and band-multiplicity dups only fatten the
+    // bounded collect; the distributed path dedups below, where round
+    // volume actually depends on it. Self-loop stripping also closes
+    // the ADVICE r05 parity gap: a node whose only edges are
+    // self-loops has no canonical edge, is not active, and labels
+    // itself through the isolated/own-component path — identical on
+    // both paths (the union-find never unions a self-loop either).
     val (e0, e0Rdds) = cpTracked(edges
       .select(greatest(col("_a"), col("_b")).as("_a"),
         least(col("_a"), col("_b")).as("_b"))
-      .where(col("_a") =!= col("_b"))
-      .distinct())
+      .where(col("_a") =!= col("_b")))
     // Exact count on the materialized checkpoint — O(partitions), no
     // data movement — replacing the r05 limit(4M+1).collect() probe
     // that pulled up to 4M Rows (~hundreds of MB) onto the driver
     // just to TEST the threshold (VERDICT r05 #4). Only genuinely
-    // under-threshold edge lists are ever collected now.
+    // under-threshold edge lists are ever collected now. The count is
+    // WITH multiplicity: it bounds exactly what the driver path would
+    // pull (the raw checkpointed rows), so the 64 MB fetch-volume
+    // contract is unchanged; a heavily-duplicated edge set merely
+    // chooses the distributed path a little earlier — the safe side.
     val nEdges = e0.count()
 
     if (integralId && nEdges <= driverMaxEdges) {
-      // Below the threshold the whole (deduped, two-long-column) edge
-      // list is dimension-sized; one O(E α(E)) driver pass beats 3-5
-      // rounds of join+checkpoint fixed latency — same adaptive
-      // rationale as a broadcast hash join.
+      // Below the threshold the whole (two-long-column) edge list is
+      // dimension-sized; one O(E α(E)) driver pass beats 3-5 rounds
+      // of join+checkpoint fixed latency — same adaptive rationale as
+      // a broadcast hash join.
       val fetched = e0
         .select(col("_a").cast(LongType), col("_b").cast(LongType)).collect()
       unpersistAll(e0Rdds) // result below depends only on nodes + broadcast labels
@@ -147,17 +156,23 @@ object Clustering {
     // sub-percolation ε-graphs) that excludes the vast majority of
     // nodes from every round's shuffle; the isolated remainder is
     // appended lazily at the end.
-    val ends = e0.select(col("_a").as("_id"))
-      .unionAll(e0.select(col("_b").as("_id"))).distinct()
+    // dedup here — the first exchange the distributed path was going
+    // to pay anyway — so round volume is set-sized even when the
+    // emitter carried orientation/band multiplicity (the driver path
+    // above never needed it)
+    val (e1, e1Rdds) = cpTracked(e0.distinct())
+    unpersistAll(e0Rdds) // rounds only ever read the deduped set
+    val ends = e1.select(col("_a").as("_id"))
+      .unionAll(e1.select(col("_b").as("_id"))).distinct()
     val (active, _) = cpTracked(nodes.join(ends, Seq("_id"), "left_semi"))
     val isolated = nodes.join(active, Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("_label"))
     // fixpoint check: the small-star output is a SET of edges;
     // (count, order-independent hash sum) in one aggregate job per
     // round identifies it. Seeding `prev` with the INPUT's checksum
-    // (one cheap aggregate over the already-materialized e0) lets a
-    // star-shaped input — common for near-dup groups — exit after a
-    // single verification round instead of burning two more
+    // (one cheap aggregate over the already-materialized deduped set)
+    // lets a star-shaped input — common for near-dup groups — exit
+    // after a single verification round instead of burning two more
     // join+checkpoint rounds to see the same set twice (VERDICT r8
     // ep2 schedule ask).
     def checksum(df: DataFrame): (Long, Any) = {
@@ -165,9 +180,9 @@ object Clustering {
         sum(xxhash64(col("_a"), col("_b")).cast(DecimalType(38, 0)))).collect()(0)
       (r.getLong(0), r.get(1))
     }
-    var e = e0
-    var eRdds = e0Rdds
-    var prev: (Long, Any) = checksum(e0)
+    var e = e1
+    var eRdds = e1Rdds
+    var prev: (Long, Any) = checksum(e1)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
