@@ -29,7 +29,10 @@ import graft.operators.{Clustering, GroupOps, Joins, Outliers, Spatial}
   */
 object Pipeline {
   /** Eager-barrier wrapper: localCheckpoint, timed when
-    * GRAFT_EP2_PROF is set (dev profiling only). */
+    * GRAFT_EP2_PROF is set (dev profiling only).
+    * CP-OK: eager-barrier semantics are the point (stage timing +
+    * shared-tail materialization); every ep2 call site feeds it a
+    * reduced (filtered/aggregated) frame, never the raw fact scan. */
   private def cp(name: String, df: DataFrame): DataFrame =
     timed(name)(df.localCheckpoint())
 

@@ -1451,6 +1451,8 @@ object QueriesText {
       val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
           e, "vec_id", "embedding", k = 3)
         .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+        // CP-OK: k rows per sampled query (bounded), rescanned once
+        // per graded method
         .localCheckpoint()
       val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
       val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
@@ -1502,7 +1504,8 @@ object QueriesText {
             SELECT 'ivf' AS method, qid, cid FROM ivft WHERE qid % 20 = 0
             UNION ALL
             SELECT 'ivfpq' AS method, qid, cid FROM pqt WHERE qid % 20 = 0),
-          mm AS (SELECT DISTINCT method FROM methods),
+          mm AS (SELECT * FROM (VALUES ('lsh'), ('ivf'), ('ivfpq'))
+            AS v(method)),
           hits AS (SELECT mm.method, b.qid,
               CAST(count(m.cid) AS BIGINT) AS n_hits
             FROM mm CROSS JOIN brute b

@@ -66,6 +66,10 @@ object Clustering {
   private def cpTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    // CP-OK: CC's loop-carried label state and its canonicalized edge
+    // input — lineage grows per round and must be CUT (persist cannot
+    // bound plan depth); blocks are freed per-iteration via the
+    // tracked handle, and the edge frame is already collision-bounded
     val cp = df.localCheckpoint()
     val created = sc.getPersistentRDDs
       .collect { case (id, rdd) if !before.contains(id) => rdd }.toSeq
@@ -331,13 +335,16 @@ object Clustering {
     }
 
     // minSamples > 1: degrees/core/border each rescan the pairs —
-    // materialize once.
-    val pairs = pairsLazy.localCheckpoint()
+    // materialize once. persist (recomputable, spills), not
+    // localCheckpoint: the ε-pair graph is fact-sized.
+    val pairs = pairsLazy
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val degrees = pairs.groupBy("_a").agg(count(lit(1)).as("_deg"))
     val core = degrees.where(col("_deg") >= minSamples - 1)
       .select(col("_a").as("_id"))
-      .localCheckpoint()
+      // persist: core-point ids are linear in input points
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stays LAZY for the same reason as the minSamples<=1 pair join:
     // connectedComponents materializes the canonicalized edge list

@@ -107,10 +107,14 @@ object Dedup {
         graft.functions.Expressions.minHashBandsPoly(col(textCol), shingleSize, numHashes, bandSize)
       else
         graft.functions.Expressions.minHashBands(col(textCol), shingleSize, numHashes, bandSize)
+    // persist, not localCheckpoint: (id, bands) is corpus-row-sized
+    // (fixed width per doc, but linear rows) — recomputable spill
+    // keeps executor loss survivable; both sides of the band-bucket
+    // self-join scan it, so materialization is still right.
     val bands = graft.core.Tables.spread(
         df.select(col(idCol).as("_id"), col(textCol)), col(idCol))
       .select(col("_id"), bandsExpr.as("_bands"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.select(col("_id"), posexplode(col("_bands")).as(Seq("_band", "_key")))
   }
 
@@ -202,7 +206,9 @@ object Dedup {
         graft.functions.Expressions.minHashBands(col("_stxt"), shingleSize,
           numHashes, 1).as("_sig"),
         col("_stxt"))
-      .localCheckpoint()
+      // persist: carries the full text column — fact-sized, must stay
+      // recomputable (scanned by both verify-join sides)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val j = cands
       .join(sigs.select(col("_sid").as("a"), col("_sig").as("_sa"),
         col("_stxt").as("_ta")), Seq("a"))
@@ -231,9 +237,12 @@ object Dedup {
                       numHashes: Int = 8, bandSize: Int = 2,
                       poly: Boolean = false): DataFrame =
     canonicalGroups(df, idCol,
+      // persist: pair-graph-sized (∝ verified near-dup collisions,
+      // unbounded at scale); canonicalGroups scans it twice
       minhashVerifiedPairs(df, idCol, textCol, threshold,
           shingleSize, numHashes, bandSize, poly)
-        .select(col("a"), col("b")).localCheckpoint())
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Semantic (embedding-space) duplicate groups: the same
     * pairs→components→canonical pipeline as [[duplicateGroups]], but
@@ -246,8 +255,10 @@ object Dedup {
                         dim: Int, threshold: Double,
                         tables: Int = 8, planes: Int = 6): DataFrame =
     canonicalGroups(df, idCol,
+      // persist: pair-graph-sized, same rationale as duplicateGroups
       Vectors.lshNearDupPairs(df, idCol, vecCol, dim, threshold, tables, planes)
-        .select(col("a"), col("b")).localCheckpoint())
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Shared tail of the group-canonicalization family: undirect the
     * verified pair graph, run connected components, and give every
@@ -320,10 +331,15 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, ngram: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist (recomputable, spills) rather than localCheckpoint: the
+    // (id, shingle-array) frame is CORPUS-sized — pinning it
+    // unrecoverable on executor storage means one executor loss kills
+    // the job at scale. It feeds 3 downstream scans (the inverted
+    // index + both verify joins), so materialization itself is right.
     val sh = graft.core.Tables.spread(
         df.select(col(idCol).as("_sid"), col(textCol).as("_t")), col("_sid"))
       .select(col("_sid"), Text.wordShingles(col("_t"), ngram).as("_sh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("_sid"), explode(col("_sh")).as("_g"))
     val dfreq = ex.groupBy("_g").agg(count(lit(1)).as("_df"))
     val ranked = ex.join(dfreq, Seq("_g"))
@@ -465,11 +481,14 @@ object Dedup {
     * explode after an expensive projection). */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame = {
+    // persist, not localCheckpoint: (id, tokens, n_tokens) is strictly
+    // LARGER than the input corpus — recomputable spill-to-disk keeps
+    // executor loss survivable at scale (the PMI recipe, Text.scala).
     val base = graft.core.Tables.spread(
         df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
           .withColumn("n_tokens", size(col("_toks")).cast(LongType)),
         col(idCol))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col(idCol), posexplode(
         when(col("n_tokens") >= n,
           expr(s"transform(sequence(0, int(n_tokens) - $n), i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))

@@ -34,15 +34,21 @@ object Graph {
                damping: Double = 0.85, scale: Int = 12,
                checkpointEvery: Int = 4): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // persist, not localCheckpoint, for the STATIC frames (edges,
+    // nodes, degree-joined edges): graph-fact-sized, multi-scanned
+    // across iterations, no lineage growth — recomputable spill is
+    // the executor-loss-survivable shape. Only the loop-carried
+    // `ranks` below needs an actual lineage cut.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .persist(lvl)
     val n = nodes.count()
     if (n == 0) return spark.emptyDataFrame
       .withColumn("node", lit(0L)).withColumn("rank", lit(0.0)).limit(0)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
-    val ew = e.join(outdeg, "src").localCheckpoint()   // (src, dst, _deg)
+    val ew = e.join(outdeg, "src").persist(lvl)   // (src, dst, _deg)
     val teleport = (1.0 - damping) / n
     val f = math.pow(10, scale)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -61,6 +67,9 @@ object Graph {
       // time; lineage only needs cutting every few rounds (long-run
       // plan-depth control), so short runs stay ONE job
       if (i % checkpointEvery == 0 && i < iterations)
+        // CP-OK: loop-carried state — lineage GROWS each round and
+        // must be cut; the frame is node-sized (narrow), freed by the
+        // harness reclaim, and persist cannot bound plan depth here
         ranks = ranks.localCheckpoint()
     }
     ranks
@@ -93,10 +102,13 @@ object Graph {
     * triangles, clustering coefficient 3·tri/wedges (1e-6 floor
     * grid). */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // persist: undirected edge list is graph-fact-sized; scanned by
+    // the degree pass and the orientation join
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      .where(col("a") =!= col("b")).distinct().persist(lvl)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -111,7 +123,7 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("_da").as("dd")))
           .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.dd"))
-      .localCheckpoint()
+      .persist(lvl)
     // out-neighbor pairs of u, emitted once in orientation order: the
     // closing edge of a triangle is then exactly (src = v, dst = w)
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("_dv"))

@@ -51,6 +51,8 @@ object Outliers {
       .agg(
         mean(calMag).as("av_mag"),
         (mean(calMag) - mean(refMag)).as("mag_diff"))
+      // CP-OK: one row per CLUSTER (group-cardinality aggregate, not
+      // fact-sized); rescanned by 4 downstream passes
       .localCheckpoint()
 
     val binned =

@@ -52,10 +52,19 @@ object Skew {
   def autoJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                joinType: String = "inner", minSaltLanes: Double = 4.0,
                maxFactor: Int = 64): (DataFrame, Int) = {
+    // NULL components must stay distinguishable: concat_ws SKIPS
+    // nulls, collapsing ('x', null) and (null, 'x') onto one
+    // composite and distorting the top-1 share the salt decision
+    // reads (ADVICE r10). Route each component through coalesce with
+    // a \u0000 sentinel so a null occupies its slot (a literal
+    // "\u0000" string key colliding with null is accepted -- the cost
+    // is an over-estimated share, i.e. the safe/salting direction).
     val (keyed, keyCol) =
       if (keys.size == 1) (large, keys.head)
       else (large.withColumn("_ck",
-        concat_ws("\u0001", keys.map(col): _*)), "_ck")
+        concat_ws("\u0001",
+          keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)),
+        "_ck")
     val top = skewReport(keyed, keyCol, topK = 1)
       .select("share").collect()
     val share = top.headOption.map(_.getDouble(0)).getOrElse(0.0)

@@ -54,9 +54,17 @@ object Reports {
                   provenance: String = ""): (String, String) = {
     val base = s"$dir/$name"
     val csvDir = s"$base/data.csv"
-    val n = df.count()
     df.write.mode("overwrite")
       .option("header", "true").option("compression", "gzip").csv(csvDir)
+    // Sidecar row count comes from the WRITTEN output, not a second
+    // execution of the plan (ADVICE r10): a pre-write df.count() ran
+    // the plan twice and could disagree with the written parts under
+    // a non-deterministic plan. Reading the gzip parts back is one
+    // bounded IO pass over exactly the bytes the manifest describes
+    // (multiLine: quoted embedded newlines must not split rows).
+    val n = df.sparkSession.read
+      .option("header", "true").option("multiLine", "true").csv(csvDir)
+      .count()
     val parts = {
       val d = Paths.get(csvDir)
       val it = Files.list(d).iterator()

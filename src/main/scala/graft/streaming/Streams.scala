@@ -138,8 +138,14 @@ object Streams {
     * per-user running totals with `flatMapGroupsWithState` — emits a
     * row whenever a user's cumulative value crosses another multiple
     * of `step`. Works on a static Dataset too (Spark executes the
-    * state function per group in one pass). */
-  def runningTotalAlerts(events: DataFrame, step: Double = 100.0): DataFrame = {
+    * state function per group in one pass).
+    *
+    * `stateTtlMs` (off by default, preserving exact batch parity):
+    * key cardinality is unbounded in a long-running stream, so the
+    * [[anomalyStream]] TTL seam applies here too — a user idle past
+    * the TTL has their running total dropped and restarts at 0. */
+  def runningTotalAlerts(events: DataFrame, step: Double = 100.0,
+                         stateTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
     val spark = events.sparkSession
@@ -148,6 +154,7 @@ object Streams {
       .as[(Long, java.sql.Timestamp, Double)]
     def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
            state: GroupState[Double]): Iterator[(Long, Double, Long)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var total = state.getOption.getOrElse(0.0)
       val alerts = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
       // deterministic order within the group
@@ -158,12 +165,23 @@ object Streams {
         if (after > before) alerts += ((user, total, after))
       }
       state.update(total)
+      stateTtlMs.foreach(state.setTimeoutDuration)
       alerts.iterator
     }
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
       .toDF("user_id", "running_total", "milestone")
   }
+
+  /** Shared TTL-timeout selector for the stateful ops: a TTL arms
+    * ProcessingTimeTimeout (each invocation re-arms after updating
+    * state; an expiry tick removes the key's state), TTL off keeps
+    * the exact-batch-parity NoTimeout mode. */
+  private def ttlTimeout(stateTtlMs: Option[Long])
+      : org.apache.spark.sql.streaming.GroupStateTimeout =
+    if (stateTtlMs.isDefined)
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+    else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
 
   /** Stateful streaming near-dedup: documents arrive as a stream and
     * every doc that near-duplicates ANY previously-seen doc is flagged
@@ -193,7 +211,8 @@ object Streams {
     * asserts streaming (multi-micro-batch) == batch. */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    shingleSize: Int = 5, numHashes: Int = 8,
-                   bandSize: Int = 4): DataFrame = {
+                   bandSize: Int = 4,
+                   stateTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -210,6 +229,11 @@ object Streams {
       org.apache.spark.sql.catalyst.expressions.Literal.create("", StringType), shingleSize)
     def fn(bucket: (Int, String), rows: Iterator[(Int, String, Long, String)],
            state: GroupState[List[(Long, String)]]): Iterator[(Long, Long, Double)] = {
+      // TTL expiry: this bucket's seen-list is the dedup HORIZON —
+      // dropping it on inactivity is exactly where a crawl pipeline
+      // wants its near-dup window bounded (docs older than the TTL no
+      // longer suppress new arrivals)
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var seen = state.getOption.getOrElse(Nil)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       rows.toSeq.sortBy(_._3).foreach { case (_, _, id, text) =>
@@ -225,10 +249,11 @@ object Streams {
         }
       }
       state.update(seen)
+      stateTtlMs.foreach(state.setTimeoutDuration)
       out.iterator
     }
     keyed.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
       .toDF("a", "b", "jaccard")
   }
 
@@ -244,7 +269,8 @@ object Streams {
     * batch window-lead plan — the registered st_stream_cep query
     * shares ev_cep_pattern's oracle verbatim, and
     * StatefulStreamsSpec asserts multi-micro-batch == batch. */
-  def streamCepMatches(events: DataFrame): DataFrame = {
+  def streamCepMatches(events: DataFrame,
+                       stateTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -257,6 +283,10 @@ object Streams {
     def fn(user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
            state: GroupState[List[(Long, Long, String)]])
         : Iterator[(Long, Long, Long, Long, java.sql.Timestamp, Long)] = {
+      // TTL expiry: an idle user's 2-event prefix is dropped — a
+      // pattern must then restart from scratch (the recency bound a
+      // long-running CEP deployment needs)
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var last = state.getOption.getOrElse(Nil)
       val out = scala.collection.mutable
         .ArrayBuffer[(Long, Long, Long, Long, java.sql.Timestamp, Long)]()
@@ -271,10 +301,11 @@ object Streams {
         last = ((id, us(ts), typ) :: last).take(2)
       }
       state.update(last)
+      stateTtlMs.foreach(state.setTimeoutDuration)
       out.iterator
     }
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
       .toDF("user_id", "view_id", "click_id", "purchase_id", "view_ts", "span_us")
   }
 
@@ -347,10 +378,8 @@ object Streams {
       stateTtlMs.foreach(state.setTimeoutDuration)
       out.iterator
     }
-    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-                  else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
       .toDF("user_id", "ts", "event_id", "value", "z", "is_anomaly")
   }
 

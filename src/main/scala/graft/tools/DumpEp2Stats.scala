@@ -34,6 +34,8 @@ object DumpEp2Stats {
         Det.davgLong(col("cal_mag"), 8).as("av_mag"),
         (Det.davgLong(col("cal_mag"), 8) -
           Det.davgLong(col("l_quantity") + col("zp_ref"), 8)).as("mag_diff"))
+      // CP-OK: dev diagnostic tool (off the query path); one row per
+      // cluster
       .localCheckpoint()
     val nBins = 8
     val mm = ca.agg(min("av_mag").as("_lo"), max("av_mag").as("_hi"))
