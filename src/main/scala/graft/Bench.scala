@@ -83,13 +83,25 @@ object Bench {
 
   /** Unpersist every persistent RDD not in `before` — reclaims the
     * localCheckpoint blocks a query leaves behind (they are scoped to
-    * the query's lineage; nothing outside the run can reference them). */
+    * the query's lineage; nothing outside the run can reference them).
+    *
+    * Also clears the session CacheManager (r11): operators that
+    * `persist()` register an InMemoryRelation keyed BY PLAN there.
+    * Unpersisting the raw RDD permanently disables that entry
+    * (storageLevel becomes NONE and never re-arms), so the NEXT run
+    * of the same query gets a silent cache-miss relation — every
+    * downstream scan recomputes the supposedly-materialized frame
+    * (measured: dd_containment run 3 at 2× run 2 before this fix).
+    * clearCache drops the stale entries so each run re-registers and
+    * genuinely caches. */
   private def reclaim(spark: SparkSession, before: Set[Int]): Unit =
-    if (!spark.sparkContext.isStopped)
+    if (!spark.sparkContext.isStopped) {
+      try spark.catalog.clearCache() catch { case _: Throwable => }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before.contains(id))
           try rdd.unpersist(blocking = false) catch { case _: Throwable => }
       }
+    }
 
   /** (totalJiffies, stealJiffies) from /proc/stat — bench environment
     * telemetry: driver-vs-local wall-clock deltas on this host have

@@ -53,11 +53,16 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable => fail(name, "query", e) }
-        finally if (!spark.sparkContext.isStopped)
+        finally if (!spark.sparkContext.isStopped) {
+          // clearCache first (r11): raw unpersist permanently disables
+          // a CacheManager entry; a later query rebuilding the same
+          // persisted plan would silently never cache (see Bench.reclaim)
+          try spark.catalog.clearCache() catch { case _: Throwable => }
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!before.contains(id))
               try rdd.unpersist(blocking = false) catch { case _: Throwable => }
           }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

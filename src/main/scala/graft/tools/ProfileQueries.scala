@@ -48,6 +48,10 @@ object ProfileQueries {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // clearCache BEFORE the RDD sweep, like Bench.reclaim: raw
+        // unpersist permanently disables a CacheManager entry, and the
+        // next run's persist() of the same plan silently never caches
+        try spark.catalog.clearCache() catch { case _: Throwable => }
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!before.contains(id))
             try rdd.unpersist(blocking = false) catch { case _: Throwable => }
