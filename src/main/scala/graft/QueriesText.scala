@@ -1671,6 +1671,75 @@ object QueriesText {
     * tx_repetition's dup-3gram fraction is the within-doc sibling).
     * Positional grams zip by parallel unnest in the oracle, exactly
     * mirroring posexplode. */
+  /** X-DD19: CCNet/Gopher-style line-level dedup as a rewrite — drop
+    * every segment duplicated corpus-wide and reassemble each doc
+    * from its kept segments in order (see Dedup.segmentDedup for the
+    * segment-unit note: fixed 10-token windows stand in for newlines
+    * on this flat corpus). Oracle rebuilds the text independently
+    * with string_agg(... ORDER BY pos); int/int removed fraction on
+    * the 1e-6 floor grid. */
+  private val ddLineDedup = Q(
+    "dd_line_dedup",
+    Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          b AS (SELECT doc_id, toks,
+              CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segments FROM tt),
+          g AS (SELECT doc_id,
+              unnest(range(0, n_segments)) AS pos,
+              unnest(list_transform(range(0, n_segments),
+                i -> array_to_string(
+                  toks[CAST(i AS INT) * 10 + 1:CAST(i AS INT) * 10 + 10], ' '))) AS seg
+            FROM b),
+          cnt AS (SELECT seg, count(*) AS c FROM g GROUP BY seg),
+          kept AS (SELECT g.doc_id, g.pos, g.seg
+            FROM g JOIN cnt USING (seg) WHERE c <= 1),
+          reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS nkept FROM kept GROUP BY doc_id)
+          SELECT b.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+            b.n_segments,
+            CAST(b.n_segments - coalesce(reb.nkept, 0) AS BIGINT) AS n_removed,
+            CASE WHEN b.n_segments = 0 THEN 0.0
+              ELSE floor(CAST(b.n_segments - coalesce(reb.nkept, 0) AS DOUBLE)
+                * 1000000.0 / b.n_segments + 0.5) / 1000000.0
+            END AS removed_fraction
+          FROM b LEFT JOIN reb USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          segTokens = 10, maxCount = 1)
+        .orderBy("doc_id"))
+
+  /** X-DD20: SEMANTIC decontamination — training embeddings flagged
+    * when cosine-close to any benchmark embedding (the paraphrase
+    * contamination the word-n-gram rule misses). Bench side = the
+    * %20 query subset (the ss_* convention), broadcast into the
+    * hyperplane-bucket join; per-train-doc (n_bench_hits,
+    * max_cosine) aggregate. Fully oracle-exact via the shared
+    * lshKeyedRowsSql plane literals. */
+  private val ddSemanticDecon = Q(
+    "dd_semantic_decon",
+    Some {
+      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+      s"""WITH keyed AS ($tableRows),
+          tr AS (SELECT * FROM keyed WHERE vec_id % 20 != 0),
+          be AS (SELECT * FROM keyed WHERE vec_id % 20 = 0),
+          cand AS (SELECT DISTINCT tr.vec_id AS tid, be.vec_id AS bid,
+              tr.embedding AS tv, be.embedding AS bv
+            FROM tr JOIN be ON tr.tbl = be.tbl AND tr.key = be.key),
+          scored AS (SELECT DISTINCT tid, bid, ${cosSql("tv", "bv")} AS cosine
+            FROM cand)
+          SELECT tid AS vec_id, count(*) AS n_bench_hits,
+            max(cosine) AS max_cosine
+          FROM scored WHERE cosine >= 0.3
+          GROUP BY tid ORDER BY vec_id"""
+    },
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Vectors.semanticDecontaminate(
+          e.where(col("vec_id") % 20 =!= 0), e.where(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", dim = 64, threshold = 0.3,
+          tables = 8, planes = 6)
+        .orderBy("vec_id")
+    })
+
   private val ddDupSpan = Q(
     "dd_dupspan",
     Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1742,5 +1811,6 @@ object QueriesText {
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
+    ddLineDedup, ddSemanticDecon,
     ep4Corpus)
 }

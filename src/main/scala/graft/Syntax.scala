@@ -284,6 +284,18 @@ object syntax {
                           threshold: Double): DataFrame =
       Dedup.semanticDupGroups(df, idCol, vecCol, dim, threshold)
 
+    /** Line/segment-level dedup rewrite (corpus-duplicated segments
+      * dropped, text reassembled). */
+    def segmentDedup(idCol: String, textCol: String,
+                     segTokens: Int = 10, maxCount: Long = 1): DataFrame =
+      Dedup.segmentDedup(df, idCol, textCol, segTokens, maxCount)
+
+    /** Semantic decontamination against a benchmark embedding frame. */
+    def semanticDecontaminateAgainst(bench: DataFrame, idCol: String,
+                                     vecCol: String, dim: Int,
+                                     threshold: Double): DataFrame =
+      Vectors.semanticDecontaminate(df, bench, idCol, vecCol, dim, threshold)
+
     /** Attribute-constrained (pre-filtered) ANN top-k per vector. */
     def filteredTopK(idCol: String, vecCol: String, attrCol: String,
                      dim: Int, k: Int): DataFrame =

@@ -507,6 +507,55 @@ object Dedup {
             / col("n_tokens") + 0.5) / 1e6).as("dup_span_fraction"))
   }
 
+  /** CCNet/Gopher-style LINE-level dedup as a REWRITE: drop every
+    * segment (line) whose exact text occurs more than `maxCount`
+    * times corpus-wide, and rebuild each document from its kept
+    * segments in order — the boilerplate-stripping pass (headers,
+    * nav bars, license blocks) production pre-training pipelines run
+    * before document-level dedup. The reference corpora segment on
+    * newlines; this corpus is flat word soup, so the segment unit is
+    * parameterized as fixed `segTokens`-token windows (the rewrite
+    * machinery — global count, order-preserving reassembly, removal
+    * report — is identical either way).
+    *
+    * Scale shape: segmentation is a narrow scan-stage transform
+    * (segments ∝ tokens/W); the global count is one hash aggregate
+    * with map-side partials; the rebuild is one per-doc aggregate
+    * ordered by segment position. No all-pairs anywhere, no driver
+    * state; the (id, segments) frame persists recomputable
+    * (MEMORY_AND_DISK) for its two scans. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 10, maxCount: Long = 1): DataFrame = {
+    val w = segTokens
+    val base = graft.core.Tables.spread(
+        df.select(col(idCol), Text.tokens(col(textCol)).as("_toks")), col(idCol))
+      .select(col(idCol),
+        when(size(col("_toks")) >= 1,
+          expr(s"transform(sequence(0, int(ceil(size(_toks) / $w.0)) - 1), " +
+            s"i -> concat_ws(' ', slice(_toks, i * $w + 1, $w)))"))
+          .otherwise(array().cast(ArrayType(StringType))).as("_segs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = base.select(col(idCol), posexplode(col("_segs")).as(Seq("_pos", "_seg")))
+    val counts = segs.groupBy("_seg").agg(count(lit(1)).as("_cnt"))
+    val kept = segs.join(counts, Seq("_seg")).where(col("_cnt") <= maxCount)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          s => s.getField("_seg")), " ").as("clean_text"),
+        count(lit(1)).as("_nkept"))
+    base.select(col(idCol), size(col("_segs")).cast(LongType).as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        when(col("n_segments") === 0, lit(0.0)).otherwise(
+          floor((col("n_segments") - coalesce(col("_nkept"), lit(0L)))
+            .cast(DoubleType) * 1e6 / col("n_segments") + 0.5) / 1e6)
+          .as("removed_fraction"))
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Tables.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),

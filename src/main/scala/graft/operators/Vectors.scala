@@ -463,6 +463,37 @@ object Vectors {
     * the codegen'd cosine kernel. Same shuffle shape as [[lshTopK]];
     * recall follows the OR-banding collision probability
     * 1 − (1 − (1 − θ/π)^planes)^tables for angle θ. */
+  /** SEMANTIC decontamination: flag training documents whose
+    * embedding is cosine-close to ANY benchmark/eval embedding — the
+    * paraphrase-contamination pass the n-gram rule
+    * ([[Dedup.decontaminate]]) cannot catch (a reworded eval question
+    * shares no 4-gram with its source). Cross-frame twin of
+    * [[lshNearDupPairs]]: both sides hash into the same hyperplane
+    * tables, candidates are bucket collisions with the BENCH side
+    * broadcast (eval sets are dimension-sized next to a 100 TB
+    * corpus — the join never shuffles the training embeddings), the
+    * compiled cosine verifies, and one per-train-doc aggregate
+    * reports (n_bench_hits, max_cosine). Anti-join against the
+    * result is the clean-corpus filter. */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            threshold: Double, tables: Int = 8,
+                            planes: Int = 6): DataFrame = {
+    def keyed(df: DataFrame, as: String, vas: String) =
+      df.select(col(idCol).as(as), col(vecCol).as(vas),
+        posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val tr = keyed(graft.core.Tables.spread(train, col(idCol)), "_tid", "_tv")
+    val be = keyed(bench, "_bid", "_bv")
+    tr.join(broadcast(be), Seq("_tbl", "_key"))
+      .select(col("_tid"), col("_bid"),
+        round(graft.functions.Expressions.cosineSim(col("_tv"), col("_bv")), 6).as("cosine"))
+      .distinct() // a pair colliding in several tables scores once
+      .where(col("cosine") >= threshold)
+      .groupBy(col("_tid").as(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, threshold: Double,
                       tables: Int = 8, planes: Int = 6): DataFrame = {

@@ -101,6 +101,32 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (10L, 0.0))
     assert(out(4L) == (3L, 0.0))
   }
+
+  test("segmentDedup drops corpus-duplicated segments, reassembles in order") {
+    // 10-token "lines": L2 appears in three docs (aligned windows) ->
+    // removed everywhere; unique lines survive in position order
+    val l1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val l2 = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val l3 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val l4 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$l1 $l2"),       // keeps l1
+      (2L, s"$l3 $l2 $l4"),   // keeps l3 + l4, order preserved
+      (3L, l2),               // everything removed -> empty rebuild
+      (4L, l4.replace("c", "z"))) // unique doc untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == l1)
+    assert(out(0).getAs[Long]("n_removed") == 1L)
+    assert(out(1).getAs[String]("clean_text") == s"$l3 $l4")
+    assert(out(1).getAs[Double]("removed_fraction") == 0.333333)
+    assert(out(2).getAs[String]("clean_text") == "")
+    assert(out(2).getAs[Double]("removed_fraction") == 1.0)
+    assert(out(3).getAs[Long]("n_removed") == 0L)
+    assert(out(3).getAs[Double]("removed_fraction") == 0.0)
+  }
+
 }
 
 class VectorsSpec extends SparkSpec {
@@ -459,5 +485,36 @@ class VectorsSpec extends SparkSpec {
     val rrRecall = (brute & reranked).size.toDouble / brute.size
     assert(rrRecall > 0.55, s"rrRecall=$rrRecall")
     assert(rrRecall > adcRecall + 0.2, s"rerank must add recall: $adcRecall -> $rrRecall")
+  }
+}
+
+class SemanticDeconSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDecontaminate flags cosine-close cross-frame pairs only") {
+    // bench vector v; train has an identical copy (cos 1.0), a noisy
+    // near copy, and an orthogonal vector (cos 0)
+    val v = Array.fill(8)(1.0f)
+    val near = Array.tabulate(8)(i => if (i == 0) 0.9f else 1.0f)
+    val orth = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val train = Seq((1L, v), (2L, near), (3L, orth))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, v)).toDF("vec_id", "embedding")
+    val out = Vectors.semanticDecontaminate(train, bench, "vec_id",
+        "embedding", dim = 8, threshold = 0.9, tables = 8, planes = 2)
+      .orderBy("vec_id").collect()
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(1L), s"identical vector not flagged: ${out.mkString}")
+    assert(!ids.contains(3L), "orthogonal vector wrongly flagged")
+    val hit = out.find(_.getAs[Long]("vec_id") == 1L).get
+    assert(hit.getAs[Double]("max_cosine") == 1.0)
+    assert(hit.getAs[Long]("n_bench_hits") == 1L)
+  }
+
+  test("semanticDecontaminate: empty bench frame flags nothing") {
+    val train = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val bench = train.where(lit(false))
+    assert(Vectors.semanticDecontaminate(train, bench, "vec_id",
+      "embedding", dim = 8, threshold = 0.5).isEmpty)
   }
 }
