@@ -270,6 +270,42 @@ object QueriesText {
     * lang) report — oracle-checked END-TO-END (the near-dup stage
     * runs the poly CTE chain over the filtered CTE, the group
     * resolution is the recursive-CTE transitive closure). */
+  /** X-EP7: continuous crawl-batch ingestion — quality gate +
+    * incremental near-dedup against the existing corpus + per-lang
+    * admission report, oracle-checked end-to-end (the poly band CTE
+    * chain runs over BOTH the filtered batch and the corpus side,
+    * exactly the engine's two-frame banded join). */
+  private val ep7Ingest = Q(
+    "ep7_incremental_ingest",
+    Some(s"""WITH base AS (SELECT doc_id, text, lang,
+            ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+          newsrc AS (SELECT doc_id, text, lang FROM base WHERE bucket < 100),
+          oldsrc AS (SELECT doc_id, text FROM base WHERE bucket >= 100),
+          pass AS (SELECT doc_id, text, lang FROM newsrc
+            WHERE ($qualityInlineSql) > 0.35),
+          ${polyBandCtesFrom("pass", "_n")},
+          ${polyBandCtesFrom("oldsrc", "_o")},
+          cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bands_n n JOIN bands_o o ON n.band = o.band AND n.key = o.key),
+          v AS (SELECT cand.new_id,
+            len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM cand JOIN d_n a ON cand.new_id = a.doc_id
+              JOIN d_o b ON cand.old_id = b.doc_id),
+          dup AS (SELECT DISTINCT new_id AS doc_id FROM v WHERE jaccard >= 0.25),
+          b1 AS (SELECT lang, count(*) AS n_batch FROM newsrc GROUP BY lang),
+          b2 AS (SELECT lang, count(*) AS n_pass FROM pass GROUP BY lang),
+          b3 AS (SELECT p.lang, count(*) AS n_dup
+            FROM pass p JOIN dup USING (doc_id) GROUP BY p.lang)
+          SELECT b1.lang, b1.n_batch,
+            CAST(b1.n_batch - coalesce(b2.n_pass, 0) AS BIGINT) AS n_quality_fail,
+            CAST(coalesce(b3.n_dup, 0) AS BIGINT) AS n_neardup,
+            CAST(coalesce(b2.n_pass, 0) - coalesce(b3.n_dup, 0) AS BIGINT)
+              AS n_admitted
+          FROM b1 LEFT JOIN b2 USING (lang) LEFT JOIN b3 USING (lang)
+          ORDER BY lang"""),
+    (s, dir) => Pipeline.incrementalIngest(s, dir))
+
   private val ep4Corpus = Q(
     "ep4_corpus_curation",
     Some(s"""WITH RECURSIVE base AS (
@@ -1812,5 +1848,5 @@ object QueriesText {
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ddLineDedup, ddSemanticDecon,
-    ep4Corpus)
+    ep4Corpus, ep7Ingest)
 }
