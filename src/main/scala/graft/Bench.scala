@@ -351,12 +351,17 @@ object Bench {
     val restSec = rest.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     // Host-factor-normalized total (VERDICT r10 #6): value scaled by
-    // anchor_ref / this run's probe floor — what the total would read
+    // anchor_ref / this run's probe MEDIAN — what the total would read
     // on the 2026-08 anchor host IF the slowdown is uniform CPU
     // capacity (the dominant observed mode). Cross-round comparisons
     // should read value_norm first and fall back to NOTES adjudication
     // only when contended/anchor_drift says the run isn't uniform.
-    val hostFactor = if (floorAll > 0) ref / floorAll else 1.0
+    // The MEDIAN, not the p10 floor: the floor is deliberately
+    // min-biased (it exists to lower-bound the requeue detector), and
+    // the first clean full run measured floor 0.079 vs median 0.114 —
+    // a floor-based factor would have "normalized" a 1.08x run to
+    // 1.5x. The median tracks sustained capacity.
+    val hostFactor = if (probeMedian > 0) ref / probeMedian else 1.0
     val tail = s"""$calib,"steal_pct":${r3(stealPct)},"rebuilds":$rebuilds,"runs":$Runs,"stat":"median","sf":"$sfDir","host_factor":${r3(hostFactor)},"value_norm":${r3(total * hostFactor)},"metric":"total","unit":"sec","value":${r3(total)}"""
     val full = s"""{"queries":$fullQs,"errors":$errJson,$tail}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
