@@ -52,7 +52,11 @@ object Outliers {
         mean(calMag).as("av_mag"),
         (mean(calMag) - mean(refMag)).as("mag_diff"))
       // CP-OK: one row per CLUSTER (group-cardinality aggregate, not
-      // fact-sized); rescanned by 4 downstream passes
+      // fact-sized); rescanned by 4 downstream passes. A persist
+      // variant measured SLOWER (m3 1.76->2.08, ep2 7.80->8.58
+      // same-window r11): the driver-side breaks collect reads this
+      // frame immediately, and the checkpoint's raw row blocks serve
+      // repeated scans cheaper than columnar cache decode here.
       .localCheckpoint()
 
     val binned =
