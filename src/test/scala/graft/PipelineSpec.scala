@@ -74,4 +74,19 @@ class PipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < total) // quality cut + dedup both bite
     assert(report.forall(_.getAs[Double]("mean_quality") > 0.35))
   }
+
+  test("EP7 incremental ingest: admission accounting balances per language") {
+    val rep = Pipeline.incrementalIngest(spark, sf001).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (b, f, d, a) = (r.getAs[Long]("n_batch"), r.getAs[Long]("n_quality_fail"),
+        r.getAs[Long]("n_neardup"), r.getAs[Long]("n_admitted"))
+      assert(b == f + d + a,
+        s"lang=${r.getAs[String]("lang")}: $b != $f + $d + $a")
+      assert(Seq(b, f, d, a).forall(_ >= 0L))
+    }
+    // the batch bucket is < 100 of 1000 -> roughly a tenth of the corpus
+    val nb = rep.map(_.getAs[Long]("n_batch")).sum
+    assert(nb > 0 && nb < 300)
+  }
 }
