@@ -73,6 +73,30 @@ class SkewSpec extends SparkSpec {
     assert(!joined.columns.contains("_ck"), "decision column must not leak")
   }
 
+  test("autoJoin: NULL key components stay distinct in the composite (ADVICE r10)") {
+    import spark.implicits._
+    // ('x', null) and (null, 'x') must NOT collapse onto one composite:
+    // concat_ws silently skips nulls, which would read a fake 50% hot
+    // key on this distribution. With explicit null encoding the top-1
+    // share is 25% -> below the default lane threshold -> no salt.
+    val fact = (1L to 4000L).map { i =>
+      (i % 4) match {
+        case 0 => (Some("x"), None: Option[String], i)
+        case 1 => (None: Option[String], Some("x"), i)
+        case 2 => (Some("a"), Some("b"), i)
+        case _ => (Some("c"), Some("d"), i)
+      }
+    }.toDF("k1", "k2", "payload")
+    val dim = Seq(
+      (Some("a"), Some("b"), "ab"), (Some("c"), Some("d"), "cd"))
+      .toDF("k1", "k2", "name")
+    val (joined, factor) = Skew.autoJoin(fact, dim, Seq("k1", "k2"))
+    assert(factor == 1,
+      s"4-way-uniform incl. null slots must not salt (null-collapse bug), got $factor")
+    // null join keys never match -> only the non-null half joins
+    assert(joined.count() == 2000L)
+  }
+
   test("skewReport: heavy hitter surfaces with exact share and ratio") {
     import spark.implicits._
     // key 7 holds 60 of 100 rows; 40 singleton keys
