@@ -370,9 +370,11 @@ object QueriesText {
     * the per-doc mean uses the scale-8 decimal sum + 1e-6 floor
     * quantization recipe (see Text.bigramLmScore for the error
     * model). */
-  private val txBigramLm = Q(
-    "tx_bigram_lm",
-    Some(s"""WITH t AS (SELECT doc_id,
+  /** Shared CTE chain of the self-trained add-alpha bigram LM score
+    * (one source of truth for tx_bigram_lm and the CCNet-style
+    * fluency buckets): emits `lmsc(doc_id, n_bigrams, lm_score)`. */
+  private val bigramLmCtes: String =
+    s"""t AS (SELECT doc_id,
               list_filter($toksSql, x -> length(x) > 0) AS toks FROM documents),
           bg AS (SELECT doc_id,
               unnest(list_transform(range(1, len(toks)),
@@ -389,14 +391,103 @@ object QueriesText {
           c AS (SELECT tc.doc_id, tc.tf,
               tc.tf * ln((CAST(cb AS DOUBLE) + 0.5)
                 / (CAST(cw AS DOUBLE) + 0.5 * v)) AS contrib
-            FROM tc JOIN cw USING (w1, w2) CROSS JOIN v)
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+            FROM tc JOIN cw USING (w1, w2) CROSS JOIN v),
+          lmsc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
             floor(${graft.core.Det.sqlDsum("contrib", 8)}
               / sum(tf) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
-          FROM c GROUP BY doc_id ORDER BY doc_id"""),
+          FROM c GROUP BY doc_id)"""
+
+  private val txBigramLm = Q(
+    "tx_bigram_lm",
+    Some(s"""WITH $bigramLmCtes
+          SELECT doc_id, n_bigrams, lm_score
+          FROM lmsc ORDER BY doc_id"""),
     (s, dir) =>
       Text.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
+
+  /** X-TX19: CCNet-style fluency buckets — head/middle/tail of the
+    * corpus by the self-trained bigram-LM score (the perplexity
+    * bucketing CCNet runs before choosing what to train on). The
+    * tercile boundaries come from ONE exact-percentile aggregate
+    * (round-6, the A7 cross-engine recipe) riding back on a 1-row
+    * broadcast — no global sort / single-partition window anywhere;
+    * bucket assignment compares the 1e-6-quantized score to the
+    * rounded boundaries. Report: per (bucket, lang) doc count +
+    * long-sum mean score. */
+  private val txCcnetBuckets = Q(
+    "tx_ccnet_buckets",
+    Some(s"""WITH $bigramLmCtes,
+          q AS (SELECT round(quantile_cont(lm_score, 0.33333333), 6) AS q33,
+              round(quantile_cont(lm_score, 0.66666667), 6) AS q67 FROM lmsc),
+          b AS (SELECT sc.doc_id, d.lang, sc.lm_score,
+              CASE WHEN sc.lm_score >= q.q67 THEN 'head'
+                   WHEN sc.lm_score >= q.q33 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM lmsc sc CROSS JOIN q
+            JOIN documents d USING (doc_id))
+          SELECT bucket, lang, count(*) AS n_docs,
+            ${graft.core.Det.sqlDavgLong("lm_score", 6)} AS mean_lm
+          FROM b GROUP BY bucket, lang ORDER BY bucket, lang"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Text.bigramLmScore(docs, "doc_id", "text")
+      val qs = scored.agg(
+        round(percentile(col("lm_score"), lit(0.33333333)), 6).as("_q33"),
+        round(percentile(col("lm_score"), lit(0.66666667)), 6).as("_q67"))
+      scored.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .crossJoin(broadcast(qs))
+        .select(col("lang"), col("lm_score"),
+          when(col("lm_score") >= col("_q67"), "head")
+            .when(col("lm_score") >= col("_q33"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy("bucket", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.core.Det.davgLong(col("lm_score"), 6).as("mean_lm"))
+        .orderBy("bucket", "lang")
+    })
+
+  /** X-SS9: cluster-based diverse sampling — per-cell closest
+    * representatives from the trained quantizer (coverage across
+    * embedding space instead of density-biased random sampling; the
+    * selection stage after semantic dedup). Oracle generated at
+    * Verify time with the trained centroids inlined (the m8
+    * machinery), assignment + distance + rank mirrored op-for-op. */
+  private val ssDiverse = Q(
+    "ss_diverse_sample",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      Vectors.diverseSample(e, "vec_id", "embedding", cents, perCell = 25)
+        .orderBy("cell", "dist_q", "vec_id")
+    },
+    sqlGen = Some { (s, dir) =>
+      val cents = Vectors.trainIvfCentroids(
+        t(s, dir, "embeddings"), "embedding", nCentroids = 8)
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      val distExpr =
+        """list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])
+           * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.cvec[CAST(i AS INT)])))"""
+      s"""WITH cents AS (SELECT * FROM (VALUES
+              $centRows) AS t(cell, cvec)),
+          d AS (SELECT e.vec_id, c.cell, $distExpr AS dist
+            FROM embeddings e CROSS JOIN cents c),
+          ranked AS (SELECT vec_id, cell, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+            FROM d),
+          a AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+              floor(sqrt(dist) * 1e6 + 0.5) / 1e6 AS dist_q
+            FROM ranked WHERE crn = 1),
+          r AS (SELECT vec_id, cell, dist_q,
+              ROW_NUMBER() OVER (PARTITION BY cell
+                ORDER BY dist_q, vec_id) AS rn FROM a)
+          SELECT vec_id, cell, dist_q FROM r WHERE rn <= 25
+          ORDER BY cell, dist_q, vec_id"""
+    })
 
   /** X-TX17: PMI co-occurrence pairs over the top-64 vocabulary —
     * the collocation/topic-affinity signal. Doc-level distinct
@@ -1847,6 +1938,6 @@ object QueriesText {
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
-    ddLineDedup, ddSemanticDecon,
+    ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse,
     ep4Corpus, ep7Ingest)
 }

@@ -232,6 +232,42 @@ object Vectors {
         graft.core.Det.davgLong(col("_dist"), 6).as("mean_dist"))
   }
 
+  /** Cluster-based DIVERSE sampling — the coverage-aware selection
+    * stage run after semantic dedup (pick representatives from EVERY
+    * region of embedding space instead of density-biased random
+    * sampling): assign each embedding to its nearest trained
+    * centroid, keep the `perCell` members closest to the centroid
+    * (rank by quantized distance, id tie-break — total and
+    * engine-independent). Scale shape: one compiled NearestCells scan
+    * pass + one window partitioned by cell (cell count is the
+    * quantizer's k — bounded, chosen ∝ sqrt n); nothing all-pairs,
+    * no driver state beyond the trained centroids. */
+  def diverseSample(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Expressions.nearestCells
+    val base = graft.core.Tables.spread(
+      df.select(col(idCol), col(vecCol)), col(idCol))
+    val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    val assigned = base.select(col(idCol),
+      nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
+      col(vecCol))
+    // same left-to-right fold as the assignment kernel (and the m8
+    // SQL mirror) so the ranked value IS the minimized distance
+    val cvec = element_at(centLit, col("_cell") + 1)
+    val d2 = aggregate(
+      zip_with(toDoubles(col(vecCol)), cvec, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val distQ = floor(sqrt(d2) * 1e6 + 0.5) / 1e6
+    assigned
+      .select(col(idCol), col("_cell").cast(LongType).as("cell"),
+        distQ.as("dist_q"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("dist_q"), col(idCol))))
+      .where(col("_rn") <= perCell)
+      .select(col(idCol), col("cell"), col("dist_q"))
+  }
+
   /** Product-quantization codebooks: the `dim`-dimensional space is
     * split into `m` contiguous subspaces of dim/m dimensions, and an
     * independent kSub-centroid k-means codebook is trained per

@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     "ss_topk_bruteforce", "tx_tfidf", "tx_bm25", "m3_iqr_outlier_clean",
     "tx_domain_mix", "tx_temperature_mix", "a19_skew_report", "tx_commonness",
     "ep2_flagship", "m10_triangles", "ss_recall_report", "a20_concentration",
-    "tx_bigram_lm", "tx_pmi_cooccur")
+    "tx_bigram_lm", "tx_pmi_cooccur",
+    // tx_ccnet_buckets: the single-row tercile-boundary frame
+    // (round-6 percentiles) rides back on a broadcast cross before
+    // the bucket comparison — the tx_domain_mix shape
+    "tx_ccnet_buckets")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
