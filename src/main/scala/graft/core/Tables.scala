@@ -102,6 +102,7 @@ object Tables {
       if (!ints || longCols.isEmpty) Set.empty
       else {
         val aggs = longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        // BOUNDED: single-row aggregate
         val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
         longCols.zipWithIndex.collect {
           case (c, i) if row.isNullAt(2 * i) || // all-null column: narrow freely

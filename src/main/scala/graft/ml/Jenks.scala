@@ -95,6 +95,7 @@ object Jenks {
       expr(s"approx_percentile(CAST($valueCol AS DOUBLE), array(${probs.mkString(",")}), 10000)")
         .as("_q"),
       min(col(valueCol)).cast("double").as("_lo"),
+      // BOUNDED: single-row min/max aggregate
       max(col(valueCol)).cast("double").as("_hi")).collect()(0)
     // empty / all-NULL input: approx_percentile and min/max return
     // NULL — fail with a clear message instead of an NPE downstream

@@ -57,6 +57,7 @@ object Odr {
       Det.davg(zz, 6).as("zb"),
       Det.davg(uu * uu, 6).as("uub"),
       Det.davg(zz * zz, 6).as("zzb"),
+      // BOUNDED: single-row moment aggregate
       Det.davg(uu * zz, 6).as("uzb")).collect()(0)
     val n = row.getAs[Long]("n")
     require(n >= 2, "need at least 2 points to fit")

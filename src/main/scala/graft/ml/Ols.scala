@@ -42,6 +42,7 @@ object Ols {
         Det.davg(u * u, 4).as("x11"), Det.davg(v * v, 4).as("x22"),
         Det.davg(u * v, 4).as("x12"),
         Det.davg(u * w, 4).as("x1y"), Det.davg(v * w, 4).as("x2y"),
+        // BOUNDED: single-row moment aggregate
         Det.davg(w * w, 4).as("yy")).collect()(0)
     val n = row.getAs[Long]("n")
     require(n >= 3, "need at least 3 points for a 2-predictor fit")

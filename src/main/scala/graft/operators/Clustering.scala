@@ -121,6 +121,7 @@ object Clustering {
       // of join+checkpoint fixed latency — same adaptive rationale as
       // a broadcast hash join.
       val fetched = e0
+        // BOUNDED: gated by the nEdges <= driverMaxEdges count above
         .select(col("_a").cast(LongType), col("_b").cast(LongType)).collect()
       unpersistAll(e0Rdds) // result below depends only on nodes + broadcast labels
       val labeled = driverUnionFind(fetched)
@@ -181,6 +182,7 @@ object Clustering {
     // ep2 schedule ask).
     def checksum(df: DataFrame): (Long, Any) = {
       val r = df.agg(count(lit(1)),
+        // BOUNDED: single-row checksum aggregate
         sum(xxhash64(col("_a"), col("_b")).cast(DecimalType(38, 0)))).collect()(0)
       (r.getLong(0), r.get(1))
     }

@@ -69,6 +69,8 @@ object Outliers {
         val maxCollect = 4 << 20
         val edges =
           if (ca.count() <= maxCollect)
+            // BOUNDED: cluster-cardinality frame, behind the
+            // driver-bound guard above
             Jenks.breaks(ca.select("av_mag").collect().map(_.getDouble(0)), nBins)
           else Jenks.breaksApprox(ca, "av_mag", nBins)
         val bin = edges.slice(1, nBins).foldLeft(lit(0)) { (acc, e) =>

@@ -66,6 +66,7 @@ object Skew {
           keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)),
         "_ck")
     val top = skewReport(keyed, keyCol, topK = 1)
+      // BOUNDED: top-1 row of the skew report
       .select("share").collect()
     val share = top.headOption.map(_.getDouble(0)).getOrElse(0.0)
     val parallelism = large.sparkSession.sparkContext.defaultParallelism

@@ -212,6 +212,7 @@ object Spatial {
                       grains: DataFrame, grainId: String, gx: String, gy: String,
                       gr: String, radiusMultiplier: Double = 1.0,
                       broadcastGrains: Boolean = true): DataFrame = {
+    // BOUNDED: single-row global aggregate
     val maxR = Option(grains.agg(max(col(gr).cast("double"))).collect()(0).get(0))
       .map(_.asInstanceOf[Double]).getOrElse(0.0)
     val cellSize = math.max(maxR * radiusMultiplier, 1e-9)

@@ -366,6 +366,7 @@ object Temporal {
                     valueCol: String, tieBreak: String): DataFrame = {
     val spark = events.sparkSession
     val bounds = events.agg(min(to_date(col(tsCol))).as("lo"),
+      // BOUNDED: single-row min/max aggregate
       max(to_date(col(tsCol))).as("hi")).collect()(0)
     if (bounds.isNullAt(0))
       return events.select(col(keyCol), lit("").as("day"),

@@ -114,6 +114,7 @@ object Vectors {
                                 sampleSize: Int): Array[Array[Double]] =
     df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)))
+      // BOUNDED: limit(sampleSize) — fixed training sample
       .limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 

@@ -103,6 +103,7 @@ final class BatchedRemoteConnector[K, R](
     // count()-then-collect guard but in ONE job over the distinct
     // shuffle instead of two
     val keyList = keys.select(col(keyCol)).distinct()
+      // BOUNDED: limit(maxKeys + 1) — overflow raises, never grows
       .limit(maxKeys + 1).as[K](kenc).collect().toSeq
     require(keyList.size <= maxKeys,
       s"connector $name: >$maxKeys keys — a remote catalog pull must " +

@@ -68,6 +68,7 @@ class DatasetSession(val spark: SparkSession, val name: String,
                    rowFilter: Option[String] = None): DataFrame = {
     require(metadata != null, "load metadata first")
     val meta = metaExpr.map(e => QueryDialect.query(metadata, e)).getOrElse(metadata)
+    // BOUNDED: file-path list — metadata-sized
     val paths = meta.select("PATH").collect().map(_.getString(0))
     require(paths.nonEmpty, s"no files survive the metadata query for dataset $name")
     // basePath keeps partition-directory columns visible when reading

@@ -214,6 +214,7 @@ object FitsSource {
                  extension: Int = 1): DataFrame = {
     val meta = loadHeaderMeta(spark, dir, headerKeys)
     val surviving = QueryDialect.query(meta, metaExpr)
+      // BOUNDED: file-path list — metadata-sized, never row data
       .select("PATH").collect().map(_.getString(0)).toSeq.sorted
     require(surviving.nonEmpty, s"no files survive the metadata query '$metaExpr'")
     readTableFiles(spark, surviving, extension, selectColumns,
