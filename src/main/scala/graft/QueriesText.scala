@@ -406,6 +406,35 @@ object QueriesText {
       Text.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
 
+  /** X-TX20: epoch-based up-sampling mix — the "repeat source s
+    * w times" pre-training data recipe ([[Text.epochMix]]): each doc
+    * emits floor(w) copies plus a deterministic per-mille fraction
+    * for the remainder; weights may exceed 1 (the existing mixes only
+    * select down). The gate hash-checks the FULL expansion, not just
+    * counts. */
+  private val txEpochMix = Q(
+    "tx_epoch_mix",
+    Some(s"""WITH w AS (SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.3
+              WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 1.0
+              ELSE 0.0 END AS w
+          FROM documents),
+          c AS (SELECT doc_id, source,
+            CAST(floor(w) AS INT)
+              + CASE WHEN ${Text.sampleBucketSql("doc_id")}
+                  < CAST(round((w - floor(w)) * 1000) AS INT)
+                THEN 1 ELSE 0 END AS copies
+          FROM w)
+          SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS INT)
+            AS copy_idx
+          FROM c WHERE copies > 0
+          ORDER BY doc_id, copy_idx"""),
+    (s, dir) =>
+      Text.epochMix(t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 2.5, "src1" -> 1.3, "src2" -> 0.4, "src3" -> 1.0))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx"))
+
   /** X-TX19: CCNet-style fluency buckets — head/middle/tail of the
     * corpus by the self-trained bigram-LM score (the perplexity
     * bucketing CCNet runs before choosing what to train on). The
@@ -1938,6 +1967,6 @@ object QueriesText {
     ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
-    ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse,
+    ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
     ep4Corpus, ep7Ingest)
 }

@@ -290,6 +290,11 @@ object syntax {
                      segTokens: Int = 10, maxCount: Long = 1): DataFrame =
       Dedup.segmentDedup(df, idCol, textCol, segTokens, maxCount)
 
+    /** Epoch-based up-sampling mix (weights may exceed 1). */
+    def epochMix(idCol: String, stratumCol: String,
+                 weights: Seq[(String, Double)]): DataFrame =
+      Text.epochMix(df, idCol, stratumCol, weights)
+
     /** Semantic decontamination against a benchmark embedding frame. */
     def semanticDecontaminateAgainst(bench: DataFrame, idCol: String,
                                      vecCol: String, dim: Int,

@@ -300,6 +300,33 @@ object Text {
       .drop("_k")
   }
 
+  /** Epoch-based UP-sampling mix — the "repeat high-quality sources
+    * N.x times" rule of pre-training data recipes (weights may exceed
+    * 1, unlike [[balancedMix]]/[[temperatureMix]] which only select
+    * DOWN): every doc of a stratum with weight w is emitted
+    * floor(w) times, plus once more for the deterministic
+    * per-mille fraction of docs whose LCG bucket falls under
+    * round(1000·(w − floor(w))) — so realized stratum epochs converge
+    * to w with zero RNG (stable under reshuffles, engine-exact).
+    * Returns the expanded frame with `copy_idx` (1..n_copies).
+    * Scale shape: one scan-stage sequence explode — fanout = the
+    * weight itself; no shuffle, no driver state. */
+  def epochMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+               stratumCol: String,
+               weights: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    val w = weights.tail.foldLeft(
+        when(col(stratumCol) === weights.head._1, lit(weights.head._2))) {
+      case (acc, (s, wt)) => acc.when(col(stratumCol) === s, lit(wt))
+    }.otherwise(lit(0.0))
+    val copies = (floor(w).cast(IntegerType) +
+      when(sampleBucket(col(idCol)) < round((w - floor(w)) * 1000).cast(IntegerType), 1)
+        .otherwise(0)).as("_copies")
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Temperature-flattened domain resampling: keep
     * k_d = floor(T · n_d^τ / Σ_s n_s^τ) docs of stratum d, where
     * T = targetFraction · N — the multilingual/domain rebalancing rule

@@ -130,6 +130,31 @@ class PropertySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2).toString == s"${r.getLong(0)}${r.getInt(1)}"))
   }
 
+  test("epochMix: emitted copies are exactly floor(w)*n + per-mille remainder picks") {
+    import graft.operators.Text
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "src")
+    val out = Text.epochMix(df, "doc_id", "src", Seq("a" -> 2.25, "b" -> 0.5))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stratum a: 1000 docs, 2 copies each + the docs whose LCG bucket
+    // < 250; stratum b: 0 copies + bucket < 500 picks — recompute the
+    // expected counts from the same deterministic bucket
+    def picks(src: String, cut: Int): Long = df
+      .where(col("src") === src &&
+        Text.sampleBucket(col("doc_id")) < cut).count()
+    assert(counts("a") == 2L * 1000L + picks("a", 250))
+    assert(counts("b") == picks("b", 500))
+    // realized epochs track the weights at per-mille resolution
+    assert(math.abs(counts("a") / 1000.0 - 2.25) < 0.05)
+    assert(math.abs(counts("b") / 1000.0 - 0.5) < 0.05)
+    // copy_idx is dense 1..n per doc
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("m"))
+      .where(col("n") =!= col("m")).count()
+    assert(bad == 0L)
+  }
+
   test("packWindows: token mass conserved; every non-final window full") {
     import graft.operators.Text
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
