@@ -312,14 +312,17 @@ object Pipeline {
     * `singleFile = true` restores the notebook's exact one-file
     * `to_csv` contract (dataset_base.py:98-136) for small runs. */
   def flagship(spark: SparkSession, dir: String, dump: Boolean = false,
-               singleFile: Boolean = false): DataFrame = {
+               singleFile: Boolean = false,
+               dumpDir: Option[String] = None): DataFrame = {
     if (!dump) return stages(spark, dir).last._2
     // materialize the final frame once: both consumers (the CSV dump
     // here and whatever action the caller runs next) would otherwise
     // recompute the two group-selection joins of the tail
     val result = cp("result", stages(spark, dir).last._2)
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
+    // dump target overridable per caller so concurrent callers
+    // (parallel test suites) isolate their sinks; default notebook path
+    val out = dumpDir.getOrElse(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath)
     if (singleFile) {
       // repartition(1), NOT coalesce(1): coalesce would collapse the
       // whole tail (two group-selection joins + metadata join) into a

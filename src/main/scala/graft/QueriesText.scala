@@ -1109,6 +1109,27 @@ object QueriesText {
         .orderBy("a")
     })
 
+  /** Shared SimHash-signature CTE chain (`sig(doc_id, simhash)`):
+    * per-bit ±1 sums over the md5_number_lower token hashes, sign
+    * bits, two's-complement bit 63 — the exact SQL twin of
+    * [[graft.functions.Expressions.SimHash64]]. */
+  private def simhashSigCtes: String = {
+    def bitSum(b: Int) =
+      s"""list_sum(list_transform(hs, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END))"""
+    val lowBits = (0 until 63)
+      .map(b => s"(CASE WHEN ${bitSum(b)} > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""simt AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> length(x) > 0) AS toks FROM documents),
+        simh AS (SELECT doc_id,
+          list_transform(toks, x -> md5_number_lower(x)) AS hs FROM simt),
+        sig AS (SELECT doc_id,
+          (CASE WHEN ${bitSum(63)} > 0 THEN -9223372036854775808 ELSE 0 END)
+            + $lowBits AS simhash
+          FROM simh)"""
+  }
+
   /** SimHash signatures. The token hash is md5_number_lower's 64
     * bits, so the full signature — per-bit ±1 sums over the token
     * multiset, sign bits, two's-complement bit 63 — is reproduced
@@ -1116,25 +1137,123 @@ object QueriesText {
     * hamming-locality check. */
   private val ddSimhash = Q(
     "dd_simhash",
-    Some {
-      def bitSum(b: Int) =
-        s"""list_sum(list_transform(hs, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END))"""
-      val lowBits = (0 until 63)
-        .map(b => s"(CASE WHEN ${bitSum(b)} > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '\\s+'),
-              x -> length(x) > 0) AS toks FROM documents),
-          h AS (SELECT doc_id,
-            list_transform(toks, x -> md5_number_lower(x)) AS hs FROM t)
-          SELECT doc_id,
-            (CASE WHEN ${bitSum(63)} > 0 THEN -9223372036854775808 ELSE 0 END)
-              + $lowBits AS simhash
-          FROM h ORDER BY doc_id"""
-    },
+    Some(s"""WITH $simhashSigCtes
+          SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
     (s, dir) =>
       Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
+
+  /** X-DD21: SimHash hamming-radius near-dup pairs by pigeonhole
+    * block join (the Manku '07 web-dedup shape): 4 × 16-bit blocks,
+    * radius 3 ⇒ some block matches exactly, so candidates come from
+    * the (block, value) equi-join — collision-bounded like the
+    * MinHash band join, never all-pairs — then popcount(xor) ≤ 3
+    * verifies exactly. Complements MinHash: one 64-bit signature per
+    * doc instead of a shingle-set signature. */
+  private val ddSimhashHam = Q(
+    "dd_simhash_ham",
+    Some(s"""WITH $simhashSigCtes,
+          blocks AS (SELECT doc_id, simhash, blk,
+              (simhash >> (16 * blk)) & 65535 AS key
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bi(blk)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+              x.simhash AS ha, y.simhash AS hb
+            FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.key = y.key
+            WHERE x.doc_id < y.doc_id)
+          SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b"""),
+    (s, dir) =>
+      Dedup.simhashHamPairs(t(s, dir, "documents"), "doc_id", "text", radius = 3)
+        .orderBy("a", "b"))
+
+  /** X-TX22: character-level Shannon entropy (nats) — the gibberish/
+    * boilerplate quality signal. Per-char ln values are 1e-6
+    * floor-quantized so the entropy is exact-integer math + one IEEE
+    * division in BOTH engines; the Spark side is one compiled
+    * scan-stage expression ([[graft.functions.Expressions.CharEntropy]]),
+    * the oracle a per-character group-by. */
+  private val txEntropy = Q(
+    "tx_entropy",
+    Some("""WITH ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(text) + 1),
+                i -> substr(text, CAST(i AS INT), 1))) AS c FROM documents),
+            cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+            ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                CAST(sum(k * CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS slk
+              FROM cc GROUP BY doc_id)
+            SELECT doc_id, n AS n_chars,
+              CAST(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                   - slk AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS entropy
+            FROM ag ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          Text.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id"))
+
+  /** X-TX23: token-budget mixing — admit docs per source until a
+    * fixed TOKEN budget is spent, sharded so no domain serializes
+    * onto one window partition (see [[Text.tokenBudgetMix]]). Budget
+    * is corpus-size-independent (the realistic contract: you mix to
+    * a token target, not to a fraction). */
+  private val txTokenBudget = Q(
+    "tx_token_budget_mix",
+    Some(s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_toks,
+               ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+            w AS (SELECT *, bucket % 4 AS shard,
+                CAST(sum(n_toks) OVER (PARTITION BY source, bucket % 4
+                  ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+              FROM s)
+            SELECT source, doc_id, n_toks FROM w WHERE cum <= 200
+            ORDER BY source, doc_id"""),
+    (s, dir) =>
+      Text.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "text", "source",
+          budgetPerDomain = 800, nShards = 4)
+        .orderBy("source", "doc_id"))
+
+  /** X-TX21: DSIR importance resampling (Xie et al. '23) — select the
+    * 200 raw documents whose hashed-unigram distribution best matches
+    * the target domain (here: the labeled-'en' subset), by add-1-
+    * smoothed log-likelihood ratio. Bucket log-ratios are quantized
+    * once to exact micro-longs (the bigram-LM ln recipe), so doc
+    * weights are integer sums and the top-N cut is bit-stable; the
+    * 256-row ratio table broadcasts, the doc pass is one doc-keyed
+    * shuffle + TakeOrdered (see [[Text.dsirWeights]]). */
+  private val txDsir = Q(
+    "tx_dsir",
+    Some {
+      val bucketsExpr =
+        """list_transform(
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> length(x) > 0),
+             x -> CAST(list_reduce(list_transform(range(1, length(x) + 1),
+                    i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
+                    (a, b) -> (a * 31 + b) % 1000000007) % 256 AS INT))"""
+      s"""WITH tb AS (SELECT doc_id, lang, unnest($bucketsExpr) AS bkt
+            FROM documents),
+          bc AS (SELECT bkt, count(*) AS cr,
+              CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+            FROM tb GROUP BY bkt),
+          tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+              CAST(sum(ct) AS BIGINT) AS tt FROM bc),
+          lr AS (SELECT bkt,
+              CAST(floor((ln((ct + 1.0) / (tt + 256.0))
+                        - ln((cr + 1.0) / (tr + 256.0))) * 1e6 + 0.5)
+                AS BIGINT) AS lrm
+            FROM bc CROSS JOIN tot),
+          dw AS (SELECT tb.doc_id, tb.lang, count(*) AS n_toks,
+              CAST(sum(lr.lrm) AS BIGINT) AS wm
+            FROM tb JOIN lr USING (bkt) GROUP BY tb.doc_id, tb.lang)
+          SELECT doc_id, lang, n_toks, CAST(wm AS DOUBLE) / 1e6 AS weight
+          FROM dw ORDER BY wm DESC, doc_id LIMIT 200"""
+    },
+    (s, dir) =>
+      Text.dsirWeights(t(s, dir, "documents"), "doc_id", "text", "lang", "en",
+          nBuckets = 256, topN = 200)
+        .orderBy(col("weight").desc, col("doc_id")))
 
   /** Embedding-cosine near-dup pairs, blocked by label (no global
     * n² compare). */
@@ -1964,7 +2083,8 @@ object QueriesText {
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
-    ddNgram, ddSimhash, ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
+    ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget,
+    ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,

@@ -663,6 +663,100 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hashed-unigram feature buckets (the DSIR feature map, Xie et
+    * al. '23): whitespace tokens of the lowercased text, each mapped
+    * to Horner code c = fold(c*31 + char) mod P (the [[polyCoeffs]]
+    * hash family's code step) and then to bucket c % nBuckets — all
+    * arithmetic below 2^63, so the DuckDB oracle mirrors it exactly
+    * with list_transform/list_reduce SQL. One entry per token
+    * INSTANCE (counts matter for importance weights), empty tokens
+    * skipped — parity with `list_filter(regexp_split_to_array(...))`.
+    */
+  case class TokenBuckets(child: Expression, nBuckets: Int)
+      extends UnaryExpression {
+    require(nBuckets >= 2)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(input: UTF8String): ArrayData = {
+      val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+      val out = new java.util.ArrayList[Integer]()
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        // skip whitespace run (Java regex \s — parity with split("\\s+"))
+        while (i < len && isWs(text.charAt(i))) i += 1
+        if (i < len) {
+          var c = 0L
+          while (i < len && !isWs(text.charAt(i))) {
+            c = (c * 31 + text.charAt(i)) % PolyP
+            i += 1
+          }
+          out.add((c % nBuckets).toInt)
+        }
+      }
+      val arr = new Array[Int](out.size)
+      var j = 0
+      while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+    }
+    private def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+        ch == '\f' || ch == '\r'
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("tokenBuckets", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Character-level Shannon entropy (nats) of the text — the
+    * gibberish/boilerplate quality signal (low-entropy = repeated
+    * chars/padding, used alongside the Gopher repetition signals).
+    * One compiled pass: code-point counts, each ln floor-quantized to
+    * the 1e-6 grid, entropy assembled from EXACT integer micro-sums
+    * with a single IEEE division — so the DuckDB group-by oracle
+    * reproduces it bit-for-bit:
+    * H = (n·lnq(n) − Σ_c k_c·lnq(k_c)) / (n·1e6). Code points (not
+    * UTF-16 units) to match SQL per-character substr semantics. */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(kernel(input.asInstanceOf[UTF8String]))
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(input: UTF8String): Double = {
+      val text = input.toString
+      val counts = new java.util.HashMap[Integer, Integer]()
+      var n = 0L
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        counts.merge(cp, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        n += 1
+        i += Character.charCount(cp)
+      }
+      if (n == 0L) return 0.0
+      var slk = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) { val k = it.next().toLong; slk += k * lnq(k) }
+      (n * lnq(n) - slk).toDouble / (n.toDouble * 1e6)
+    }
+    private def lnq(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("charEntropy", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers (classic-mode Column <-> Expression bridge)
   def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
     Bridge.column(
@@ -695,6 +789,12 @@ object Expressions {
 
   def simHash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def tokenBuckets(c: Column, nBuckets: Int): Column =
+    Bridge.column(TokenBuckets(Bridge.expression(c), nBuckets))
+
+  def charEntropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
 
   def bloomMightContain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =

@@ -563,4 +563,39 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within a hamming radius, by pigeonhole
+    * block join (Manku/Jain/Sarma '07 shape): the 64-bit signature
+    * splits into `nBlocks` contiguous 16-bit blocks; any two
+    * signatures within hamming distance `radius` ≤ nBlocks−1 agree
+    * on at least one whole block, so candidates are the equi-join on
+    * (block index, block value) — never an all-pairs compare — and
+    * the exact popcount(xor) gate then verifies. Candidate volume is
+    * ∝ block-value collisions (random signatures spread over 2^16
+    * values per block), the same collision-bounded shape as the
+    * MinHash band join. Output: (a, b, hamming) verified pairs. */
+  def simhashHamPairs(df: DataFrame, idCol: String, textCol: String,
+                      radius: Int = 3): DataFrame = {
+    val nBlocks = 4 // 4 × 16-bit blocks; pigeonhole covers radius ≤ 3
+    require(radius < nBlocks, s"radius $radius needs > $radius blocks")
+    // persist, not localCheckpoint: (id, simhash) is corpus-row-sized
+    // (narrow — one long per doc) and feeds both sides of the block
+    // join; recomputable + spills, never pinned (the r11 persist rule).
+    val sig = simhash64(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = (0 until nBlocks).map(i =>
+      shiftright(col("simhash"), 16 * i).bitwiseAND(lit(65535L)))
+    val blocks = sig.select(col(idCol), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("blk", "key")))
+    val x = blocks.select(col(idCol).as("a"), col("simhash").as("_ha"),
+      col("blk"), col("key"))
+    val y = blocks.select(col(idCol).as("b"), col("simhash").as("_hb"),
+      col("blk"), col("key"))
+    x.join(y, Seq("blk", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("_ha"), col("_hb"))
+      .distinct() // a pair may collide in several blocks
+      .select(col("a"), col("b"), hamming64(col("_ha"), col("_hb")).as("hamming"))
+      .where(col("hamming") <= radius)
+  }
 }

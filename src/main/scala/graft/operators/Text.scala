@@ -705,4 +705,94 @@ object Text {
       .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
+
+  /** Character-level Shannon entropy in nats — see
+    * [[graft.functions.Expressions.CharEntropy]]. Pure narrow map
+    * (runs inside the scan stage); low values flag padding/gibberish. */
+  def charEntropy(c: Column): Column =
+    graft.functions.Expressions.charEntropy(c)
+
+  /** Token-budget mixing: admit documents per domain until a fixed
+    * TOKEN budget is spent (the mixture unit that actually matters
+    * for pre-training is tokens, not documents — cf. doc-quota
+    * [[balancedMix]]). Deterministic: admission order is the LCG
+    * sample bucket then id.
+    *
+    * Scale shape: a single per-domain running total would serialize
+    * each domain onto one window partition, so the budget splits
+    * across `nShards` LCG shards — each (domain, shard) runs an
+    * independent running-total window over budget/nShards tokens.
+    * Parallelism = domains × shards regardless of corpus size, and
+    * the spent budget stays within one doc of the target per shard. */
+  def tokenBudgetMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, domainCol: String,
+                     budgetPerDomain: Long, nShards: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardBudget = budgetPerDomain / nShards
+    val w = Window.partitionBy(col(domainCol), col("_shard"))
+      .orderBy(col("_bucket"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(domainCol),
+        size(tokens(col(textCol))).cast(LongType).as("n_toks"),
+        sampleBucket(col(idCol)).as("_bucket"))
+      .withColumn("_shard", pmod(col("_bucket"), lit(nShards)))
+      .withColumn("_cum", sum(col("n_toks")).over(w))
+      .where(col("_cum") <= shardBudget)
+      .select(col(domainCol), col(idCol), col("n_toks"))
+  }
+
+  /** DSIR importance resampling (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-domain-like its hashed-unigram feature
+    * distribution is, then keep the top-`topN`.
+    *
+    * Feature map: [[graft.functions.Expressions.TokenBuckets]] — each
+    * token instance hashes to one of `nBuckets` buckets. Bag-of-
+    * buckets unigram models are estimated add-1-smoothed on the
+    * target subset (`groupCol == targetValue`) and on the full raw
+    * corpus; a document's importance weight is the log-likelihood
+    * ratio  Σ_tokens [ln p_target(bkt) − ln p_raw(bkt)].
+    *
+    * Determinism: each bucket's log-ratio is floor-quantized once to
+    * the 1e-6 grid (the bigram-LM ln recipe) and carried as exact
+    * micro-longs; per-document weights are INTEGER sums of those, so
+    * ranking and the top-N cut are bit-stable at any parallelism and
+    * mirror 1:1 in the DuckDB oracle.
+    *
+    * Scale shape: the token-level frame reduces by map-side combine
+    * into a `nBuckets`-row histogram (1-row totals broadcast back);
+    * the per-doc pass joins the BROADCAST 256-row log-ratio table and
+    * aggregates on doc id — one doc-keyed shuffle, then TakeOrdered.
+    * The exploded token frame is recomputed for the two passes rather
+    * than persisted: at 100 TB two parquet scans beat caching a
+    * token-level frame several times the input size. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, groupCol: String, targetValue: String,
+                  nBuckets: Int = 256, topN: Int = 200)
+      : org.apache.spark.sql.DataFrame = {
+    val tb = graft.core.Tables.spread(
+        df.select(col(idCol), col(groupCol), col(textCol)), col(idCol))
+      .select(col(idCol), col(groupCol),
+        explode(graft.functions.Expressions.tokenBuckets(col(textCol), nBuckets))
+          .as("bkt"))
+    val bc = tb.groupBy("bkt").agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col(groupCol) === targetValue, 1L).otherwise(0L)).as("_ct"))
+    // corpus-level totals: a 1-row broadcast cross (the allowlisted
+    // scalar-join pattern), riding on the nBuckets-row histogram
+    val tot = bc.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        floor((log((col("_ct") + lit(1.0)) / (col("_tt") + lit(nBuckets.toDouble)))
+             - log((col("_cr") + lit(1.0)) / (col("_tr") + lit(nBuckets.toDouble))))
+          * 1e6 + 0.5).cast(LongType).as("_lrm"))
+    tb.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("_lrm")).as("_wm"))
+      .orderBy(col("_wm").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col(groupCol), col("n_toks"),
+        (col("_wm").cast(DoubleType) / 1e6).as("weight"))
+  }
 }

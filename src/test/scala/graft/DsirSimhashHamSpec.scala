@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Text}
+
+/** r11b additions: DSIR importance resampling + SimHash hamming-block
+  * near-dup pairs. Both get an independent sequential reference
+  * implementation here (not the operator's own plan), so the specs
+  * catch wiring bugs the oracle mirror could share.
+  */
+class DsirSimhashHamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- sequential reference for the DSIR pipeline -------------------
+  private val P = 1000000007L
+
+  private def refBuckets(text: String, nBuckets: Int): Seq[Int] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+      .map { tok =>
+        var c = 0L
+        tok.foreach(ch => c = (c * 31 + ch) % P)
+        (c % nBuckets).toInt
+      }
+
+  private def refDsir(docs: Seq[(Long, String, String)], target: String,
+                      nBuckets: Int): Map[Long, (Long, Double)] = {
+    val perDoc = docs.map { case (id, lang, text) =>
+      (id, lang, refBuckets(text, nBuckets))
+    }
+    val cr = new Array[Long](nBuckets)
+    val ct = new Array[Long](nBuckets)
+    perDoc.foreach { case (_, lang, bks) =>
+      bks.foreach { b => cr(b) += 1; if (lang == target) ct(b) += 1 }
+    }
+    val tr = cr.sum; val tt = ct.sum
+    val lrm = Array.tabulate(nBuckets) { b =>
+      math.floor((math.log((ct(b) + 1.0) / (tt + nBuckets.toDouble))
+                - math.log((cr(b) + 1.0) / (tr + nBuckets.toDouble))) * 1e6 + 0.5).toLong
+    }
+    perDoc.map { case (id, _, bks) =>
+      id -> (bks.size.toLong, bks.map(lrm).sum / 1e6)
+    }.toMap
+  }
+
+  test("dsirWeights matches a sequential reference implementation exactly") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog walk to the park"),
+      (2L, "en", "a dog and a cat play in the sun"),
+      (3L, "de", "der hund und die katze gehen zum park"),
+      (4L, "de", "eine katze und ein hund spielen gern"),
+      (5L, "xx", "the dog and the cat nap in the park"), // en-like
+      (6L, "xx", "der hund und die katze schlafen gern")) // de-like
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = Text.dsirWeights(df, "doc_id", "text", "lang", "en",
+        nBuckets = 64, topN = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val ref = refDsir(docs.map(d => (d._1, d._2, d._3)), "en", 64)
+    assert(out.size == docs.size)
+    docs.foreach { case (id, _, _) =>
+      assert(out(id) == ref(id), s"doc $id: got ${out(id)}, ref ${ref(id)}")
+    }
+    // the en-like unlabeled doc must outrank the de-like one
+    assert(out(5L)._2 > out(6L)._2)
+  }
+
+  test("dsirWeights topN cut is by weight desc with doc_id tie-break") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "xx", "alpha beta gamma"),
+      (3L, "xx", "zz yy xx ww vv"))
+    val out = Text.dsirWeights(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", "en", nBuckets = 64, topN = 2)
+      .orderBy(col("weight").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    // docs 1 and 2 share the target text -> identical (higher) weights;
+    // the cut keeps both, dropping doc 3
+    assert(out == Seq(1L, 2L))
+  }
+
+  // --- sequential reference for char entropy -------------------------
+  private def refEntropy(text: String): Double = {
+    val counts = text.codePoints().toArray.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = text.codePointCount(0, text.length).toLong
+    def lnq(x: Long) = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    if (n == 0) 0.0
+    else (n * lnq(n) - counts.values.map(k => k * lnq(k)).sum).toDouble / (n.toDouble * 1e6)
+  }
+
+  test("charEntropy matches a sequential reference; extremes ordered") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),                  // zero entropy
+      (2L, "abcdefghijklmnop"),                  // max for 16 chars: ln 16
+      (3L, "the quick brown fox jumps over dog"),
+      (4L, "aабвгд 漢字テスト mixed unicode"))
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Text.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, txt) =>
+      assert(out(id) == refEntropy(txt), s"doc $id: ${out(id)} vs ${refEntropy(txt)}")
+    }
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(16.0)) < 1e-5)
+    assert(out(1L) < out(3L) && out(2L) > out(3L) * 0.5)
+  }
+
+  test("tokenBudgetMix: per-shard budgets hold, admission is prefix-closed") {
+    val docs = (1L to 120L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", ("tok " * (1 + (i % 7)).toInt).trim))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = Text.tokenBudgetMix(df, "doc_id", "text", "source",
+      budgetPerDomain = 40, nShards = 4).collect()
+    assert(out.nonEmpty)
+    // reconstruct the shard assignment + admission order and check
+    // (a) every (source, shard) spends <= budget/nShards tokens,
+    // (b) admitted docs form a PREFIX of the shard's deterministic order
+    val bucketOf = df.select(col("doc_id"),
+        graft.operators.Text.sampleBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val admitted = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    admitted.groupBy { case (src, id, _) => (src, bucketOf(id) % 4) }
+      .foreach { case ((src, shard), rows) =>
+        assert(rows.map(_._3).sum <= 10, s"($src,$shard) over budget")
+      }
+    val admittedIds = admitted.map(_._2).toSet
+    docs.groupBy { case (id, src, _) => (src, bucketOf(id) % 4) }
+      .foreach { case (_, grp) =>
+        val order = grp.sortBy { case (id, _, _) => (bucketOf(id), id) }
+        val flags = order.map { case (id, _, _) => admittedIds.contains(id) }
+        assert(!flags.dropWhile(identity).contains(true),
+          s"admission not a prefix: $order -> $flags")
+      }
+  }
+
+  test("simhashHamPairs equals brute-force hamming pairs within radius") {
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "spark catalyst tungsten codegen shuffle partition broadcast join")
+    // exact dup, 1-token variants, plus unrelated fillers
+    val docs = (
+      base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((10L, base(0)),                          // exact dup of 0
+          (11L, base(0).replace("mu", "nu")),      // near dup of 0
+          (12L, base(1).replace("twelve", "dozen"))) ++
+      (20L to 60L).map(i => (i, s"filler document number $i with token${i % 7} and word${i % 11}"))
+    ).toSeq
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.simhashHamPairs(df, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.map(_._1).sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"got ${got.toSeq.sorted}, brute ${brute.toSeq.sorted}")
+    assert(brute.contains((0L, 10L, 0)), "exact dup must appear at hamming 0")
+    assert(got.exists { case (a, b, h) => a == 0L && b == 11L && h > 0 } ||
+      java.lang.Long.bitCount(sigs(0L) ^ sigs(11L)) > 3,
+      "near dup appears iff within radius")
+  }
+}

@@ -56,11 +56,13 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("tail: CSV dump (S10) roundtrips the result row count") {
-    // dump explicitly: flagship defaults to dump = false, and relying
-    // on EntrySmokeSpec having dumped already is suite-order-dependent
-    val n = Pipeline.flagship(spark, sf001, dump = true).count()
+    // isolated dump dir: the default path is shared with EntrySmokeSpec
+    // and ReportsSpec, which run in PARALLEL and overwrite it mid-read
+    val dir = java.nio.file.Files.createTempDirectory("graft_ep2_dump_ps").toString
+    val n = Pipeline.flagship(spark, sf001, dump = true, dumpDir = Some(dir)).count()
+    // sharded contract: parts live under result/data.csv (+ sidecar)
     val dumped = spark.read.option("header", "true")
-      .csv(new java.io.File(sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath)
+      .option("multiLine", "true").csv(s"$dir/result/data.csv")
     assert(dumped.count() == n)
   }
 

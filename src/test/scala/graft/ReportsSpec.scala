@@ -60,12 +60,15 @@ class ReportsSpec extends SparkSpec {
   test("flagship dump: sharded by default, single-file under the notebook contract") {
     // sf0.001 keeps this cheap; the flagship's returned frame is
     // identical either way — only the sink layout changes
-    val sharded = Pipeline.flagship(spark, sf001, dump = true)
-    val outDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_ep2_result").getAbsolutePath
+    // isolated dump dir: the default path is shared with EntrySmokeSpec
+    // and PipelineSpec, which run in PARALLEL and overwrite it mid-read
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ep2_dump_rs").toString
+    val sharded = Pipeline.flagship(spark, sf001, dump = true,
+      dumpDir = Some(outDir))
     val meta = Files.readString(Paths.get(s"$outDir/result/meta.json"))
     assert(meta.contains(s"\"rows\":${sharded.count()}"), meta)
-    val single = Pipeline.flagship(spark, sf001, dump = true, singleFile = true)
+    val single = Pipeline.flagship(spark, sf001, dump = true,
+      singleFile = true, dumpDir = Some(outDir))
     var nFiles = 0
     val it = Files.list(Paths.get(outDir)).iterator()
     while (it.hasNext) if (it.next().toString.endsWith(".csv.gz")) nFiles += 1
