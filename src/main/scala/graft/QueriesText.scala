@@ -1353,6 +1353,71 @@ object QueriesText {
       .mkString("\nUNION ALL\n")
   }
 
+  /** Augmented-key CTE rows for the MIPS oracle (expects CTEs
+    * `n(vec_id, embedding, n2)` and `m(m2)` upstream): per table,
+    * BOTH the candidate key (65th coordinate sqrt(m2−n2) · w) and
+    * the query key (65th coordinate 0 — the term vanishes under
+    * IEEE ±0 addition, so it is omitted). */
+  private def mipsKeyedRowsSql(planes: Int, tables: Int, dim: Int): String = {
+    def w(tb: Int, p: Int, d: Int): String =
+      if (scala.util.hashing.MurmurHash3.productHash((tb, p, d)) % 2 == 0) "1.0" else "-1.0"
+    def base(tb: Int, p: Int): String = {
+      val arr = (0 until dim).map(d => w(tb, p, d)).mkString("[", ", ", "]")
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+          d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE)
+             * ($arr)[CAST(d AS INT)]))"""
+    }
+    def ckey(tb: Int): String =
+      (0 until planes).map { p =>
+        s"""(CASE WHEN ${base(tb, p)} + sqrt(m2 - n2) * ${w(tb, p, dim)} > 0
+            THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+    def qkey(tb: Int): String =
+      (0 until planes).map { p =>
+        s"""(CASE WHEN ${base(tb, p)} > 0 THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+    (0 until tables)
+      .map(tb => s"""SELECT vec_id, embedding, $tb AS tbl,
+          ${ckey(tb)} AS ckey, ${qkey(tb)} AS qkey FROM n CROSS JOIN m""")
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** X-SS10: MIPS top-k via the norm-augmentation reduction (append
+    * sqrt(M²−‖c‖²) to candidates, 0 to queries; cosine order in the
+    * augmented space = inner-product order) — recommendation-style
+    * retrieval where magnitude matters, on the same hyperplane-LSH
+    * scale path as ss_topk_lsh. M² is computed IN-PLAN both sides
+    * (one scalar aggregate / CTE — no generated literals). */
+  private val ssMips = Q(
+    "ss_mips_topk",
+    Some {
+      val keyedRows = mipsKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+      s"""WITH n AS (SELECT vec_id, embedding,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                 * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS n2
+          FROM embeddings),
+          m AS (SELECT max(n2) AS m2 FROM n),
+          keyed AS ($keyedRows),
+          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+              a.embedding AS qv, b.embedding AS cv
+            FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.qkey = b.ckey
+            WHERE a.vec_id != b.vec_id),
+          scored AS (SELECT DISTINCT qid, cid,
+              round(list_sum(list_transform(range(1, 65),
+                i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                   * CAST(cv[CAST(i AS INT)] AS DOUBLE))), 6) AS dot
+            FROM cand),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY dot DESC, cid) AS rn FROM scored)
+          SELECT qid, cid, dot FROM r WHERE rn <= 3
+          ORDER BY qid, dot DESC, cid"""
+    },
+    (s, dir) =>
+      Vectors.mipsTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8, planes = 6)
+        .orderBy(col("qid"), col("dot").desc, col("cid")))
+
   /** [[lshKeyedRowsSql]] with the label column carried through — the
     * filtered-ANN oracle needs it in the candidate join key. */
   private def lshKeyedRowsSqlLabeled(planes: Int, tables: Int, dim: Int): String =
@@ -2085,7 +2150,7 @@ object QueriesText {
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
-    m8Kmeans, ssRecall, ssRecallMethods, ssQuant,
+    m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
     ep4Corpus, ep7Ingest)

@@ -610,6 +610,64 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Exact inner product in one compiled pass — the MIPS scoring
+    * kernel (recommendation retrieval ranks by ⟨q,c⟩, not cosine).
+    * Left-to-right accumulation, bit-equal to the list_sum SQL
+    * mirror (same contract as [[CosineSim]]). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    private def genGetter(arr: String, et: DataType, i: String): String = et match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other       => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += ${genGetter(a, et1, i)} * ${genGetter(b, et2, i)};
+        }
+        ${ev.value} = $dot;
+        """
+      })
+    }
+    @inline private def valAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType   => arr.getLong(i).toDouble
+      case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(aa.numElements(), bb.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += valAt(aa, et1, i) * valAt(bb, et2, i); i += 1 }
+      dot
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Bloom-filter membership probe over a LONG key — the runtime-
     * filter / semi-join-prefilter primitive: a dimension-side
     * `BloomFilter` (built once, KBs even for millions of keys) rides
@@ -785,6 +843,10 @@ object Expressions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))
 
   def simHash64(c: Column): Column =

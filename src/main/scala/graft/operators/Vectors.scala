@@ -476,6 +476,50 @@ object Vectors {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** MIPS (maximum inner-product search) top-k via the norm-
+    * augmentation reduction (Bachrach et al. '14 / Neyshabur & Srebro
+    * '15): every candidate appends sqrt(M² − ‖c‖²) (M = max corpus
+    * norm), every query appends 0 — in the augmented space cosine
+    * order equals inner-product order, so the existing random-
+    * hyperplane tables index MIPS unchanged. Candidates are
+    * (table, bucket) collisions of the AUGMENTED keys — collision-
+    * bounded, never all-pairs — scored by the exact compiled dot
+    * product, ranked by (round(dot, 6) desc, id).
+    *
+    * Scale shape: M² is ONE scalar aggregate riding back as a 1-row
+    * broadcast (the allowlisted pattern); everything else is the
+    * [[lshTopK]] plan — key posexplode, one exchange on (table,
+    * bucket), per-query window rank. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               k: Int, tables: Int = 8, planes: Int = 6): DataFrame = {
+    import graft.functions.Expressions.{dotProduct, lshTableKeys}
+    val n2 = aggregate(
+      transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (a, x) => a + x)
+    val base = graft.core.Tables.spread(
+        df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol), col(vecCol), n2.as("_n2"))
+    val m2 = base.agg(max(col("_n2")).as("_m2"))
+    val caug = concat(transform(col(vecCol), x => x.cast(DoubleType)),
+      array(sqrt(col("_m2") - col("_n2"))))
+    val qaug = concat(transform(col(vecCol), x => x.cast(DoubleType)),
+      array(lit(0.0)))
+    val cKeyed = base.crossJoin(broadcast(m2))
+      .select(col(idCol).as("cid"), col(vecCol).as("_cv"),
+        posexplode(lshTableKeys(caug, dim + 1, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val qKeyed = base.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+      posexplode(lshTableKeys(qaug, dim + 1, planes, tables))
+        .as(Seq("_tbl", "_key")))
+    val scored = qKeyed.join(cKeyed, Seq("_tbl", "_key"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dotProduct(col("_qv"), col("_cv")), 6).as("dot"))
+      .distinct() // a pair may collide in several tables
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** Attribute-constrained (PRE-filtered) ANN top-k: each query sees
     * only corpus vectors whose `attrCol` equals its own — the
     * "filtered vector search" every production vector store offers

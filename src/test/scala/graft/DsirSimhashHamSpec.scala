@@ -133,6 +133,56 @@ class DsirSimhashHamSpec extends SparkSpec {
       }
   }
 
+  // --- sequential reference for MIPS (norm-augmentation + LSH) -------
+  private def refPlaneW(t: Int, p: Int, d: Int): Double =
+    if (scala.util.hashing.MurmurHash3.productHash((t, p, d)) % 2 == 0) 1.0 else -1.0
+
+  private def refKeys(v: Array[Double], planes: Int, tables: Int): Seq[(Int, Long)] =
+    (0 until tables).map { t =>
+      var key = 0L
+      for (p <- 0 until planes) {
+        var proj = 0.0
+        for (d <- v.indices) proj += v(d) * refPlaneW(t, p, d)
+        if (proj > 0) key |= 1L << p
+      }
+      t -> key
+    }
+
+  test("mipsTopK matches a sequential reference; max-norm aligned vector wins") {
+    val dim = 8; val planes = 4; val tables = 4; val k = 2
+    def vec(seed: Int, scale: Float): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (scala.util.hashing.MurmurHash3.productHash((seed, d)) % 7 - 3) * scale / 3f)
+    val star = Array.tabulate(dim)(d => if (d == 0) 10f else 0f) // dominant norm
+    val alignedQ = Array.tabulate(dim)(d => if (d == 0) 1f else 0f)
+    val docs = Seq((100L, star), (101L, alignedQ)) ++
+      (1L to 30L).map(i => (i, vec(i.toInt, 1f)))
+    val df = docs.toDF("vec_id", "embedding")
+    val out = graft.operators.Vectors
+      .mipsTopK(df, "vec_id", "embedding", dim, k, tables, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).toSeq).toMap
+    // reference: same reduction, brute candidates from key collisions
+    val vecs = docs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val n2 = vecs.view.mapValues(v => v.foldLeft(0.0)((a, x) => a + x * x)).toMap
+    val m2 = n2.values.max
+    val ckeys = vecs.map { case (id, v) =>
+      id -> refKeys(v :+ math.sqrt(m2 - n2(id)), planes, tables).toSet }
+    val qkeys = vecs.map { case (id, v) =>
+      id -> refKeys(v :+ 0.0, planes, tables).toSet }
+    def dot(a: Array[Double], b: Array[Double]) =
+      BigDecimal(a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = vecs.keys.map { q =>
+      val cands = vecs.keys.filter(c => c != q && qkeys(q).exists(ckeys(c).contains))
+      q -> cands.map(c => (q, c, dot(vecs(q), vecs(c))))
+        .toSeq.sortBy(x => (-x._3, x._2)).take(k)
+    }.toMap.filter(_._2.nonEmpty)
+    assert(out == ref, s"mips mismatch:\n got $out\n ref $ref")
+    // the dominant-norm vector is every aligned query's top hit
+    assert(out(101L).head._2 == 100L)
+  }
+
   test("simhashHamPairs equals brute-force hamming pairs within radius") {
     val base = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
