@@ -1214,6 +1214,38 @@ object QueriesText {
           budgetPerDomain = 800, nShards = 4)
         .orderBy("source", "doc_id"))
 
+  /** X-TX24: hashing-trick TF featurization — every doc becomes an
+    * L2-normalized 64-dim hashed bag-of-words vector (the model-free
+    * embedding that feeds the vector stack), emitted sparse as
+    * (doc_id, dim, weight). One compiled scan-stage pass
+    * ([[graft.functions.Expressions.HashedTf]]); the oracle rebuilds
+    * the counts list per bucket and mirrors the index-ascending norm.
+    * Weights floor-quantized at 1e-6 on emission (round() dialects
+    * differ; floor is bit-identical). */
+  private val txHashingTf = Q(
+    "tx_hashing_tf",
+    Some(s"""WITH tb AS (SELECT doc_id, ${tokenBucketsSql(64)} AS bks
+              FROM documents),
+            c AS (SELECT doc_id, list_transform(range(0, 64),
+                b -> CAST(len(list_filter(bks, x -> x = b)) AS DOUBLE)) AS cnts
+              FROM tb),
+            n AS (SELECT doc_id, cnts,
+                sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+              FROM c),
+            e AS (SELECT doc_id, CAST(t.b AS INT) AS dim,
+                cnts[CAST(t.b AS INT) + 1] / nrm AS w
+              FROM n, range(64) AS t(b) WHERE nrm > 0)
+            SELECT doc_id, dim, floor(w * 1e6 + 0.5) / 1e6 AS weight
+            FROM e WHERE w > 0 ORDER BY doc_id, dim"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.hashedTf(col("text"), 64)).as(Seq("dim", "w")))
+        .where(col("w") > 0)
+        .select(col("doc_id"), col("dim"),
+          (floor(col("w") * 1e6 + 0.5) / 1e6).as("weight"))
+        .orderBy("doc_id", "dim"))
+
   /** X-TX21: DSIR importance resampling (Xie et al. '23) — select the
     * 200 raw documents whose hashed-unigram distribution best matches
     * the target domain (here: the labeled-'en' subset), by add-1-
@@ -1222,16 +1254,20 @@ object QueriesText {
     * weights are integer sums and the top-N cut is bit-stable; the
     * 256-row ratio table broadcasts, the doc pass is one doc-keyed
     * shuffle + TakeOrdered (see [[Text.dsirWeights]]). */
+  /** SQL twin of [[graft.functions.Expressions.TokenBuckets]]:
+    * hashed-unigram bucket per token instance over `textExpr`. */
+  private def tokenBucketsSql(nBuckets: Int, textExpr: String = "text"): String =
+    s"""list_transform(
+         list_filter(regexp_split_to_array(lower($textExpr), '\\s+'),
+           x -> length(x) > 0),
+         x -> CAST(list_reduce(list_transform(range(1, length(x) + 1),
+                i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
+                (a, b) -> (a * 31 + b) % 1000000007) % $nBuckets AS INT))"""
+
   private val txDsir = Q(
     "tx_dsir",
     Some {
-      val bucketsExpr =
-        """list_transform(
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
-               x -> length(x) > 0),
-             x -> CAST(list_reduce(list_transform(range(1, length(x) + 1),
-                    i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT)),
-                    (a, b) -> (a * 31 + b) % 1000000007) % 256 AS INT))"""
+      val bucketsExpr = tokenBucketsSql(256)
       s"""WITH tb AS (SELECT doc_id, lang, unnest($bucketsExpr) AS bkt
             FROM documents),
           bc AS (SELECT bkt, count(*) AS cr,
@@ -1415,8 +1451,100 @@ object QueriesText {
     },
     (s, dir) =>
       Vectors.mipsTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, planes = 6)
+          dim = 64, k = 3, tables = 8, planesOverride = 6) // oracle-pinned planes
         .orderBy(col("qid"), col("dot").desc, col("cid")))
+
+  /** Hyperplane-key CTE rows over an arbitrary source CTE whose
+    * `vec` column is ALREADY a DOUBLE list (the hashed-TF pipelines)
+    * — generalizes [[lshKeyedRowsSql]], which is bound to the
+    * embeddings table's FLOAT column. */
+  private def lshKeysSqlFrom(src: String, selectCols: String,
+                             planes: Int, tables: Int, dim: Int): String = {
+    def w(tb: Int, p: Int, d: Int): String =
+      if (scala.util.hashing.MurmurHash3.productHash((tb, p, d)) % 2 == 0) "1.0" else "-1.0"
+    def keyExpr(tb: Int): String =
+      (0 until planes).map { p =>
+        val arr = (0 until dim).map(d => w(tb, p, d)).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+            d -> vec[CAST(d AS INT)] * ($arr)[CAST(d AS INT)])) > 0
+            THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+    (0 until tables)
+      .map(tb => s"SELECT $selectCols, vec, $tb AS tbl, ${keyExpr(tb)} AS key FROM $src")
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** L2-normalized hashed-TF vector CTE chain over `(idCols, bks)`
+    * rows — the SQL twin of [[graft.functions.Expressions.HashedTf]]
+    * (counts list per bucket, index-ascending norm, elementwise
+    * divide; zero vector stays zero). */
+  private def hashedTfVecSql(srcCte: String, idCols: String): String =
+    s"""SELECT $idCols,
+          CASE WHEN nrm > 0 THEN list_transform(cnts, x -> x / nrm)
+               ELSE cnts END AS vec
+        FROM (SELECT $idCols, cnts,
+            sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+          FROM (SELECT $idCols, list_transform(range(0, 64),
+              b -> CAST(len(list_filter(bks, x -> x = b)) AS DOUBLE)) AS cnts
+            FROM $srcCte))"""
+
+  /** X-EP8: RAG indexing + retrieval composite — documents chunk into
+    * overlapping passages (tx_chunk_overlap), passages and queries
+    * featurize with the model-free hashed-TF embedding
+    * (tx_hashing_tf), and every 25th document retrieves its top-3
+    * OTHER-document passages through shared hyperplane tables with
+    * exact cosine rerank ([[Vectors.ragRetrieveTopK]]). End-to-end
+    * text→vector→retrieve, every stage individually oracled
+    * elsewhere; no broadcast assumption on the query side (it grows
+    * with the corpus). */
+  private val ep8Rag = Q(
+    "ep8_rag_retrieval",
+    Some {
+      val chunkBks = tokenBucketsSql(64, "chunk_text")
+      val docBks = tokenBucketsSql(64)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          ch AS (SELECT doc_id AS cdoc, CAST(start // 48 AS BIGINT) AS chunk_idx,
+              array_to_string(list_slice(toks, start + 1,
+                least(start + 64, len(toks))), ' ') AS chunk_text
+            FROM (SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 48))
+                AS start, toks FROM t)),
+          cb AS (SELECT cdoc, chunk_idx, $chunkBks AS bks FROM ch),
+          cvec AS (${hashedTfVecSql("cb", "cdoc, chunk_idx")}),
+          qb AS (SELECT doc_id AS qid, $docBks AS bks FROM documents
+            WHERE doc_id % 25 = 0),
+          qvec AS (${hashedTfVecSql("qb", "qid")}),
+          ck AS (${lshKeysSqlFrom("cvec", "cdoc, chunk_idx", 6, 8, 64)}),
+          qk AS (${lshKeysSqlFrom("qvec", "qid", 6, 8, 64)}),
+          cand AS (SELECT DISTINCT q.qid, c.cdoc, c.chunk_idx,
+              q.vec AS qv, c.vec AS cv
+            FROM qk q JOIN ck c ON q.tbl = c.tbl AND q.key = c.key
+            WHERE c.cdoc != q.qid),
+          scored AS (SELECT DISTINCT qid, cdoc, chunk_idx,
+              round(list_sum(list_transform(range(1, 65),
+                  i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)]))
+                / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])))
+                 * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])))), 6)
+                AS cosine
+            FROM cand),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cdoc, chunk_idx) AS rn FROM scored)
+          SELECT qid, cdoc, chunk_idx, cosine FROM r WHERE rn <= 3
+          ORDER BY qid, cosine DESC, cdoc, chunk_idx"""
+    },
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = Text.chunkWindows(docs, "doc_id", "text", window = 64, stride = 48)
+        .select(col("doc_id").as("cdoc"), col("chunk_idx"),
+          Text.hashedTf(col("chunk_text"), 64).as("cv"))
+      val qs = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("qid"), Text.hashedTf(col("text"), 64).as("qv"))
+      Vectors.ragRetrieveTopK(qs, "qid", "qv", chunks, Seq("cdoc", "chunk_idx"),
+          "cv", dim = 64, k = 3, planesOverride = 6, // oracle-pinned planes
+          selfExcludeCol = Some("cdoc"))
+        .orderBy(col("qid"), col("cosine").desc, col("cdoc"), col("chunk_idx"))
+    })
 
   /** [[lshKeyedRowsSql]] with the label column carried through — the
     * filtered-ANN oracle needs it in the candidate join key. */
@@ -2148,10 +2276,10 @@ object QueriesText {
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
-    ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget,
+    ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
-    ep4Corpus, ep7Ingest)
+    ep4Corpus, ep7Ingest, ep8Rag)
 }

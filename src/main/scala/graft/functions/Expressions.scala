@@ -772,6 +772,50 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hashing-trick TF featurization (HashingTF): token-bucket counts
+    * ([[TokenBuckets]]'s hash — same SQL twin) assembled into an
+    * L2-normalized dense vector of `nBuckets` doubles, in one
+    * compiled pass. The norm accumulates bucket-index-ascending, so
+    * list_sum over the counts list mirrors it exactly; an empty
+    * token list yields the zero vector. The cheap deterministic
+    * featurizer that turns the text stack into vector-stack input
+    * (chunk embeddings for retrieval, clustering, semantic dedup)
+    * without a model. */
+  case class HashedTf(child: Expression, nBuckets: Int)
+      extends UnaryExpression {
+    require(nBuckets >= 2)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    // bucket hashing shared with TokenBuckets (kernel is a pure
+    // function of (text, nBuckets) — the child expr is unused there)
+    private lazy val buckets = TokenBuckets(child, nBuckets)
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(input: UTF8String): ArrayData = {
+      val bks = buckets.kernel(input).toIntArray()
+      val counts = new Array[Double](nBuckets)
+      var i = 0
+      while (i < bks.length) { counts(bks(i)) += 1.0; i += 1 }
+      var norm2 = 0.0
+      var b = 0
+      while (b < nBuckets) { norm2 += counts(b) * counts(b); b += 1 }
+      val norm = math.sqrt(norm2)
+      if (norm > 0) {
+        b = 0
+        while (b < nBuckets) { counts(b) = counts(b) / norm; b += 1 }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("hashedTf", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Character-level Shannon entropy (nats) of the text — the
     * gibberish/boilerplate quality signal (low-entropy = repeated
     * chars/padding, used alongside the Gopher repetition signals).
@@ -857,6 +901,9 @@ object Expressions {
 
   def charEntropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
+
+  def hashedTf(c: Column, nBuckets: Int): Column =
+    Bridge.column(HashedTf(Bridge.expression(c), nBuckets))
 
   def bloomMightContain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =

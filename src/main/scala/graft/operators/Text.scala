@@ -706,6 +706,13 @@ object Text {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** Hashing-trick TF embedding (L2-normalized, `nBuckets` dims) —
+    * see [[graft.functions.Expressions.HashedTf]]. Pure narrow map;
+    * the model-free featurizer that feeds text into the vector stack
+    * (LSH retrieval, k-means, semantic dedup). */
+  def hashedTf(c: Column, nBuckets: Int = 64): Column =
+    graft.functions.Expressions.hashedTf(c, nBuckets)
+
   /** Character-level Shannon entropy in nats — see
     * [[graft.functions.Expressions.CharEntropy]]. Pure narrow map
     * (runs inside the scan stage); low values flag padding/gibberish. */

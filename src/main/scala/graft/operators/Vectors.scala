@@ -476,6 +476,54 @@ object Vectors {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Cross-frame LSH retrieval (the RAG serving shape): queries and a
+    * candidate corpus (e.g. passage chunks) hash into SHARED
+    * hyperplane tables; candidates per query are (table, bucket)
+    * collisions — one exchange on the key, both sides fact-scale, no
+    * broadcast assumption (unlike [[semanticDecontaminate]], the
+    * query side here grows with the corpus) — then the compiled
+    * exact cosine reranks and a per-query window keeps top-k.
+    * `selfExcludeCol` drops candidates originating from the query's
+    * own document (retrieval eval wants OTHER documents' passages). */
+  def ragRetrieveTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+                      cands: DataFrame, cKeyCols: Seq[String], cVecCol: String,
+                      dim: Int, k: Int, tables: Int = 8, bucketTarget: Int = 16,
+                      planesOverride: Int = -1, nHint: Long = -1L,
+                      selfExcludeCol: Option[String] = None): DataFrame = {
+    import graft.functions.Expressions.{cosineSim, lshTableKeys}
+    // planes auto-scale with the CANDIDATE corpus size (the side that
+    // grows); override pins them for the static SQL oracle.
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else {
+        val n =
+          if (nHint > 0) nHint
+          else {
+            val stats = cands.queryExecution.optimizedPlan.stats
+            if (stats.rowCount.isDefined) stats.rowCount.get.toLong
+            else cands.count()
+          }
+        planesFor(n, bucketTarget)
+      }
+    val q = graft.core.Tables.spread(queries, col(qIdCol))
+      .select(col(qIdCol), col(qVecCol),
+        posexplode(lshTableKeys(col(qVecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key")))
+    val c = graft.core.Tables.spread(cands, cKeyCols.map(col): _*)
+      .select(cKeyCols.map(col) ++ Seq(col(cVecCol),
+        posexplode(lshTableKeys(col(cVecCol), dim, planes, tables))
+          .as(Seq("_tbl", "_key"))): _*)
+    val joined = q.join(c, Seq("_tbl", "_key"))
+    val filtered = selfExcludeCol
+      .map(sc => joined.where(col(sc) =!= col(qIdCol))).getOrElse(joined)
+    val scored = filtered.select(col(qIdCol) +: cKeyCols.map(col) :+
+        round(cosineSim(col(qVecCol), col(cVecCol)), 6).as("cosine"): _*)
+      .distinct() // a pair may collide in several tables
+    val w = Window.partitionBy(qIdCol)
+      .orderBy(col("cosine").desc +: cKeyCols.map(col): _*)
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** MIPS (maximum inner-product search) top-k via the norm-
     * augmentation reduction (Bachrach et al. '14 / Neyshabur & Srebro
     * '15): every candidate appends sqrt(M² − ‖c‖²) (M = max corpus
@@ -491,8 +539,24 @@ object Vectors {
     * [[lshTopK]] plan — key posexplode, one exchange on (table,
     * bucket), per-query window rank. */
   def mipsTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-               k: Int, tables: Int = 8, planes: Int = 6): DataFrame = {
+               k: Int, tables: Int = 8, bucketTarget: Int = 16,
+               planesOverride: Int = -1, nHint: Long = -1L): DataFrame = {
     import graft.functions.Expressions.{dotProduct, lshTableKeys}
+    // planes auto-scale with corpus size (O(1) expected bucket
+    // occupancy — the lshTopK scale path); override pins them for the
+    // static SQL oracle. Same hint > stats > count fallback order.
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else {
+        val n =
+          if (nHint > 0) nHint
+          else {
+            val stats = df.queryExecution.optimizedPlan.stats
+            if (stats.rowCount.isDefined) stats.rowCount.get.toLong
+            else df.count()
+          }
+        planesFor(n, bucketTarget)
+      }
     val n2 = aggregate(
       transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (a, x) => a + x)

@@ -133,6 +133,49 @@ class DsirSimhashHamSpec extends SparkSpec {
       }
   }
 
+  // --- hashed-TF featurizer + RAG retrieval --------------------------
+  private def refHashedTf(text: String, nBuckets: Int): Array[Double] = {
+    val counts = new Array[Double](nBuckets)
+    refBuckets(text, nBuckets).foreach(b => counts(b) += 1.0)
+    var norm2 = 0.0
+    counts.foreach(c => norm2 += c * c)
+    val norm = math.sqrt(norm2)
+    if (norm > 0) counts.map(_ / norm) else counts
+  }
+
+  test("hashedTf matches a sequential reference exactly; unit norm") {
+    val docs = Seq((1L, "the cat and the dog"), (2L, "x"), (3L, "a b c d e f g"))
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Text.hashedTf(col("text"), 32).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    docs.foreach { case (id, txt) =>
+      assert(out(id).sameElements(refHashedTf(txt, 32)), s"doc $id")
+      val n2 = out(id).map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9)
+    }
+  }
+
+  test("ragRetrieveTopK: a copied passage is its query's top hit (auto planes)") {
+    import graft.operators.Vectors
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpusDocs = Seq(
+      (10L, s"$passage plus trailing context words here"),
+      (11L, "one two three four five six seven eight"),
+      (12L, "spark catalyst tungsten codegen shuffle partition"))
+    val chunks = corpusDocs.toDF("doc_id", "text")
+      .select(col("doc_id").as("cdoc"), lit(0L).as("chunk_idx"),
+        Text.hashedTf(col("text"), 64).as("cv"))
+    val qs = Seq((1L, passage)).toDF("qid", "qtext")
+      .select(col("qid"), Text.hashedTf(col("qtext"), 64).as("qv"))
+    val out = Vectors.ragRetrieveTopK(qs, "qid", "qv", chunks,
+        Seq("cdoc", "chunk_idx"), "cv", dim = 64, k = 2, nHint = 3,
+        selfExcludeCol = Some("cdoc"))
+      .orderBy(col("cosine").desc).collect()
+    assert(out.nonEmpty && out.head.getAs[Long]("cdoc") == 10L,
+      s"expected passage doc first, got ${out.toSeq}")
+    assert(out.head.getAs[Double]("cosine") > 0.8)
+  }
+
   // --- sequential reference for MIPS (norm-augmentation + LSH) -------
   private def refPlaneW(t: Int, p: Int, d: Int): Double =
     if (scala.util.hashing.MurmurHash3.productHash((t, p, d)) % 2 == 0) 1.0 else -1.0
@@ -159,7 +202,7 @@ class DsirSimhashHamSpec extends SparkSpec {
       (1L to 30L).map(i => (i, vec(i.toInt, 1f)))
     val df = docs.toDF("vec_id", "embedding")
     val out = graft.operators.Vectors
-      .mipsTopK(df, "vec_id", "embedding", dim, k, tables, planes)
+      .mipsTopK(df, "vec_id", "embedding", dim, k, tables, planesOverride = planes)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).toSeq).toMap
     // reference: same reduction, brute candidates from key collisions
