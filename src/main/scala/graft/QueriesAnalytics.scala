@@ -168,6 +168,58 @@ object QueriesAnalytics {
       graft.streaming.Streams.anomalyStream(t(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id"))
 
+  /** X-EV8: two-proportion A/B z-test — deterministic variant
+    * assignment (LCG bucket of user_id, no RNG), per-user conversion
+    * (any 'purchase'), pooled-variance z-score. Counts are exact
+    * integers; the one float chain (rates, pooled p, z) mirrors
+    * op-for-op and floor-quantizes at 1e-6 on emission. Two
+    * user-keyed aggregates and a 1-row report — nothing fact-sized
+    * ever sits on one partition. */
+  private val evAbZtest = Q(
+    "ev_ab_ztest",
+    Some(s"""WITH c AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id),
+            v AS (SELECT CASE WHEN ${graft.operators.Text.sampleBucketSql("user_id")} % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant, conv FROM c),
+            s AS (SELECT
+                CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+                CAST(sum(conv) FILTER (WHERE variant = 'A') AS BIGINT) AS conv_a,
+                CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+                CAST(sum(conv) FILTER (WHERE variant = 'B') AS BIGINT) AS conv_b
+              FROM v)
+            SELECT n_a, conv_a, n_b, conv_b,
+              floor(CAST(conv_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6 AS rate_a,
+              floor(CAST(conv_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6 AS rate_b,
+              floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                     * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                * 1e6 + 0.5) / 1e6 AS z
+            FROM s"""),
+    (s, dir) => {
+      val conv = t(s, dir, "events").groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+          .otherwise(0)).as("conv"))
+      val v = conv.select(
+        when(pmod(graft.operators.Text.sampleBucket(col("user_id")), lit(2L)) === 0, "A")
+          .otherwise("B").as("variant"), col("conv"))
+      val st = v.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv").cast("long")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv").cast("long")).otherwise(0L)).as("conv_b"))
+      val pooled = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+      st.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (floor(col("conv_a").cast("double") / col("n_a") * 1e6 + 0.5) / 1e6).as("rate_a"),
+        (floor(col("conv_b").cast("double") / col("n_b") * 1e6 + 0.5) / 1e6).as("rate_b"),
+        (floor((col("conv_a").cast("double") / col("n_a")
+              - col("conv_b").cast("double") / col("n_b"))
+          / sqrt(pooled * (lit(1) - pooled)
+               * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+          * 1e6 + 0.5) / 1e6).as("z"))
+    })
+
   /** X-EV4: ordered-step funnel (view → click → purchase, each step
     * within 7 days of the previous step's first completion) — the
     * product-analytics staple. Three user-keyed min aggregates, each
@@ -745,7 +797,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

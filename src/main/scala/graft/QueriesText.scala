@@ -1424,11 +1424,10 @@ object QueriesText {
     * retrieval where magnitude matters, on the same hyperplane-LSH
     * scale path as ss_topk_lsh. M² is computed IN-PLAN both sides
     * (one scalar aggregate / CTE — no generated literals). */
-  private val ssMips = Q(
-    "ss_mips_topk",
-    Some {
-      val keyedRows = mipsKeyedRowsSql(planes = 6, tables = 8, dim = 64)
-      s"""WITH n AS (SELECT vec_id, embedding,
+  /** Shared MIPS oracle body at a given plane count. */
+  private def mipsSql(planes: Int): String = {
+    val keyedRows = mipsKeyedRowsSql(planes, tables = 8, dim = 64)
+    s"""WITH n AS (SELECT vec_id, embedding,
             list_sum(list_transform(range(1, 65),
               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS n2
@@ -1448,11 +1447,23 @@ object QueriesText {
               ORDER BY dot DESC, cid) AS rn FROM scored)
           SELECT qid, cid, dot FROM r WHERE rn <= 3
           ORDER BY qid, dot DESC, cid"""
+  }
+
+  private val ssMips = Q(
+    "ss_mips_topk",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // planes auto-scale with the corpus (O(1) bucket occupancy —
+      // the lshTopK scale rule); the exact parquet row count is the
+      // hint so the generated oracle derives the SAME plane count
+      Vectors.mipsTopK(e, "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8, nHint = e.count())
+        .orderBy(col("qid"), col("dot").desc, col("cid"))
     },
-    (s, dir) =>
-      Vectors.mipsTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, planesOverride = 6) // oracle-pinned planes
-        .orderBy(col("qid"), col("dot").desc, col("cid")))
+    sqlGen = Some { (s, dir) =>
+      mipsSql(Vectors.planesFor(t(s, dir, "embeddings").count(), 16))
+    })
 
   /** Hyperplane-key CTE rows over an arbitrary source CTE whose
     * `vec` column is ALREADY a DOUBLE list (the hashed-TF pipelines)
@@ -1497,9 +1508,8 @@ object QueriesText {
     * text→vector→retrieve, every stage individually oracled
     * elsewhere; no broadcast assumption on the query side (it grows
     * with the corpus). */
-  private val ep8Rag = Q(
-    "ep8_rag_retrieval",
-    Some {
+  /** Shared ep8 oracle body at a given plane count. */
+  private def ep8Sql(planes: Int): String = {
       val chunkBks = tokenBucketsSql(64, "chunk_text")
       val docBks = tokenBucketsSql(64)
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1513,8 +1523,8 @@ object QueriesText {
           qb AS (SELECT doc_id AS qid, $docBks AS bks FROM documents
             WHERE doc_id % 25 = 0),
           qvec AS (${hashedTfVecSql("qb", "qid")}),
-          ck AS (${lshKeysSqlFrom("cvec", "cdoc, chunk_idx", 6, 8, 64)}),
-          qk AS (${lshKeysSqlFrom("qvec", "qid", 6, 8, 64)}),
+          ck AS (${lshKeysSqlFrom("cvec", "cdoc, chunk_idx", planes, 8, 64)}),
+          qk AS (${lshKeysSqlFrom("qvec", "qid", planes, 8, 64)}),
           cand AS (SELECT DISTINCT q.qid, c.cdoc, c.chunk_idx,
               q.vec AS qv, c.vec AS cv
             FROM qk q JOIN ck c ON q.tbl = c.tbl AND q.key = c.key
@@ -1532,18 +1542,34 @@ object QueriesText {
               ORDER BY cosine DESC, cdoc, chunk_idx) AS rn FROM scored)
           SELECT qid, cdoc, chunk_idx, cosine FROM r WHERE rn <= 3
           ORDER BY qid, cosine DESC, cdoc, chunk_idx"""
-    },
+  }
+
+  /** The ep8 chunk index frame (shared by the query fn and the
+    * oracle generator, which must count it the same way). */
+  private def ep8Chunks(s: SparkSession, dir: String): DataFrame =
+    Text.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)
+      .select(col("doc_id").as("cdoc"), col("chunk_idx"),
+        Text.hashedTf(col("chunk_text"), 64).as("cv"))
+
+  private val ep8Rag = Q(
+    "ep8_rag_retrieval",
+    None,
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val chunks = Text.chunkWindows(docs, "doc_id", "text", window = 64, stride = 48)
-        .select(col("doc_id").as("cdoc"), col("chunk_idx"),
-          Text.hashedTf(col("chunk_text"), 64).as("cv"))
+      val chunks = ep8Chunks(s, dir)
       val qs = docs.where(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("qid"), Text.hashedTf(col("text"), 64).as("qv"))
+      // planes auto-scale with the CHUNK corpus (O(1) bucket
+      // occupancy); the exact count is the hint so the generated
+      // oracle derives the same plane count
       Vectors.ragRetrieveTopK(qs, "qid", "qv", chunks, Seq("cdoc", "chunk_idx"),
-          "cv", dim = 64, k = 3, planesOverride = 6, // oracle-pinned planes
+          "cv", dim = 64, k = 3, nHint = chunks.count(),
           selfExcludeCol = Some("cdoc"))
         .orderBy(col("qid"), col("cosine").desc, col("cdoc"), col("chunk_idx"))
+    },
+    sqlGen = Some { (s, dir) =>
+      ep8Sql(Vectors.planesFor(ep8Chunks(s, dir).count(), 16))
     })
 
   /** [[lshKeyedRowsSql]] with the label column carried through — the

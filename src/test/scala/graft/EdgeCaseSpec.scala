@@ -41,6 +41,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Clustering.connectedComponents(nodes, edges).count() == 0)
   }
 
+  test("r11b operators on empty/degenerate input") {
+    val docs = Seq((1L, "x", "en", "s")).toDF("doc_id", "text", "lang", "source")
+      .where(lit(false))
+    assert(Text.dsirWeights(docs, "doc_id", "text", "lang", "en").count() == 0)
+    assert(Text.tokenBudgetMix(docs, "doc_id", "text", "source", 100L).count() == 0)
+    assert(Dedup.simhashHamPairs(docs, "doc_id", "text").count() == 0)
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding").where(lit(false))
+    assert(graft.operators.Vectors.mipsTopK(vecs, "vec_id", "embedding",
+      dim = 2, k = 1, nHint = 1).count() == 0)
+    // empty STRING (not empty frame): zero entropy, zero TF vector
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    val r = one.select(Text.charEntropy(col("text")).as("h"),
+      Text.hashedTf(col("text"), 8).as("v")).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getSeq[Double](1).forall(_ == 0.0))
+  }
+
   test("text relevance on an empty corpus") {
     val docs = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang").where(lit(false))
     assert(Text.tfIdfTopK(docs, "doc_id", "text", 3).count() == 0)

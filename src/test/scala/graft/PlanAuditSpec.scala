@@ -50,7 +50,15 @@ class PlanAuditSpec extends SparkSpec {
     // tx_ccnet_buckets: the single-row tercile-boundary frame
     // (round-6 percentiles) rides back on a broadcast cross before
     // the bucket comparison — the tx_domain_mix shape
-    "tx_ccnet_buckets")
+    "tx_ccnet_buckets",
+    // tx_dsir: the single-row corpus token totals (Tt, Tr) ride back
+    // onto the nBuckets-row histogram (256 × 1 row) — the
+    // tx_commonness N shape
+    "tx_dsir",
+    // ss_mips_topk: the single-row max-norm M² rides back onto the
+    // corpus for the augmented coordinate — corpus × 1 row, the
+    // tx_tfidf N shape
+    "ss_mips_topk")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
