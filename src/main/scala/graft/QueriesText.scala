@@ -1246,6 +1246,68 @@ object QueriesText {
           (floor(col("w") * 1e6 + 0.5) / 1e6).as("weight"))
         .orderBy("doc_id", "dim"))
 
+  /** X-TX25: TRAINED multinomial Naive Bayes language classifier with
+    * a held-out split — train (LCG bucket ≥ 200‰), predict on the
+    * rest, report the confusion matrix. Hashed-unigram features; all
+    * smoothed log-probabilities quantized once to micro-longs so
+    * document scores are INTEGER sums (no float argmax hazard); the
+    * (langs × 256)-row model broadcasts. Upgrades the tx_langid
+    * stopword heuristic to an actually trained in-engine model.
+    * NOTE on this corpus: the synthetic lang label is INDEPENDENT of
+    * the text (all langs share one vocabulary), so the trained model
+    * correctly collapses to the majority prior — the confusion
+    * matrix shows every test doc predicted 'en'. That IS the right
+    * Bayes answer here; DsirSimhashHamSpec proves a perfect diagonal
+    * on a corpus whose vocabularies actually separate. */
+  private val txNbLangid = Q(
+    "tx_nb_langid",
+    Some {
+      val bks = tokenBucketsSql(256)
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+            WHERE ${Text.sampleBucketSql("doc_id")} >= 200),
+          te AS (SELECT doc_id, lang, text FROM documents
+            WHERE ${Text.sampleBucketSql("doc_id")} < 200),
+          langs AS (SELECT DISTINCT lang AS clang FROM tr),
+          ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+          lc AS (SELECT CAST(count(*) AS BIGINT) AS L FROM langs),
+          prior AS (SELECT lang AS clang,
+              CAST(floor(ln((count(*) + 1.0) / (ntr.n + lc.L)) * 1e6 + 0.5)
+                AS BIGINT) AS prm
+            FROM tr CROSS JOIN ntr CROSS JOIN lc
+            GROUP BY lang, ntr.n, lc.L),
+          tt AS (SELECT lang AS clang, unnest($bks) AS bkt FROM tr),
+          ct AS (SELECT clang, bkt, CAST(count(*) AS BIGINT) AS c
+            FROM tt GROUP BY clang, bkt),
+          tl AS (SELECT clang, CAST(count(*) AS BIGINT) AS tot
+            FROM tt GROUP BY clang),
+          dense AS (SELECT l.clang, CAST(b.range AS INT) AS bkt,
+              coalesce(ct.c, 0) AS c, tl.tot
+            FROM langs l CROSS JOIN range(256) b
+            JOIN tl ON tl.clang = l.clang
+            LEFT JOIN ct ON ct.clang = l.clang AND ct.bkt = CAST(b.range AS INT)),
+          lp AS (SELECT clang, bkt,
+              CAST(floor(ln((c + 1.0) / (tot + 256.0)) * 1e6 + 0.5) AS BIGINT)
+                AS lpm
+            FROM dense),
+          teb AS (SELECT doc_id, lang, unnest($bks) AS bkt FROM te),
+          sc AS (SELECT teb.doc_id, teb.lang, lp.clang,
+              CAST(sum(lp.lpm) AS BIGINT) AS s
+            FROM teb JOIN lp ON lp.bkt = teb.bkt
+            GROUP BY teb.doc_id, teb.lang, lp.clang),
+          tot AS (SELECT sc.doc_id, sc.lang, sc.clang, sc.s + prior.prm AS score
+            FROM sc JOIN prior ON prior.clang = sc.clang),
+          pred AS (SELECT doc_id, lang, clang AS lang_pred,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, clang) AS rn FROM tot)
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM pred WHERE rn = 1 GROUP BY lang, lang_pred
+          ORDER BY lang, lang_pred"""
+    },
+    (s, dir) =>
+      Text.nbLangIdEval(t(s, dir, "documents"), "doc_id", "text", "lang",
+          nBuckets = 256, testBelowPerMille = 200)
+        .orderBy("lang", "lang_pred"))
+
   /** X-TX21: DSIR importance resampling (Xie et al. '23) — select the
     * 200 raw documents whose hashed-unigram distribution best matches
     * the target domain (here: the labeled-'en' subset), by add-1-
@@ -2303,6 +2365,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
+    txNbLangid,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,

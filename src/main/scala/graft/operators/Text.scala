@@ -749,6 +749,69 @@ object Text {
       .select(col(domainCol), col(idCol), col("n_toks"))
   }
 
+  /** Trained multinomial Naive Bayes language classifier, evaluated
+    * on a held-out split — train/predict/eval in one plan, no model
+    * file. Hashed-unigram features ([[graft.functions.Expressions.TokenBuckets]]);
+    * add-1-smoothed per-(lang, bucket) log-likelihoods and per-lang
+    * log-priors are quantized ONCE to exact micro-longs (the DSIR/
+    * bigram-LM ln recipe), so every document score is an INTEGER sum
+    * and the argmax has no float tie hazard. Returns the confusion
+    * matrix (lang, lang_pred, n) over the test split.
+    *
+    * Scale shape: the trained model is a (langs × nBuckets)-row
+    * broadcast table; training is one (lang, bucket) aggregate;
+    * prediction joins the broadcast model on the bucket (fanning each
+    * token to |langs| rows) and aggregates per (doc, lang) — one
+    * doc-keyed shuffle, bounded |langs|² output. */
+  def nbLangIdEval(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, langCol: String, nBuckets: Int = 256,
+                   testBelowPerMille: Int = 200)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.select(col(idCol), col(langCol), col(textCol),
+      sampleBucket(col(idCol)).as("_sb"))
+    val tr = bucketed.where(col("_sb") >= testBelowPerMille)
+    val te = bucketed.where(col("_sb") < testBelowPerMille)
+    val langs = tr.select(col(langCol).as("_lang")).distinct()
+    val nTr = tr.agg(count(lit(1)).as("_n"))
+    val lCnt = langs.agg(count(lit(1)).as("_L"))
+    // log-priors: 1-row totals ride back on the |langs|-row counts
+    val prior = tr.groupBy(col(langCol).as("_lang")).agg(count(lit(1)).as("_nl"))
+      .crossJoin(broadcast(nTr)).crossJoin(broadcast(lCnt))
+      .select(col("_lang"),
+        floor(log((col("_nl") + lit(1.0)) / (col("_n") + col("_L")))
+          * 1e6 + 0.5).cast(LongType).as("_prm"))
+    def toks(src: org.apache.spark.sql.DataFrame) =
+      graft.core.Tables.spread(src, col(idCol))
+        .select(col(idCol), col(langCol),
+          explode(graft.functions.Expressions.tokenBuckets(col(textCol), nBuckets))
+            .as("_bkt"))
+    val tt = toks(tr).select(col(langCol).as("_lang"), col("_bkt"))
+    val ct = tt.groupBy("_lang", "_bkt").agg(count(lit(1)).as("_c"))
+    val tl = tt.groupBy("_lang").agg(count(lit(1)).as("_tot"))
+    // DENSE model table (every (lang, bucket) pair, unseen = smoothed
+    // floor) — explode on the langs frame, never a cross join
+    val dense = langs
+      .select(col("_lang"), explode(sequence(lit(0), lit(nBuckets - 1))).as("_bkt"))
+      .join(broadcast(tl), Seq("_lang"))
+      .join(broadcast(ct), Seq("_lang", "_bkt"), "left")
+      .select(col("_lang"), col("_bkt"),
+        floor(log((coalesce(col("_c"), lit(0L)) + lit(1.0))
+            / (col("_tot") + lit(nBuckets.toDouble))) * 1e6 + 0.5)
+          .cast(LongType).as("_lpm"))
+    val scored = toks(te)
+      .join(broadcast(dense), Seq("_bkt")) // each token fans to |langs| rows
+      .groupBy(col(idCol), col(langCol), col("_lang"))
+      .agg(sum(col("_lpm")).as("_s"))
+      .join(broadcast(prior), Seq("_lang"))
+      .select(col(idCol), col(langCol), col("_lang"),
+        (col("_s") + col("_prm")).as("_score"))
+    val w = Window.partitionBy(idCol).orderBy(col("_score").desc, col("_lang"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .groupBy(col(langCol).as("lang"), col("_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DSIR importance resampling (Xie et al. '23, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-domain-like its hashed-unigram feature

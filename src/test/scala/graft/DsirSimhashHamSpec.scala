@@ -176,6 +176,26 @@ class DsirSimhashHamSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") > 0.8)
   }
 
+  test("nbLangIdEval: separable vocabularies give a perfect diagonal") {
+    // two languages with DISJOINT vocabularies; ids 1..80 land in both
+    // the train (bucket >= 200) and test (bucket < 200) splits
+    val vocabA = Array("aaa", "bbb", "ccc", "ddd")
+    val vocabB = Array("xxx", "yyy", "zzz", "www")
+    val docs = (1L to 80L).map { i =>
+      val v = if (i % 2 == 0) vocabA else vocabB
+      val lang = if (i % 2 == 0) "A" else "B"
+      (i, lang, (0 until 12).map(j => v((i + j).toInt % 4)).mkString(" "))
+    }
+    val out = Text.nbLangIdEval(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", nBuckets = 64, testBelowPerMille = 200)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty, "test split must be non-empty")
+    assert(out.forall { case (actual, pred, _) => actual == pred },
+      s"expected a perfect diagonal, got ${out.toSeq}")
+    // sanity: both classes present in the test split
+    assert(out.map(_._1).toSet == Set("A", "B"), out.toSeq.toString)
+  }
+
   // --- sequential reference for MIPS (norm-augmentation + LSH) -------
   private def refPlaneW(t: Int, p: Int, d: Int): Double =
     if (scala.util.hashing.MurmurHash3.productHash((t, p, d)) % 2 == 0) 1.0 else -1.0

@@ -58,7 +58,11 @@ class PlanAuditSpec extends SparkSpec {
     // ss_mips_topk: the single-row max-norm M² rides back onto the
     // corpus for the augmented coordinate — corpus × 1 row, the
     // tx_tfidf N shape
-    "ss_mips_topk")
+    "ss_mips_topk",
+    // tx_nb_langid: the 1-row train-count and 1-row lang-count frames
+    // ride back onto the |langs|-row prior — the a19/tx_commonness
+    // shape
+    "tx_nb_langid")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
