@@ -168,6 +168,44 @@ object QueriesAnalytics {
       graft.streaming.Streams.anomalyStream(t(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id"))
 
+  /** X-M13: semi-supervised label propagation on the part co-purchase
+    * graph — 30% of nodes seeded with their p_brand (LCG bucket, no
+    * RNG), 3 synchronous majority-vote rounds spread labels to the
+    * rest (ties by label asc; unreached nodes stay null). All-integer
+    * votes; the oracle unrolls the rounds (the m9 pageRank pattern). */
+  private val m13LabelProp = Q(
+    "m13_label_prop",
+    Some {
+      val edgesSql =
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           WHERE a.l_orderkey % 10 = 0"""
+      val seedsSql =
+        s"""SELECT n.node, CASE WHEN ${graft.operators.Text.sampleBucketSql("n.node")} < 300
+              THEN p.p_brand END AS seed_label
+            FROM (SELECT DISTINCT src AS node FROM e) n
+            JOIN part p ON p.p_partkey = n.node"""
+      graft.operators.Graph.labelPropagationSql(edgesSql, seedsSql, rounds = 3)
+    },
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      val part = t(s, dir, "part")
+      val seeds = e.select(col("src").as("node")).distinct()
+        .join(part, col("node") === col("p_partkey"))
+        .select(col("node"),
+          when(graft.operators.Text.sampleBucket(col("node")) < 300,
+            col("p_brand")).as("seed_label"))
+      graft.operators.Graph.labelPropagation(e, seeds, rounds = 3)
+        .orderBy("node")
+    })
+
   /** X-EV8: two-proportion A/B z-test — deterministic variant
     * assignment (LCG bucket of user_id, no RNG), per-user conversion
     * (any 'purchase'), pooled-variance z-score. Counts are exact
@@ -797,7 +835,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, m13LabelProp,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -149,6 +149,71 @@ object Graph {
     * the oracle: `edgesSql` must yield (src, dst). Every float op
     * mirrors [[pageRank]]: IEEE division, 1e-12 floor quantization,
     * exact decimal sums, teleport + damping in the same order. */
+  /** Semi-supervised label propagation, `rounds` synchronous rounds:
+    * seeded nodes keep their label forever; every other node adopts
+    * the MAJORITY label among its labeled neighbors from the previous
+    * round (ties by label ascending), keeping its previous label when
+    * no neighbor is labeled yet. Vote counts are exact integers — no
+    * float anywhere — so each round mirrors 1:1 in the unrolled SQL
+    * ([[labelPropagationSql]]). Scale: a round is one edge⋈labels
+    * join + one (node, label) count + one node-keyed window — the
+    * [[pageRank]] iteration shape; unreached nodes stay null. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                       checkpointEvery: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist, not localCheckpoint, for the STATIC frames (edges,
+    // seeds): graph-fact-sized, rescanned every round, recomputable.
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val s = seeds.select(col("node"), col("seed_label")).persist(lvl)
+    var cur = s.select(col("node"), col("seed_label").as("label"))
+    for (i <- 1 to rounds) {
+      val votes = e.join(
+          cur.where(col("label").isNotNull)
+            .select(col("node").as("_nb"), col("label").as("_nl")),
+          e("dst") === col("_nb"))
+        .groupBy(col("src").as("_v"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_v").orderBy(col("_c").desc, col("_nl"))
+      val best = votes.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("_v").as("node"), col("_nl").as("_best"))
+      cur = s.join(cur.select(col("node"), col("label").as("_prev")), Seq("node"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("_best"), col("_prev")).as("label"))
+      if (i % checkpointEvery == 0 && i < rounds)
+        // CP-OK: loop-carried state — lineage grows each round and
+        // must be cut; node-sized (narrow), freed by harness reclaim
+        cur = cur.localCheckpoint()
+    }
+    cur
+  }
+
+  /** Unrolled SQL twin of [[labelPropagation]]: `edgesSql` yields
+    * (src, dst), `seedsSql` yields (node, seed_label) for EVERY node. */
+  def labelPropagationSql(edgesSql: String, seedsSql: String,
+                          rounds: Int): String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.src AS v, r.label AS nl, count(*) AS c
+            FROM e JOIN $prev r ON e.dst = r.node
+            WHERE r.label IS NOT NULL GROUP BY e.src, r.label),
+          b$i AS (SELECT v, nl FROM (SELECT v, nl,
+              ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, nl) AS rn
+            FROM c$i) WHERE rn = 1),
+          r$i AS (SELECT s.node,
+              coalesce(s.seed_label, b.nl, p.label) AS label
+            FROM seeds s LEFT JOIN b$i b ON s.node = b.v
+            JOIN $prev p ON p.node = s.node)"""
+    }
+    s"""WITH e AS ($edgesSql),
+        seeds AS ($seedsSql),
+        r0 AS (SELECT node, seed_label AS label FROM seeds),
+        ${(1 to rounds).map(iter).mkString(",\n        ")}
+        SELECT node, label FROM r$rounds ORDER BY node"""
+  }
+
   def pageRankSql(edgesSql: String, iterations: Int,
                   damping: Double = 0.85, scale: Int = 12): String = {
     val f = s"1e$scale"

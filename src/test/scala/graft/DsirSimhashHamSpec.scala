@@ -196,6 +196,31 @@ class DsirSimhashHamSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set("A", "B"), out.toSeq.toString)
   }
 
+  test("labelPropagation: spread, stickiness, tie-break, unreached null") {
+    import graft.operators.Graph
+    // chain component seeded 'A' at node 1; pair component seeded 'B';
+    // node 30 isolated-with-edge-to-nothing-labeled; node 40 tied A/B
+    def undirected(pairs: (Long, Long)*): Seq[(Long, Long)] =
+      pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = undirected(
+      (1L, 2L), (2L, 3L), (3L, 4L),        // chain from seed A
+      (10L, 11L),                          // pair, seed B at 10
+      (30L, 31L),                          // both unseeded -> null
+      (40L, 1L), (40L, 10L)                // 40 hears A and B once each
+    ).toDF("src", "dst")
+    val seeds = Seq(
+      (1L, Some("A")), (2L, None), (3L, None), (4L, None),
+      (10L, Some("B")), (11L, None), (30L, None), (31L, None),
+      (40L, None)).toDF("node", "seed_label")
+    val out = Graph.labelPropagation(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(2L) == Some("A") && out(3L) == Some("A") && out(4L) == Some("A"))
+    assert(out(11L) == Some("B"))
+    assert(out(30L).isEmpty && out(31L).isEmpty)
+    assert(out(40L) == Some("A"), "equal votes break to the ascending label")
+    assert(out(1L) == Some("A") && out(10L) == Some("B"), "seeds never change")
+  }
+
   // --- sequential reference for MIPS (norm-augmentation + LSH) -------
   private def refPlaneW(t: Int, p: Int, d: Int): Double =
     if (scala.util.hashing.MurmurHash3.productHash((t, p, d)) % 2 == 0) 1.0 else -1.0
