@@ -164,8 +164,13 @@ object Graph {
     // persist, not localCheckpoint, for the STATIC frames (edges,
     // seeds): graph-fact-sized, rescanned every round, recomputable.
     val e = edges.select(col("src"), col("dst")).persist(lvl)
-    val s = seeds.select(col("node"), col("seed_label")).persist(lvl)
-    var cur = s.select(col("node"), col("seed_label").as("label"))
+    // the loop frame CARRIES the seed label so a round needs only the
+    // best-vote join — rejoining a separate seeds frame every round
+    // costs an extra exchange per round (measured ~0.3 s/stage floor
+    // on the tiny per-round frames)
+    var cur = seeds.select(col("node"), col("seed_label"),
+        col("seed_label").as("label"))
+      .persist(lvl)
     for (i <- 1 to rounds) {
       val votes = e.join(
           cur.where(col("label").isNotNull)
@@ -178,16 +183,15 @@ object Graph {
       val best = votes.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .select(col("_v").as("node"), col("_nl").as("_best"))
-      cur = s.join(cur.select(col("node"), col("label").as("_prev")), Seq("node"))
-        .join(best, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("seed_label"), col("_best"), col("_prev")).as("label"))
+      cur = cur.join(best, Seq("node"), "left")
+        .select(col("node"), col("seed_label"),
+          coalesce(col("seed_label"), col("_best"), col("label")).as("label"))
       if (i % checkpointEvery == 0 && i < rounds)
         // CP-OK: loop-carried state — lineage grows each round and
         // must be cut; node-sized (narrow), freed by harness reclaim
         cur = cur.localCheckpoint()
     }
-    cur
+    cur.select(col("node"), col("label"))
   }
 
   /** Unrolled SQL twin of [[labelPropagation]]: `edgesSql` yields
@@ -202,14 +206,13 @@ object Graph {
           b$i AS (SELECT v, nl FROM (SELECT v, nl,
               ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, nl) AS rn
             FROM c$i) WHERE rn = 1),
-          r$i AS (SELECT s.node,
-              coalesce(s.seed_label, b.nl, p.label) AS label
-            FROM seeds s LEFT JOIN b$i b ON s.node = b.v
-            JOIN $prev p ON p.node = s.node)"""
+          r$i AS (SELECT p.node, p.seed_label,
+              coalesce(p.seed_label, b.nl, p.label) AS label
+            FROM $prev p LEFT JOIN b$i b ON p.node = b.v)"""
     }
     s"""WITH e AS ($edgesSql),
         seeds AS ($seedsSql),
-        r0 AS (SELECT node, seed_label AS label FROM seeds),
+        r0 AS (SELECT node, seed_label, seed_label AS label FROM seeds),
         ${(1 to rounds).map(iter).mkString(",\n        ")}
         SELECT node, label FROM r$rounds ORDER BY node"""
   }
