@@ -168,6 +168,52 @@ object QueriesAnalytics {
       graft.streaming.Streams.anomalyStream(t(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id"))
 
+  /** X-EV9: population stability index — THE standard train/serve
+    * drift gate: value-decile histograms of the first vs second half
+    * of the month, add-1 smoothed, per-bin contribution
+    * (p−q)·ln(p/q) quantized at 1e-6. Counts exact; bins dense via a
+    * generated 0..9 spine so empty deciles still report; totals are a
+    * 1-row broadcast cross (the a19 shape). */
+  private val evPsi = Q(
+    "ev_psi_drift",
+    Some("""WITH b AS (SELECT CAST(least(floor(value / 50), 9) AS INT) AS bin,
+              day(ts) <= 15 AS early FROM events),
+            c AS (SELECT bin,
+                CAST(count(*) FILTER (WHERE early) AS BIGINT) AS c_early,
+                CAST(count(*) FILTER (WHERE NOT early) AS BIGINT) AS c_late
+              FROM b GROUP BY bin),
+            tot AS (SELECT CAST(sum(c_early) AS BIGINT) AS ne,
+                CAST(sum(c_late) AS BIGINT) AS nl FROM c),
+            d AS (SELECT CAST(t.range AS INT) AS bin,
+                coalesce(c.c_early, 0) AS n_early,
+                coalesce(c.c_late, 0) AS n_late
+              FROM range(10) t LEFT JOIN c ON c.bin = CAST(t.range AS INT))
+            SELECT bin, n_early, n_late,
+              floor((((n_early + 1.0) / (ne + 10)) - ((n_late + 1.0) / (nl + 10)))
+                * ln(((n_early + 1.0) / (ne + 10)) / ((n_late + 1.0) / (nl + 10)))
+                * 1e6 + 0.5) / 1e6 AS psi_contrib
+            FROM d CROSS JOIN tot ORDER BY bin"""),
+    (s, dir) => {
+      val binned = t(s, dir, "events").select(
+        least(floor(col("value") / 50), lit(9L)).cast("int").as("bin"),
+        (dayofmonth(col("ts")) <= 15).as("early"))
+      val c = binned.groupBy("bin").agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("c_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c_late"))
+      val tot = c.agg(sum(col("c_early")).as("ne"), sum(col("c_late")).as("nl"))
+      val dense = s.range(10).select(col("id").cast("int").as("bin"))
+        .join(broadcast(c), Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("c_early"), lit(0L)).as("n_early"),
+          coalesce(col("c_late"), lit(0L)).as("n_late"))
+      val pe = (col("n_early") + lit(1.0)) / (col("ne") + lit(10))
+      val pl = (col("n_late") + lit(1.0)) / (col("nl") + lit(10))
+      dense.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          (floor((pe - pl) * log(pe / pl) * 1e6 + 0.5) / 1e6).as("psi_contrib"))
+        .orderBy("bin")
+    })
+
   /** X-M13: semi-supervised label propagation on the part co-purchase
     * graph — 30% of nodes seeded with their p_brand (LCG bucket, no
     * RNG), 3 synchronous majority-vote rounds spread labels to the
@@ -835,7 +881,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, m13LabelProp,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, m13LabelProp,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -1166,6 +1166,29 @@ object QueriesText {
       Dedup.simhashHamPairs(t(s, dir, "documents"), "doc_id", "text", radius = 3)
         .orderBy("a", "b"))
 
+  /** X-TX26: BPE first-merge candidates — adjacent character-pair
+    * frequencies WITHIN tokens (pairs never cross token boundaries),
+    * top-20 by count with pair tie-break: the statistic the first
+    * iteration of byte-pair-encoding training merges on. Exact
+    * integer counts, distributed count + TakeOrdered. */
+  private val txBpePairs = Q(
+    "tx_bpe_pairs",
+    Some(s"""WITH t AS (SELECT list_filter($toksSql, x -> length(x) >= 2)
+              AS toks FROM documents),
+            p AS (SELECT unnest(flatten(list_transform(toks, x ->
+                list_transform(range(1, length(x)),
+                  i -> substr(x, CAST(i AS INT), 2))))) AS pair FROM t)
+            SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 20"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(filter(Text.tokens(col("text")),
+          x => length(x) >= 2)).as("tok"))
+        .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20))
+
   /** X-TX22: character-level Shannon entropy (nats) — the gibberish/
     * boilerplate quality signal. Per-char ln values are 1e-6
     * floor-quantized so the entropy is exact-integer math + one IEEE
@@ -2365,7 +2388,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid,
+    txNbLangid, txBpePairs,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     // tx_nb_langid: the 1-row train-count and 1-row lang-count frames
     // ride back onto the |langs|-row prior — the a19/tx_commonness
     // shape
-    "tx_nb_langid")
+    "tx_nb_langid",
+    // ev_psi_drift: the 1-row histogram totals ride back onto the
+    // 10-row decile spine — the a19 shape
+    "ev_psi_drift")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
