@@ -1221,20 +1221,39 @@ object QueriesText {
     * onto one window partition (see [[Text.tokenBudgetMix]]). Budget
     * is corpus-size-independent (the realistic contract: you mix to
     * a token target, not to a fraction). */
+  private val tokenBudgetSql =
+    s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_toks,
+           ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+        w AS (SELECT *, bucket % 4 AS shard,
+            CAST(sum(n_toks) OVER (PARTITION BY source, bucket % 4
+              ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+          FROM s)
+        SELECT source, doc_id, n_toks FROM w WHERE cum <= 200
+        ORDER BY source, doc_id"""
+
   private val txTokenBudget = Q(
     "tx_token_budget_mix",
-    Some(s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_toks,
-               ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
-            w AS (SELECT *, bucket % 4 AS shard,
-                CAST(sum(n_toks) OVER (PARTITION BY source, bucket % 4
-                  ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS cum
-              FROM s)
-            SELECT source, doc_id, n_toks FROM w WHERE cum <= 200
-            ORDER BY source, doc_id"""),
+    Some(tokenBudgetSql),
     (s, dir) =>
       Text.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "text", "source",
           budgetPerDomain = 800, nShards = 4)
+        .orderBy("source", "doc_id"))
+
+  /** X-ST11: STATEFUL-STREAMING token-budget admission — the
+    * [[txTokenBudget]] semantics as documents arrive, per-(domain,
+    * shard) spent totals in `flatMapGroupsWithState` state. The
+    * registry entry runs the same state function on the static frame
+    * (one invocation per key == the batch global-prefix cut) and
+    * shares the batch oracle VERBATIM; StatefulStreamsSpec drives the
+    * real multi-micro-batch engine with bucket-ordered files and
+    * asserts stream == batch. */
+  private val stTokenBudget = Q(
+    "st_token_budget",
+    Some(tokenBudgetSql),
+    (s, dir) =>
+      graft.streaming.Streams.tokenBudgetStream(
+          t(s, dir, "documents"), budgetPerDomain = 800, nShards = 4)
         .orderBy("source", "doc_id"))
 
   /** X-TX24: hashing-trick TF featurization — every doc becomes an
@@ -2388,7 +2407,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs,
+    txNbLangid, txBpePairs, stTokenBudget,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,

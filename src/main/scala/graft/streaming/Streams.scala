@@ -495,4 +495,48 @@ object Streams {
             col("n_changes"))
     }
   }
+
+  /** Stateful streaming token-budget admission — the streaming twin of
+    * [[graft.operators.Text.tokenBudgetMix]]: each (domain, shard) key
+    * keeps its spent-token running total in state and admits arrivals
+    * while the per-shard budget (budget/nShards) lasts. Rows sort by
+    * (bucket, id) INSIDE each invocation, so batch-mode execution (one
+    * invocation per key) equals the batch twin's global-prefix cut
+    * exactly and shares its oracle; under a real multi-batch stream
+    * the budget is spent in arrival order across batches — precisely
+    * an ingestion-time cap (StatefulStreamsSpec drives that case with
+    * bucket-ordered files, where stream == batch still holds).
+    * Rejected rows still charge the total (the batch twin's window
+    * sums every row), so admission is prefix-closed per shard. */
+  def tokenBudgetStream(docs: DataFrame, budgetPerDomain: Long,
+                        nShards: Int = 4,
+                        stateTtlMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shardBudget = budgetPerDomain / nShards
+    val typed = docs.select(col("source"), col("doc_id"),
+        graft.operators.Text.sampleBucket(col("doc_id")).as("_bucket"),
+        size(graft.operators.Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("_shard", pmod(col("_bucket"), lit(nShards.toLong)))
+      .as[(String, Long, Long, Long, Long)]
+    def fn(key: (String, Long),
+           rows: Iterator[(String, Long, Long, Long, Long)],
+           state: GroupState[Long]): Iterator[(String, Long, Long)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var spent = state.getOption.getOrElse(0L)
+      val admitted = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      // deterministic order within the invocation: (bucket, id)
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (src, id, _, nt, _) =>
+        spent += nt // every row charges the shard (prefix semantics)
+        if (spent <= shardBudget) admitted += ((src, id, nt))
+      }
+      state.update(spent)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      admitted.iterator
+    }
+    typed.groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
+      .toDF("source", "doc_id", "n_toks")
+  }
 }

@@ -23,6 +23,51 @@ class StatefulStreamsSpec extends SparkSpec {
     assert(out.last._2 == 320.0)
   }
 
+  test("streaming token budget across micro-batches == batch prefix cut") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = core.Tables.load(spark, sf001, "documents")
+    val batch = graft.operators.Text.tokenBudgetMix(
+        docs, "doc_id", "text", "source", budgetPerDomain = 800, nShards = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // two files split BY BUCKET, so arrival order refines the batch
+    // twin's global (bucket, id) admission order — the case where the
+    // ingestion-time cap and the batch prefix cut must agree
+    val bucket = graft.operators.Text.sampleBucket(col("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget_stream")
+    // ONE file per half (a half split across parts would arrive in
+    // arbitrary bucket order and legitimately diverge from the batch
+    // prefix); explicit mtimes pin the micro-batch order
+    docs.where(bucket < 500).repartition(1).write.parquet(s"$dir/p0")
+    docs.where(bucket >= 500).repartition(1).write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_budget_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val target = srcDir.resolve(f"$n%03d.parquet")
+          java.nio.file.Files.copy(f, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+          n += 1
+        }
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = graft.streaming.Streams.tokenBudgetStream(
+        stream, budgetPerDomain = 800, nShards = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("budget_out")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("streaming near-dedup across micro-batches == batch verified pairs") {
     import org.apache.spark.sql.streaming.Trigger
     val docs = core.Tables.load(spark, sf001, "documents")
