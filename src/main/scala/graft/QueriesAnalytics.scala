@@ -398,6 +398,66 @@ object QueriesAnalytics {
           t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type"))
 
+  /** X-EV10: TRAINED first-order Markov next-event predictor with a
+    * temporal holdout — train the transition matrix on month-half 1
+    * (transitions dated by the LATER event), predict the most likely
+    * next type per current type (integer counts, type-asc ties),
+    * evaluate accuracy on month-half 2. Train/predict/eval in one
+    * plan, all-integer until the final quantized accuracy; model is a
+    * |types|-row broadcast. The ev_transitions matrix turned into an
+    * actual evaluated predictor. */
+  private val evMarkov = Q(
+    "ev_markov_eval",
+    Some("""WITH nx AS (SELECT user_id, event_type AS from_type,
+                lead(event_type) OVER w AS to_type,
+                lead(day(ts) <= 15) OVER w AS to_early
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tr AS (SELECT from_type, to_type FROM nx
+              WHERE to_type IS NOT NULL AND to_early),
+            te AS (SELECT from_type, to_type FROM nx
+              WHERE to_type IS NOT NULL AND NOT to_early),
+            c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+              GROUP BY from_type, to_type),
+            m AS (SELECT from_type, to_type AS predicted FROM
+              (SELECT from_type, to_type, ROW_NUMBER() OVER
+                 (PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+               FROM c) WHERE rn = 1)
+            SELECT te.from_type, m.predicted,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN te.to_type = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+              floor(CAST(sum(CASE WHEN te.to_type = m.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6 AS accuracy
+            FROM te LEFT JOIN m ON m.from_type = te.from_type
+            GROUP BY te.from_type, m.predicted
+            ORDER BY te.from_type"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val nx = t(s, dir, "events").select(
+        col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"),
+        lead(dayofmonth(col("ts")) <= 15, 1).over(w).as("to_early"))
+        .where(col("to_type").isNotNull)
+      val model = nx.where(col("to_early"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("_n"))
+      val wm = Window.partitionBy("from_type")
+        .orderBy(col("_n").desc, col("to_type"))
+      val pred = model.withColumn("_rn", row_number().over(wm))
+        .where(col("_rn") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      nx.where(!col("to_early"))
+        .join(broadcast(pred), Seq("from_type"), "left")
+        .groupBy("from_type", "predicted")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("from_type"), col("predicted"), col("n_test"), col("n_correct"),
+          (floor(col("n_correct").cast("double") * 1e6 / col("n_test") + 0.5) / 1e6)
+            .as("accuracy"))
+        .orderBy("from_type")
+    })
+
   /** PII scrubbing over event payloads: user ids are rendered into
     * email/phone shapes (derived from real columns — the corpus
     * itself is digit-free), then redacted most-specific-first so the
@@ -881,7 +941,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, m13LabelProp,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, evMarkov, m13LabelProp,
     evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }
