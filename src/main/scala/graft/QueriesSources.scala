@@ -769,6 +769,62 @@ object QueriesSources {
     * a/32768 exactly; 256 frames at 8 kHz give duration 0.032 (the
     * IEEE division 256/8000 and the decimal literal 0.032 round to
     * the same double on both engines — the mm5/mm7 recipe). */
+  /** X-MM10: image perceptual near-dedup — synthesize an 8×8 gray P6
+    * per key (keys sharing k%50 render IDENTICAL images), decode
+    * through the REAL parser, average-hash with the exact integer
+    * comparison 64·v > Σv, then hamming pairs via the shared
+    * pigeonhole block join ([[graft.operators.Dedup.hammingPairs64]]).
+    * The oracle rebuilds the hash closed-form from the generation
+    * arithmetic — any disagreement between writer, parser, hash, or
+    * join fails the gate. The multimodal twin of dd_simhash_ham. */
+  private val mm10 = Q(
+    "mm_ahash_neardup",
+    Some("""WITH ks AS (SELECT CAST(p_partkey AS BIGINT) AS media_id,
+                CAST(p_partkey AS BIGINT) % 50 AS g
+              FROM part WHERE p_partkey <= 200),
+            px AS (SELECT media_id, CAST(i.range AS BIGINT) AS i,
+                (g * 13 + CAST(i.range AS BIGINT) * ((g % 7) + 1)) % 251 AS v
+              FROM ks, range(64) i),
+            sm AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS s
+              FROM px GROUP BY media_id),
+            bits AS (SELECT px.media_id, px.i,
+                CASE WHEN 64 * px.v > sm.s THEN 1 ELSE 0 END AS bit
+              FROM px JOIN sm USING (media_id)),
+            sig AS (SELECT media_id, CAST(sum(
+                CASE WHEN bit = 0 THEN 0
+                     WHEN i = 63 THEN -9223372036854775808
+                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+                AS BIGINT) AS ahash
+              FROM bits GROUP BY media_id),
+            blocks AS (SELECT media_id, ahash, blk,
+                (ahash >> (16 * blk)) & 65535 AS key
+              FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bi(blk)),
+            cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+                x.ahash AS ha, y.ahash AS hb
+              FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.key = y.key
+              WHERE x.media_id < y.media_id)
+            SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part").where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val g = k % 50
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val v = ((g * 13 + i * ((g % 7) + 1)) % 251).toByte
+            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+            i += 1
+          }
+          (k, MediaCodecs.buildPpm(8, 8, rgb))
+        }.toDF("media_id", "blob")
+      val sig = Multimodal.aHash64(media, "media_id", "blob")
+      graft.operators.Dedup.hammingPairs64(sig, "media_id", "ahash", radius = 3)
+        .orderBy("a", "b")
+    })
+
   private val mm9 = Q(
     "mm_aiff_decode",
     Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
@@ -1450,5 +1506,5 @@ object QueriesSources {
         .withColumn("vacuum_ok", lit(vacuumOk))
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, mm10)
 }

@@ -576,20 +576,30 @@ object Dedup {
     * MinHash band join. Output: (a, b, hamming) verified pairs. */
   def simhashHamPairs(df: DataFrame, idCol: String, textCol: String,
                       radius: Int = 3): DataFrame = {
-    val nBlocks = 4 // 4 × 16-bit blocks; pigeonhole covers radius ≤ 3
-    require(radius < nBlocks, s"radius $radius needs > $radius blocks")
     // persist, not localCheckpoint: (id, simhash) is corpus-row-sized
     // (narrow — one long per doc) and feeds both sides of the block
     // join; recomputable + spills, never pinned (the r11 persist rule).
     val sig = simhash64(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hammingPairs64(sig, idCol, "simhash", radius)
+  }
+
+  /** Hamming-radius pairs over ANY precomputed 64-bit signature
+    * column, by the pigeonhole block join ([[simhashHamPairs]]'s
+    * candidate machinery, shared with the image perceptual-hash
+    * path): 4 × 16-bit blocks, radius ≤ 3 ⇒ some block matches
+    * exactly, popcount(xor) verifies. */
+  def hammingPairs64(sig: DataFrame, idCol: String, hashCol: String,
+                     radius: Int = 3): DataFrame = {
+    val nBlocks = 4 // 4 × 16-bit blocks; pigeonhole covers radius ≤ 3
+    require(radius < nBlocks, s"radius $radius needs > $radius blocks")
     val keys = (0 until nBlocks).map(i =>
-      shiftright(col("simhash"), 16 * i).bitwiseAND(lit(65535L)))
-    val blocks = sig.select(col(idCol), col("simhash"),
+      shiftright(col(hashCol), 16 * i).bitwiseAND(lit(65535L)))
+    val blocks = sig.select(col(idCol), col(hashCol),
       posexplode(array(keys: _*)).as(Seq("blk", "key")))
-    val x = blocks.select(col(idCol).as("a"), col("simhash").as("_ha"),
+    val x = blocks.select(col(idCol).as("a"), col(hashCol).as("_ha"),
       col("blk"), col("key"))
-    val y = blocks.select(col(idCol).as("b"), col("simhash").as("_hb"),
+    val y = blocks.select(col(idCol).as("b"), col(hashCol).as("_hb"),
       col("blk"), col("key"))
     x.join(y, Seq("blk", "key"))
       .where(col("a") < col("b"))

@@ -348,6 +348,17 @@ object MediaCodecs {
     }
   }
 
+  /** P6 green-channel pixel values in raster order (the grayscale
+    * plane for r=g=b images) — the pixel-level accessor the
+    * perceptual-hash path needs beyond [[parsePpm]]'s means. */
+  def ppmGrayPixels(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    parseNetpbmHeader(b, 2).collect {
+      case (w, h, _, start) if b.length - start == w.toLong * h * 3 =>
+        Array.tabulate(w * h)(i => b(start + 3 * i + 1) & 0xff)
+    }
+  }
+
   /** Strict binary-PPM (P6) parse; None unless the header is valid
     * and the payload holds exactly width·height RGB triplets
     * (maxval < 256 — the 1-byte-per-channel form). */

@@ -91,6 +91,40 @@ object Multimodal {
       }(encoder)
   }
 
+  /** 64-bit average-hash of 8×8 PPM images (the classic perceptual
+    * near-dup signature): bit i is set iff pixel i is above the image
+    * mean — computed as the EXACT integer comparison 64·v_i > Σv, so
+    * the oracle mirrors it bit-for-bit. Decodes through the real P6
+    * parser via the mapPartitions batch seam; rows that are not valid
+    * 64-pixel images are dropped (production: resize first — the
+    * [[resizeStub]] index math — then hash). */
+  def aHash64(df: DataFrame, idCol: String, blobCol: String,
+              batchSize: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ahash", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType), col(blobCol))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch => // batch boundary = codec call site
+          batch.iterator.flatMap { r =>
+            MediaCodecs.ppmGrayPixels(r.getAs[Array[Byte]](1))
+              .filter(_.length == 64).map { px =>
+                var s = 0L
+                px.foreach(s += _)
+                var h = 0L
+                var i = 0
+                while (i < 64) {
+                  if (64L * px(i) > s) h |= (1L << i)
+                  i += 1
+                }
+                Row(r.getLong(0), h)
+              }
+          }
+        }
+      }(encoder)
+  }
+
   /** STUB "resize": nearest-neighbor downsample of the byte raster to
     * `outBytes` samples — out[i] = blob[(i·n) / outBytes] — the image
     * resize plumbing shape (a real deployment swaps the byte pick for
