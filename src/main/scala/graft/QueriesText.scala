@@ -397,6 +397,52 @@ object QueriesText {
               / sum(tf) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
           FROM c GROUP BY doc_id)"""
 
+  /** X-TX27: held-out bigram-LM perplexity — the trained-model trio's
+    * LM leg (with tx_nb_langid and ev_markov_eval): train on the LCG
+    * ≥200‰ split, score the rest (unseen bigrams hit the smoothing
+    * floor via LEFT joins), report per-language mean score and
+    * ppl = exp(−mean), both floor-quantized. */
+  private val txLmPpl = Q(
+    "tx_lm_perplexity",
+    Some {
+      val sb = Text.sampleBucketSql("doc_id")
+      s"""WITH alldocs AS (SELECT doc_id, lang,
+              list_filter($toksSql, x -> length(x) > 0) AS toks FROM documents),
+          tr AS (SELECT * FROM alldocs WHERE $sb >= 200),
+          te AS (SELECT * FROM alldocs WHERE $sb < 200),
+          trbg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+            FROM tr WHERE len(toks) >= 2),
+          cb AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
+            FROM trbg GROUP BY p.w1, p.w2),
+          cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+          v AS (SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(toks) AS tok FROM tr)),
+          tebg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+            FROM te WHERE len(toks) >= 2),
+          ttc AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+            FROM tebg GROUP BY doc_id, p.w1, p.w2),
+          c AS (SELECT ttc.doc_id, ttc.tf,
+              ttc.tf * ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 0.5)
+                / (CAST(coalesce(cw.cw, 0) AS DOUBLE) + 0.5 * v)) AS contrib
+            FROM ttc LEFT JOIN cb USING (w1, w2) LEFT JOIN cw USING (w1)
+            CROSS JOIN v),
+          d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+              floor(${graft.core.Det.sqlDsum("contrib", 8)}
+                / sum(tf) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+            FROM c GROUP BY doc_id),
+          ag AS (SELECT a.lang, CAST(count(*) AS BIGINT) AS n_docs,
+              ${graft.core.Det.sqlDavgLong("lm_score", 6)} AS mean_lm
+            FROM d JOIN alldocs a USING (doc_id) GROUP BY a.lang)
+          SELECT lang, n_docs, mean_lm,
+            floor(exp(-mean_lm) * 1e6 + 0.5) / 1e6 AS ppl
+          FROM ag ORDER BY lang"""
+    },
+    (s, dir) =>
+      Text.lmPerplexityEval(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("lang"))
+
   private val txBigramLm = Q(
     "tx_bigram_lm",
     Some(s"""WITH $bigramLmCtes
@@ -2407,7 +2453,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs, stTokenBudget,
+    txNbLangid, txBpePairs, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,

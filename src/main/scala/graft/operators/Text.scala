@@ -644,6 +644,52 @@ object Text {
         (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("lm_score"))
   }
 
+  /** Held-out bigram-LM perplexity — the PROPER language-model eval
+    * (train on the ≥`testBelowPerMille` LCG split, score the rest):
+    * unseen bigrams fall back to the add-alpha smoothing floor via
+    * LEFT joins against the trained (w1,w2) and w1-context counts;
+    * per-doc scores use [[bigramLmScore]]'s scale-8 decimal-sum +
+    * 1e-6 floor recipe; the per-language report aggregates with the
+    * long-quanta mean and emits ppl = exp(−mean) floor-quantized.
+    * Scale shape: model = two term-keyed aggregates, scoring = two
+    * term-keyed LEFT joins + one doc aggregate — nothing new beyond
+    * the self-trained path. */
+  def lmPerplexityEval(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, langCol: String,
+                       alpha: Double = 0.5, testBelowPerMille: Int = 200)
+      : org.apache.spark.sql.DataFrame = {
+    val bucketed = df.select(col(idCol), col(langCol), col(textCol),
+      sampleBucket(col(idCol)).as("_sb"))
+    val tr = bucketed.where(col("_sb") >= testBelowPerMille)
+    val te = bucketed.where(col("_sb") < testBelowPerMille)
+    val trTc = bigramCounts(tr, idCol, textCol)
+    val cb = trTc.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("_cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("_cb")).as("_cw"))
+    val vocab = tr.select(
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+      .agg(count_distinct(col("term")).as("_v"))
+    val contrib = bigramCounts(te, idCol, textCol)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cw, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("tf"),
+        (col("tf").cast(DoubleType) *
+          log((coalesce(col("_cb"), lit(0L)).cast(DoubleType) + lit(alpha)) /
+              (coalesce(col("_cw"), lit(0L)).cast(DoubleType)
+                + lit(alpha) * col("_v").cast(DoubleType))))
+          .as("_c"))
+    val mean = graft.core.Det.dsum(col("_c"), 8) / sum(col("tf"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (floor(mean * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("lm_score"))
+    perDoc.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.core.Det.davgLong(col("lm_score"), 6).as("mean_lm"))
+      .select(col(langCol), col("n_docs"), col("mean_lm"),
+        (floor(exp(-col("mean_lm")) * 1e6 + 0.5) / 1e6).as("ppl"))
+  }
+
   /** TF-IDF top-k terms per document: tf/dl · ln(N/df), ranked by the
     * round-6 score (so cross-engine last-ulp noise cannot flip the
     * ranking), ties by term. dl and df come from windows over the

@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     "tx_nb_langid",
     // ev_psi_drift: the 1-row histogram totals ride back onto the
     // 10-row decile spine — the a19 shape
-    "ev_psi_drift")
+    "ev_psi_drift",
+    // tx_lm_perplexity: the 1-row train-vocabulary aggregate rides
+    // back onto the test bigram frame — the tx_bigram_lm V shape
+    "tx_lm_perplexity")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
