@@ -168,7 +168,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.anomalyStream(t(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id"))
 
-  /** X-EV9: population stability index — THE standard train/serve
+  /** X-EV12: population stability index — THE standard train/serve
     * drift gate: value-decile histograms of the first vs second half
     * of the month, add-1 smoothed, per-bin contribution
     * (p−q)·ln(p/q) quantized at 1e-6. Counts exact; bins dense via a
@@ -252,7 +252,7 @@ object QueriesAnalytics {
         .orderBy("node")
     })
 
-  /** X-EV8: two-proportion A/B z-test — deterministic variant
+  /** X-EV14: two-proportion A/B z-test — deterministic variant
     * assignment (LCG bucket of user_id, no RNG), per-user conversion
     * (any 'purchase'), pooled-variance z-score. Counts are exact
     * integers; the one float chain (rates, pooled p, z) mirrors
@@ -398,7 +398,7 @@ object QueriesAnalytics {
           t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type"))
 
-  /** X-EV10: TRAINED first-order Markov next-event predictor with a
+  /** X-EV13: TRAINED first-order Markov next-event predictor with a
     * temporal holdout — train the transition matrix on month-half 1
     * (transitions dated by the LATER event), predict the most likely
     * next type per current type (integer counts, type-asc ties),

@@ -1235,6 +1235,46 @@ object QueriesText {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20))
 
+  /** X-M14: trained logistic-regression quality classifier — the
+    * fastText-style quality model, trained by Newton/IRLS on a
+    * binned feature grid ([[graft.ml.LogReg]]): labels from the
+    * fused linear quality score (bit-exact rational math), features
+    * (type-token ratio, saturating length) quantized to 16 bins,
+    * eval on the held-out LCG split. Output: dense 2×2 confusion
+    * matrix. Unrolled-iteration SQL oracle mirrors every Newton
+    * step (quantized sigmoid, decimal moment sums, Cramer solve). */
+  private val txLrQuality = Q(
+    "tx_lr_quality",
+    Some {
+      val z = s"""-2.0 + 3.0 * ($qualityInlineSql2)
+              + 1.5 * (len(list_distinct(toks)) / len(toks))
+              - 2.0 * ((len(g3) - len(list_distinct(g3))) / len(g3))
+              + 0.5 * least(1.0, len(toks) / 200.0)"""
+      graft.ml.LogReg.lrQualitySql(
+        srcCtes =
+          s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+              zsrc AS (SELECT doc_id, text, toks, ${ngramsOf("toks", 3)} AS g3 FROM t)""",
+        zSql = z, iters = 4)
+    },
+    (s, dir) =>
+      graft.ml.LogReg.lrQualityEval(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("label", "label_pred"))
+
+  /** X-TX28: full BPE tokenizer training — `merges` rounds of
+    * pair-count → global-argmax merge → greedy left-to-right rewrite
+    * (Sennrich '16), on the distinct-token vocabulary with corpus
+    * frequencies ([[Text.bpeTrain]]). tx_bpe_pairs is this loop's
+    * first iteration's statistic; here the merge table itself is the
+    * trained artifact. Unrolled-round SQL oracle (the
+    * labelPropagationSql discipline): integer counts, (n DESC, l, r)
+    * ties, replace-based non-overlapping rewrite in both engines. */
+  private val txBpeTrain = Q(
+    "tx_bpe_train",
+    Some(Text.bpeTrainSql(toksSql, merges = 5)),
+    (s, dir) =>
+      Text.bpeTrain(t(s, dir, "documents"), "text", merges = 5)
+        .orderBy("merge_rank"))
+
   /** X-TX22: character-level Shannon entropy (nats) — the gibberish/
     * boilerplate quality signal. Per-char ln values are 1e-6
     * floor-quantized so the entropy is exact-integer math + one IEEE
@@ -1250,11 +1290,18 @@ object QueriesText {
             ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
                 CAST(sum(k * CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5)
                   AS BIGINT)) AS BIGINT) AS slk
-              FROM cc GROUP BY doc_id)
-            SELECT doc_id, n AS n_chars,
+              FROM cc GROUP BY doc_id),
+            ent AS (SELECT doc_id, n,
               CAST(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
                    - slk AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS entropy
-            FROM ag ORDER BY doc_id"""),
+            FROM ag)
+            -- LEFT JOIN back so an empty document still yields a row
+            -- (n_chars=0, entropy=0.0) — parity with the Spark side,
+            -- whose CharEntropy returns 0.0 for the empty string
+            SELECT d.doc_id, CAST(coalesce(e.n, 0) AS BIGINT) AS n_chars,
+              coalesce(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+            ORDER BY d.doc_id"""),
     (s, dir) =>
       t(s, dir, "documents").select(
           col("doc_id"),
@@ -1605,14 +1652,17 @@ object QueriesText {
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       // planes auto-scale with the corpus (O(1) bucket occupancy —
-      // the lshTopK scale rule); the exact parquet row count is the
-      // hint so the generated oracle derives the SAME plane count
+      // the lshTopK scale rule); the exact row count comes from the
+      // parquet FOOTERS (driver-side metadata, no Spark job) so the
+      // generated oracle derives the SAME plane count
       Vectors.mipsTopK(e, "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, nHint = e.count())
+          dim = 64, k = 3, tables = 8,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
         .orderBy(col("qid"), col("dot").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
-      mipsSql(Vectors.planesFor(t(s, dir, "embeddings").count(), 16))
+      mipsSql(Vectors.planesFor(
+        graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16))
     })
 
   /** Hyperplane-key CTE rows over an arbitrary source CTE whose
@@ -1695,12 +1745,23 @@ object QueriesText {
   }
 
   /** The ep8 chunk index frame (shared by the query fn and the
-    * oracle generator, which must count it the same way). */
+    * oracle generator). */
   private def ep8Chunks(s: SparkSession, dir: String): DataFrame =
     Text.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
         window = 64, stride = 48)
       .select(col("doc_id").as("cdoc"), col("chunk_idx"),
         Text.hashedTf(col("chunk_text"), 64).as("cv"))
+
+  /** Chunk-count HINT for plane auto-scaling, derived WITHOUT a
+    * Spark job: documents row count from parquet footers × the
+    * window-parameter estimate of chunks/doc (window/stride — each
+    * doc yields ceil(max(nToks,1)/stride) chunks, ≈ window/stride
+    * for docs about one window long). planesFor is log2-scaled, so
+    * an order-of-magnitude-correct hint gives the same plane count
+    * as the exact chunk count; the oracle generator uses the SAME
+    * hint, so Spark/oracle plane parity holds by construction. */
+  private def ep8ChunkHint(s: SparkSession, dir: String): Long =
+    graft.core.Tables.parquetRowCount(s, dir, "documents") * 64L / 48L
 
   private val ep8Rag = Q(
     "ep8_rag_retrieval",
@@ -1710,16 +1771,13 @@ object QueriesText {
       val chunks = ep8Chunks(s, dir)
       val qs = docs.where(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("qid"), Text.hashedTf(col("text"), 64).as("qv"))
-      // planes auto-scale with the CHUNK corpus (O(1) bucket
-      // occupancy); the exact count is the hint so the generated
-      // oracle derives the same plane count
       Vectors.ragRetrieveTopK(qs, "qid", "qv", chunks, Seq("cdoc", "chunk_idx"),
-          "cv", dim = 64, k = 3, nHint = chunks.count(),
+          "cv", dim = 64, k = 3, nHint = ep8ChunkHint(s, dir),
           selfExcludeCol = Some("cdoc"))
         .orderBy(col("qid"), col("cosine").desc, col("cdoc"), col("chunk_idx"))
     },
     sqlGen = Some { (s, dir) =>
-      ep8Sql(Vectors.planesFor(ep8Chunks(s, dir).count(), 16))
+      ep8Sql(Vectors.planesFor(ep8ChunkHint(s, dir), 16))
     })
 
   /** [[lshKeyedRowsSql]] with the label column carried through — the
@@ -2384,6 +2442,45 @@ object QueriesText {
         .orderBy("vec_id")
     })
 
+  /** X-DD22: exact-substring dedup as a rewrite — duplicated
+    * corpus-wide n-gram runs REMOVED from every document,
+    * order-preserving reassembly + removal report
+    * ([[Dedup.substringDedup]]; dd_dupspan is the report-only
+    * sibling, dd_line_dedup the fixed-window one). Oracle rebuilds
+    * the kept text independently with string_agg ORDER BY pos over
+    * the anti-joined positions. */
+  private val ddSubstring = Q(
+    "dd_substring_dedup",
+    Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tt),
+          g AS (SELECT doc_id,
+              unnest(range(0, greatest(n_tokens - 7, 0))) AS pos,
+              unnest(list_transform(range(0, greatest(n_tokens - 7, 0)),
+                i -> array_to_string(
+                  toks[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' '))) AS gram
+            FROM b),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+          cov AS (SELECT DISTINCT doc_id, p FROM
+            (SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS p
+             FROM g JOIN dup USING (gram))),
+          pt AS (SELECT doc_id, unnest(range(0, n_tokens)) AS p,
+              unnest(toks) AS tok FROM b),
+          kept AS (SELECT pt.doc_id, pt.p, pt.tok
+            FROM pt LEFT JOIN cov ON pt.doc_id = cov.doc_id AND pt.p = cov.p
+            WHERE cov.p IS NULL),
+          reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+              count(*) AS nkept FROM kept GROUP BY doc_id)
+          SELECT b.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+            CAST(b.n_tokens AS BIGINT) AS n_tokens,
+            CAST(b.n_tokens - coalesce(reb.nkept, 0) AS BIGINT) AS n_removed,
+            CASE WHEN b.n_tokens = 0 THEN 0.0
+              ELSE floor(CAST(b.n_tokens - coalesce(reb.nkept, 0) AS DOUBLE)
+                * 1000000.0 / b.n_tokens + 0.5) / 1000000.0 END AS removed_fraction
+          FROM b LEFT JOIN reb USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"))
+
   private val ddDupSpan = Q(
     "dd_dupspan",
     Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2453,10 +2550,10 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs, stTokenBudget, txLmPpl,
+    txNbLangid, txBpePairs, txBpeTrain, txLrQuality, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
-    txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan,
+    txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
     ep4Corpus, ep7Ingest, ep8Rag)
 }

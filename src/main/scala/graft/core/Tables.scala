@@ -44,6 +44,28 @@ object Tables {
       case _                => df
     }
 
+  /** Exact row count of a parquet table from file FOOTERS only — a
+    * driver-side metadata read (O(#files) footer fetches, no Spark
+    * job, no data pages). The stats source for plan-build hints
+    * (e.g. LSH plane auto-scaling) where a count() job before the
+    * main plan would double-execute upstream pipelines; at cluster
+    * scale footers are orders of magnitude cheaper than a scan. */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(path))
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** check_col equivalent (df_utils.py:77-105): fail fast with the list
     * of available columns when a requested column is missing.
     */

@@ -742,14 +742,19 @@ object Expressions {
       val out = new java.util.ArrayList[Integer]()
       var i = 0
       val len = text.length
+      // Iterate CODE POINTS (codePointAt + charCount), not UTF-16
+      // units, so the SQL twin's unicode(x[i]) per-codepoint walk
+      // matches even for non-BMP text (emoji etc.); whitespace code
+      // points are all BMP, so the char-class check stays exact.
       while (i < len) {
         // skip whitespace run (Java regex \s — parity with split("\\s+"))
         while (i < len && isWs(text.charAt(i))) i += 1
         if (i < len) {
           var c = 0L
           while (i < len && !isWs(text.charAt(i))) {
-            c = (c * 31 + text.charAt(i)) % PolyP
-            i += 1
+            val cp = text.codePointAt(i)
+            c = (c * 31 + cp) % PolyP
+            i += Character.charCount(cp)
           }
           out.add((c % nBuckets).toInt)
         }

@@ -556,6 +556,65 @@ object Dedup {
           .as("removed_fraction"))
   }
 
+  /** Exact-substring dedup as a REWRITE (the MassiveText-style pass:
+    * REMOVE every token run that is part of a corpus-wide duplicated
+    * exact n-gram, then reassemble what remains in order).
+    * [[dupSpanCoverage]] reports the covered fraction; this operator
+    * actually cuts the spans: a token position is dropped iff it lies
+    * inside any word n-gram occurring more than once corpus-wide —
+    * the union of overlapping duplicated n-grams is exactly the set
+    * of maximal duplicated runs ≥ n tokens, so anchored n-grams +
+    * overlap-union implements "drop duplicate runs ≥ n" without ever
+    * materializing arbitrary-length runs. Returns (id, clean_text,
+    * n_tokens, n_removed, removed_fraction).
+    *
+    * Scale shape: positional n-grams and positional tokens are
+    * narrow scan-stage explodes (rows ∝ tokens); the global gram
+    * count is one hash aggregate with map-side partials; only
+    * DUPLICATED grams (small in a healthy corpus) expand into
+    * covered positions; the kept-position anti-join keys on
+    * (doc, position) and the rebuild is one per-doc ordered
+    * aggregate (doc-length-bounded, the [[segmentDedup]] mechanism
+    * generalized from fixed windows to anchored spans). No
+    * all-pairs, no driver state. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    // persist, not localCheckpoint: (id, tokens) is corpus-sized,
+    // recomputable — the dupSpanCoverage rule
+    val base = graft.core.Tables.spread(
+        df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+          .withColumn("n_tokens", size(col("_toks")).cast(LongType)),
+        col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col(idCol), posexplode(
+        when(col("n_tokens") >= n,
+          expr(s"transform(sequence(0, int(n_tokens) - $n), i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as(Seq("_pos", "_gram")))
+    val dup = grams.groupBy("_gram").agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > 1).select("_gram")
+    val covered = grams.join(dup, Seq("_gram"))
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_p"))
+      .distinct()
+    val positions = base.select(col(idCol), posexplode(col("_toks")).as(Seq("_p", "_tok")))
+    val kept = positions.join(covered, Seq(idCol, "_p"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_p"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("clean_text"),
+        count(lit(1)).as("_nkept"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          floor((col("n_tokens") - coalesce(col("_nkept"), lit(0L)))
+            .cast(DoubleType) * 1e6 / col("n_tokens") + 0.5) / 1e6)
+          .as("removed_fraction"))
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Tables.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
@@ -592,7 +651,8 @@ object Dedup {
   def hammingPairs64(sig: DataFrame, idCol: String, hashCol: String,
                      radius: Int = 3): DataFrame = {
     val nBlocks = 4 // 4 × 16-bit blocks; pigeonhole covers radius ≤ 3
-    require(radius < nBlocks, s"radius $radius needs > $radius blocks")
+    require(radius < nBlocks,
+      s"pigeonhole cover needs nBlocks > radius but nBlocks=$nBlocks, radius=$radius")
     val keys = (0 until nBlocks).map(i =>
       shiftright(col(hashCol), 16 * i).bitwiseAND(lit(65535L)))
     val blocks = sig.select(col(idCol), col(hashCol),

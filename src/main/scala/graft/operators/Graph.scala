@@ -183,9 +183,15 @@ object Graph {
       val best = votes.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .select(col("_v").as("node"), col("_nl").as("_best"))
+      // persist each round's frame: cur is referenced TWICE per round
+      // (the vote join and the label join-back), so an unpersisted
+      // loop frame recomputes 2^rounds times — the r11 ScaleStudy
+      // superlinearity (k=16 ratio 3.4 -> 1.x after this persist).
+      // Node-sized, recomputable, freed by harness reclaim.
       cur = cur.join(best, Seq("node"), "left")
         .select(col("node"), col("seed_label"),
           coalesce(col("seed_label"), col("_best"), col("label")).as("label"))
+        .persist(lvl)
       if (i % checkpointEvery == 0 && i < rounds)
         // CP-OK: loop-carried state — lineage grows each round and
         // must be cut; node-sized (narrow), freed by harness reclaim

@@ -141,14 +141,20 @@ object Text {
     * int/int IEEE divisions (cross-engine exact); only exp() differs
     * in the last ulp across libms, so consumers should rank/cut on
     * the round-6 value (the tx_quality_fused recipe). */
-  def fusedQualityScore(c: Column): Column = {
-    val z = lit(-2.0) +
+  def fusedQualityScore(c: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-fusedLinearScore(c)))
+
+  /** The linear score under [[fusedQualityScore]]'s sigmoid — pure
+    * rational scan-stage arithmetic (int/int divisions, fixed op
+    * order), so unlike the sigmoid it is bit-exact across engines
+    * with NO rounding recipe. Label source for trained-model
+    * operators (tx_lr_quality). */
+  def fusedLinearScore(c: Column): Column =
+    lit(-2.0) +
       lit(3.0) * qualityScore(c) +
       lit(1.5) * typeTokenRatio(c) -
       lit(2.0) * dupNgramFraction(c, 3) +
       lit(0.5) * least(lit(1.0), tokenCount(c) / 200.0)
-    lit(1.0) / (lit(1.0) + exp(-z))
-  }
 
   /** Canonicalize a URL for identity-level dedup: lowercase, strip
     * the scheme and a leading "www.", drop the query string and
@@ -782,7 +788,14 @@ object Text {
                      budgetPerDomain: Long, nShards: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shardBudget = budgetPerDomain / nShards
+    require(budgetPerDomain >= nShards,
+      s"budgetPerDomain=$budgetPerDomain must be >= nShards=$nShards " +
+        "(integer split would zero out every shard budget)")
+    // shard i gets budget/n plus one of the budget%n remainder tokens
+    // (shards 0..rem-1) — the full budget is enforceable, not silently
+    // truncated to n*(budget/n)
+    val base = budgetPerDomain / nShards
+    val rem = budgetPerDomain % nShards
     val w = Window.partitionBy(col(domainCol), col("_shard"))
       .orderBy(col("_bucket"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -791,8 +804,107 @@ object Text {
         sampleBucket(col(idCol)).as("_bucket"))
       .withColumn("_shard", pmod(col("_bucket"), lit(nShards)))
       .withColumn("_cum", sum(col("n_toks")).over(w))
-      .where(col("_cum") <= shardBudget)
+      .where(col("_cum") <= lit(base) +
+        when(col("_shard") < lit(rem.toInt), lit(1L)).otherwise(lit(0L)))
       .select(col(domainCol), col(idCol), col("n_toks"))
+  }
+
+  /** BPE tokenizer training — the full merge loop, not just the
+    * first-merge statistic ([[graft.QueriesText]] tx_bpe_pairs):
+    * `merges` rounds of (count adjacent symbol pairs) → (merge the
+    * global argmax pair everywhere, left-to-right non-overlapping) —
+    * the Sennrich '16 algorithm. Returns the trained merge table
+    * (merge_rank, l, r, merged, n).
+    *
+    * Scale shape: training runs on the DISTINCT-token VOCABULARY
+    * with corpus frequencies (one corpus-wide groupBy, then every
+    * round is vocab-sized — the standard trick: BPE statistics only
+    * depend on the word-frequency table, which is orders of
+    * magnitude smaller than the corpus). Each word's segmentation is
+    * carried as a separator-framed string `␟s1␟␟s2␟…` (U+001F unit
+    * separator — absent from whitespace-tokenized text), so the
+    * merge rewrite is one engine-native `replace` per round: string
+    * replace is left-to-right non-overlapping in both Spark and the
+    * SQL twin, which is exactly BPE's greedy merge order, and the
+    * framing separators make mid-symbol false matches impossible.
+    * The per-round argmax is a top-1 row (count desc, pair asc) —
+    * the merge decision is inherently sequential and global, so it
+    * is the one driver round-trip per round (k rows total). */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, s"merges=$merges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sep = ""
+    val sep2 = sep + sep
+    var cur = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      // ␟c␟ per character — regexp_replace is global in both engines
+      .withColumn("seg", regexp_replace(col("tok"), "(.)", s"$sep$$1$sep"))
+      .persist(lvl)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 1
+    var dry = false
+    while (r <= merges && !dry) {
+      val pairs = cur
+        .select(col("freq"), split(trim(col("seg"), sep), sep2).as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+                      element_at(col("syms"), i + 1).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+      // BOUNDED: top-1 row per round (k driver rows total) — the BPE
+      // merge decision is a global argmax, inherently sequential
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val l = best(0).getString(0); val rr = best(0).getString(1)
+        val n = best(0).getLong(2)
+        out += ((r, l, rr, l + rr, n))
+        cur = cur.withColumn("seg",
+            replace(col("seg"), lit(s"$sep$l$sep$sep$rr$sep"), lit(s"$sep$l$rr$sep")))
+          .persist(lvl)
+        r += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "l", "r", "merged", "n")
+  }
+
+  /** Unrolled SQL twin of [[bpeTrain]] over the `documents` table:
+    * one CTE pair (pair-count + argmax, then vocab rewrite) per
+    * merge round, every op mirrored — string_split on the ␟␟ frame,
+    * replace-based greedy merge, (n DESC, l, r) argmax. */
+  def bpeTrainSql(toksSql: String, merges: Int): String = {
+    val s1 = "chr(31)"
+    val s2 = "chr(31) || chr(31)"
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""x$i AS (SELECT freq, string_split(trim(seg, $s1), $s2) AS syms FROM $prev),
+          p$i AS (SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j + 1 AS INT)] AS r,
+              CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+                  FROM x$i WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+          b$i AS (SELECT $i AS merge_rank, l, r, n FROM p$i
+            ORDER BY n DESC, l, r LIMIT 1),
+          v$i AS (SELECT tok, freq,
+              replace(seg, $s1 || b.l || $s2 || b.r || $s1,
+                           $s1 || b.l || b.r || $s1) AS seg
+            FROM $prev CROSS JOIN b$i b)"""
+    }
+    s"""WITH v0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+            regexp_replace(tok, '(.)', $s1 || '\\1' || $s1, 'g') AS seg
+          FROM (SELECT unnest($toksSql) AS tok FROM documents)
+          WHERE length(tok) >= 1 GROUP BY tok),
+        ${(1 to merges).map(round).mkString(",\n        ")}
+        SELECT merge_rank, l, r, l || r AS merged, n
+        FROM (${(1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+        ORDER BY merge_rank"""
   }
 
   /** Trained multinomial Naive Bayes language classifier, evaluated

@@ -505,19 +505,23 @@ object Vectors {
           }
         planesFor(n, bucketTarget)
       }
+    // vector columns aliased to internal names BEFORE the join (the
+    // mipsTopK _qv/_cv discipline) — callers naturally use the same
+    // column name on both sides, which would make the post-join
+    // cosineSim reference ambiguous
     val q = graft.core.Tables.spread(queries, col(qIdCol))
-      .select(col(qIdCol), col(qVecCol),
+      .select(col(qIdCol), col(qVecCol).as("_qv"),
         posexplode(lshTableKeys(col(qVecCol), dim, planes, tables))
           .as(Seq("_tbl", "_key")))
     val c = graft.core.Tables.spread(cands, cKeyCols.map(col): _*)
-      .select(cKeyCols.map(col) ++ Seq(col(cVecCol),
+      .select(cKeyCols.map(col) ++ Seq(col(cVecCol).as("_cv"),
         posexplode(lshTableKeys(col(cVecCol), dim, planes, tables))
           .as(Seq("_tbl", "_key"))): _*)
     val joined = q.join(c, Seq("_tbl", "_key"))
     val filtered = selfExcludeCol
       .map(sc => joined.where(col(sc) =!= col(qIdCol))).getOrElse(joined)
     val scored = filtered.select(col(qIdCol) +: cKeyCols.map(col) :+
-        round(cosineSim(col(qVecCol), col(cVecCol)), 6).as("cosine"): _*)
+        round(cosineSim(col("_qv"), col("_cv")), 6).as("cosine"): _*)
       .distinct() // a pair may collide in several tables
     val w = Window.partitionBy(qIdCol)
       .orderBy(col("cosine").desc +: cKeyCols.map(col): _*)

@@ -514,7 +514,12 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val shardBudget = budgetPerDomain / nShards
+    require(budgetPerDomain >= nShards,
+      s"budgetPerDomain=$budgetPerDomain must be >= nShards=$nShards")
+    // remainder-distributed shard budgets — parity with the batch
+    // twin Text.tokenBudgetMix (shard i < budget%n gets one extra)
+    val baseBudget = budgetPerDomain / nShards
+    val remBudget = budgetPerDomain % nShards
     val typed = docs.select(col("source"), col("doc_id"),
         graft.operators.Text.sampleBucket(col("doc_id")).as("_bucket"),
         size(graft.operators.Text.tokens(col("text"))).cast("long").as("n_toks"))
@@ -524,6 +529,7 @@ object Streams {
            rows: Iterator[(String, Long, Long, Long, Long)],
            state: GroupState[Long]): Iterator[(String, Long, Long)] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val shardBudget = baseBudget + (if (key._2 < remBudget) 1L else 0L)
       var spent = state.getOption.getOrElse(0L)
       val admitted = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       // deterministic order within the invocation: (bucket, id)
