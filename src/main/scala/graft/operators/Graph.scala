@@ -102,13 +102,22 @@ object Graph {
     * triangles, clustering coefficient 3·tri/wedges (1e-6 floor
     * grid). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    // persist: undirected edge list is graph-fact-sized; scanned by
-    // the degree pass and the orientation join
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // NO persist and NO localCheckpoint here (r12): `und` ends in a
+    // distinct — an Exchange — and every consumer references the
+    // identical subtree, so ReuseExchange computes it once and the
+    // shuffle files serve all scans (recomputable on executor loss,
+    // nothing pinned). The r10 localCheckpoint pinned unrecoverable
+    // blocks; the r11 persist conversion paid a measured ~1 s of
+    // InMemoryTableScan/cache-lock overhead per run at sf0.1
+    // (2.3-2.6 s vs 1.6 s same-window) — shuffle reuse gets the r10
+    // number back with the r11 recoverability. `oriented` (no
+    // Exchange at its root) is recomputed by its three consumers,
+    // each time from the reused shuffles — two cheap joins; persist
+    // it if a 100 TB profile shows those joins dominating.
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct().persist(lvl)
+      .where(col("a") =!= col("b")).distinct()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -123,7 +132,6 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("_da").as("dd")))
           .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.dd"))
-      .persist(lvl)
     // out-neighbor pairs of u, emitted once in orientation order: the
     // closing edge of a triangle is then exactly (src = v, dst = w)
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("_dv"))
