@@ -1275,6 +1275,19 @@ object QueriesText {
       Text.bpeTrain(t(s, dir, "documents"), "text", merges = 5)
         .orderBy("merge_rank"))
 
+  /** X-TX29: BPE tokenization APPLY — encode every document with the
+    * [[txBpeTrain]] model: whitespace-token count, BPE symbol count
+    * after the 5 merges, chars-per-BPE-token compression. Apply is
+    * ONE equi-join of the doc token stream onto the vocab-sized
+    * (tok, n_symbols) table (broadcast at scale; the per-word merge
+    * loop ran once, at train time). Completes the train→apply pair. */
+  private val txBpeApply = Q(
+    "tx_bpe_apply",
+    Some(Text.bpeApplySql(toksSql, merges = 5)),
+    (s, dir) =>
+      Text.bpeApply(t(s, dir, "documents"), "doc_id", "text", merges = 5)
+        .orderBy("doc_id"))
+
   /** X-TX22: character-level Shannon entropy (nats) — the gibberish/
     * boilerplate quality signal. Per-char ln values are 1e-6
     * floor-quantized so the entropy is exact-integer math + one IEEE
@@ -2481,6 +2494,101 @@ object QueriesText {
       Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id"))
 
+  /** X-EP9: pre-training curation composite over the r12 operator
+    * set, chained end-to-end: linear-quality gate (z ≥ 0 — the
+    * tx_lr_quality label signal, bit-exact rational math) →
+    * exact-substring REWRITE (duplicated corpus-wide 8-gram runs cut
+    * from the surviving docs; docs losing ≥ half their tokens, or
+    * everything, dropped) → exact dedup of the REWRITTEN text
+    * (fingerprint of the clean text, keep min id — catches docs that
+    * became identical once boilerplate was cut) → per-source
+    * token-budget admission on the clean text. Every stage is
+    * individually oracled elsewhere; the composite oracle chains the
+    * same CTE fragments. Scale shape = the stages' own: scan-stage
+    * gate, collision-bounded span removal, hash-agg dedup, sharded
+    * budget windows. */
+  private val ep9Curation = Q(
+    "ep9_pretrain_curation",
+    Some {
+      val z = s"""-2.0 + 3.0 * ($qualityInlineSql2)
+              + 1.5 * (len(list_distinct(toks)) / len(toks))
+              - 2.0 * ((len(g3) - len(list_distinct(g3))) / len(g3))
+              + 0.5 * least(1.0, len(toks) / 200.0)"""
+      s"""WITH t0 AS (SELECT doc_id, text, source, $toksSql AS toks FROM documents),
+          g0 AS (SELECT doc_id, text, source, toks,
+              ${ngramsOf("toks", 3)} AS g3 FROM t0),
+          zf AS (SELECT doc_id, source, toks FROM g0 WHERE ($z) >= 0.0),
+          b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM zf),
+          g AS (SELECT doc_id,
+              unnest(range(0, greatest(n_tokens - 7, 0))) AS pos,
+              unnest(list_transform(range(0, greatest(n_tokens - 7, 0)),
+                i -> array_to_string(
+                  toks[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' '))) AS gram
+            FROM b),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+          cov AS (SELECT DISTINCT doc_id, p FROM
+            (SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS p
+             FROM g JOIN dup USING (gram))),
+          pt AS (SELECT doc_id, unnest(range(0, n_tokens)) AS p,
+              unnest(toks) AS tok FROM b),
+          kept AS (SELECT pt.doc_id, pt.p, pt.tok
+            FROM pt LEFT JOIN cov ON pt.doc_id = cov.doc_id AND pt.p = cov.p
+            WHERE cov.p IS NULL),
+          reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+              count(*) AS nkept FROM kept GROUP BY doc_id),
+          cl AS (SELECT b.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+              b.n_tokens, b.n_tokens - coalesce(reb.nkept, 0) AS n_removed
+            FROM b LEFT JOIN reb ON b.doc_id = reb.doc_id),
+          fl AS (SELECT cl.doc_id, cl.clean_text, zf.source FROM cl
+            JOIN zf ON cl.doc_id = zf.doc_id
+            WHERE (CASE WHEN cl.n_tokens = 0 THEN 0.0
+              ELSE floor(CAST(cl.n_removed AS DOUBLE) * 1000000.0
+                / cl.n_tokens + 0.5) / 1000000.0 END) < 0.5
+              AND cl.n_removed < cl.n_tokens),
+          fp AS (SELECT doc_id, source, clean_text,
+              md5(array_to_string(list_sort(list_distinct(
+                regexp_split_to_array(lower(clean_text), '\\s+'))), ' ')) AS f
+            FROM fl),
+          uq AS (SELECT doc_id, source, clean_text FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+             FROM fp) WHERE rn = 1),
+          s AS (SELECT doc_id, source,
+              len(regexp_split_to_array(lower(clean_text), '\\s+')) AS n_toks,
+              ${Text.sampleBucketSql("doc_id")} AS bucket FROM uq),
+          w AS (SELECT *, bucket % 4 AS shard,
+              CAST(sum(n_toks) OVER (PARTITION BY source, bucket % 4
+                ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum
+            FROM s)
+          SELECT source, doc_id, n_toks FROM w WHERE cum <= 150
+          ORDER BY source, doc_id"""
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      // spread + persist before the z-gate: the quality expressions
+      // are the CPU-heavy part, and a bare filter is pushed BELOW the
+      // repartition exchange back into the single-task scan (filters
+      // push through RepartitionByExpression; projections don't —
+      // measured 5.6 s single-task at sf0.1). The cached 32-partition
+      // frame is the pushdown boundary, and the source join below
+      // reuses it.
+      val base = Tables.spread(docs, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val zkept = base.where(Text.fusedLinearScore(col("text")) >= 0.0)
+      val rewritten = Dedup.substringDedup(zkept, "doc_id", "text", n = 8)
+        .where(col("removed_fraction") < 0.5 && col("n_removed") < col("n_tokens"))
+      val withSrc = rewritten.select(col("doc_id"), col("clean_text"))
+        .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val rn = row_number().over(
+        Window.partitionBy(Text.fingerprint(col("clean_text"))).orderBy(col("doc_id")))
+      val uniq = withSrc.withColumn("_rn", rn).where(col("_rn") === 1)
+      Text.tokenBudgetMix(
+          uniq.select(col("doc_id"), col("source"), col("clean_text")),
+          "doc_id", "clean_text", "source", budgetPerDomain = 600, nShards = 4)
+        .orderBy("source", "doc_id")
+    })
+
   private val ddDupSpan = Q(
     "dd_dupspan",
     Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2550,10 +2658,10 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs, txBpeTrain, txLrQuality, stTokenBudget, txLmPpl,
+    txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
-    ep4Corpus, ep7Ingest, ep8Rag)
+    ep4Corpus, ep7Ingest, ep8Rag, ep9Curation)
 }

@@ -48,7 +48,12 @@ object LogReg {
                         nBins: Int, zCut: Double): DataFrame = {
     val ttr = Text.typeTokenRatio(col(textCol))
     val satLen = least(lit(1.0), Text.tokenCount(col(textCol)) / 100.0)
-    docs.select(
+    // spread BEFORE the feature projection: the corpus is byte-small
+    // but the label/feature expressions are CPU-heavy, so a raw scan
+    // plans one task and serializes the whole featurization (the
+    // standing r01 minhash trap; measured 5 s single-task at sf0.1)
+    graft.core.Tables.spread(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(
       Text.sampleBucket(col(idCol)).as("_sb"),
       least(lit(nBins - 1), floor(ttr * nBins)).cast("int").as("u"),
       least(lit(nBins - 1), floor(satLen * nBins)).cast("int").as("v"),
@@ -109,7 +114,13 @@ object LogReg {
                     testBelowPerMille: Int = 200): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist the featurized frame (4 small columns per doc, narrow,
+    // recomputable): the label/feature expressions walk every token
+    // 3× per doc (quality + TTR + dup-3-gram) — by far the operator's
+    // dominant cost — and both the train grid and the holdout eval
+    // consume it; unpersisted each pays its own corpus scan.
     val feat = featFrame(docs, idCol, textCol, nBins, zCut)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tr = feat.where(col("_sb") >= testBelowPerMille)
     val te = feat.where(col("_sb") < testBelowPerMille)
     val grid = tr.groupBy("u", "v")

@@ -831,7 +831,15 @@ object Text {
     * the merge decision is inherently sequential and global, so it
     * is the one driver round-trip per round (k rows total). */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
-               merges: Int): org.apache.spark.sql.DataFrame = {
+               merges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainFull(docs, textCol, merges)._1
+
+  /** [[bpeTrain]] + the trained VOCABULARY frame (tok, freq, seg) --
+    * seg is the final separator-framed segmentation after all merges,
+    * the artifact [[bpeApply]] tokenizes with. */
+  def bpeTrainFull(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   merges: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(merges >= 1, s"merges=$merges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -872,14 +880,58 @@ object Text {
         r += 1
       }
     }
-    out.toSeq.toDF("merge_rank", "l", "r", "merged", "n")
+    (out.toSeq.toDF("merge_rank", "l", "r", "merged", "n"), cur)
+  }
+
+  /** Tokenize with the trained BPE model ([[bpeTrainFull]]'s final
+    * vocabulary): per document, the whitespace-token count, the BPE
+    * symbol count after the merges, and chars-per-BPE-token (the
+    * compression the tokenizer achieves; 1e-6 floor grid). The apply
+    * step is ONE equi-join of the doc token stream onto the
+    * vocab-sized (tok, n_symbols) table -- at 100 TB the model rides
+    * as a broadcast; no per-doc merge loop ever runs at apply time
+    * (the segmentations were computed once at train time). Docs
+    * whose every token is empty fall back to (0, 0, 0.0). */
+  def bpeApply(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, merges: Int): org.apache.spark.sql.DataFrame = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val (_, vocab) = bpeTrainFull(docs, textCol, merges)
+    val perTok = vocab.select(col("tok"),
+      size(split(trim(col("seg"), sep), sep2)).as("_nsym"))
+    val toksOf = docs.select(col(idCol),
+        length(regexp_replace(col(textCol), "\\s+", "")).as("_nchars"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+    val ag = toksOf.join(perTok, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(max(col("_nchars")).as("_nc"),
+        count(lit(1)).as("n_ws_tokens"),
+        sum(col("_nsym")).cast(LongType).as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(ag, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ws_tokens"), lit(0L)).as("n_ws_tokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(coalesce(col("n_bpe_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(floor(col("_nc").cast(DoubleType) * 1e6
+            / col("n_bpe_tokens") + 0.5) / 1e6).as("chars_per_bpe_token"))
   }
 
   /** Unrolled SQL twin of [[bpeTrain]] over the `documents` table:
     * one CTE pair (pair-count + argmax, then vocab rewrite) per
     * merge round, every op mirrored — string_split on the ␟␟ frame,
     * replace-based greedy merge, (n DESC, l, r) argmax. */
-  def bpeTrainSql(toksSql: String, merges: Int): String = {
+  def bpeTrainSql(toksSql: String, merges: Int): String =
+    s"""WITH ${bpeVocabCtes(toksSql, merges)}
+        SELECT merge_rank, l, r, l || r AS merged, n
+        FROM (${(1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+        ORDER BY merge_rank"""
+
+  /** The shared CTE chain of [[bpeTrainSql]]: vocabulary v0 and one
+    * (x, p, b, v) round per merge, ending at v`merges` — the trained
+    * vocabulary any BPE-consuming oracle (train output, apply) joins
+    * against. */
+  def bpeVocabCtes(toksSql: String, merges: Int): String = {
     val s1 = "chr(31)"
     val s2 = "chr(31) || chr(31)"
     def round(i: Int): String = {
@@ -897,14 +949,37 @@ object Text {
                            $s1 || b.l || b.r || $s1) AS seg
             FROM $prev CROSS JOIN b$i b)"""
     }
-    s"""WITH v0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+    s"""v0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
             regexp_replace(tok, '(.)', $s1 || '\\1' || $s1, 'g') AS seg
           FROM (SELECT unnest($toksSql) AS tok FROM documents)
           WHERE length(tok) >= 1 GROUP BY tok),
-        ${(1 to merges).map(round).mkString(",\n        ")}
-        SELECT merge_rank, l, r, l || r AS merged, n
-        FROM (${(1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
-        ORDER BY merge_rank"""
+        ${(1 to merges).map(round).mkString(",\n        ")}"""
+  }
+
+  /** SQL twin of [[bpeApply]]: the [[bpeVocabCtes]] chain, then one
+    * join of the document token stream onto per-token symbol counts. */
+  def bpeApplySql(toksSql: String, merges: Int): String = {
+    val s1 = "chr(31)"
+    val s2 = "chr(31) || chr(31)"
+    s"""WITH ${bpeVocabCtes(toksSql, merges)},
+        ptk AS (SELECT tok,
+            len(string_split(trim(seg, $s1), $s2)) AS nsym FROM v$merges),
+        dt AS (SELECT doc_id,
+            length(regexp_replace(text, '\\s+', '', 'g')) AS nchars,
+            unnest(list_filter($toksSql, x -> length(x) >= 1)) AS tok
+          FROM documents),
+        ag AS (SELECT doc_id, max(nchars) AS nc,
+            CAST(count(*) AS BIGINT) AS n_ws,
+            CAST(sum(nsym) AS BIGINT) AS n_bpe
+          FROM dt JOIN ptk USING (tok) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(ag.n_ws, 0) AS BIGINT) AS n_ws_tokens,
+          CAST(coalesce(ag.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+          CASE WHEN coalesce(ag.n_bpe, 0) = 0 THEN 0.0
+            ELSE floor(CAST(ag.nc AS DOUBLE) * 1000000.0 / ag.n_bpe + 0.5)
+              / 1000000.0 END AS chars_per_bpe_token
+        FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+        ORDER BY d.doc_id"""
   }
 
   /** Trained multinomial Naive Bayes language classifier, evaluated

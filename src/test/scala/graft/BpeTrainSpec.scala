@@ -93,6 +93,46 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.size == 1)
   }
 
+  /** Reference apply: run refBpe's merge rewrite over each token,
+    * count symbols. */
+  private def refApply(corpus: Seq[(Long, String)], merges: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val ms = refBpe(corpus.map(_._2), merges)
+    corpus.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val nBpe = toks.map { t =>
+        var syms = t.map(_.toString).toList
+        ms.foreach { case (_, l, r, _, _) =>
+          val res = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              res += (l + r); i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          syms = res.toList
+        }
+        syms.length.toLong
+      }.sum
+      val nChars = text.replaceAll("\\s+", "").length.toLong
+      val comp =
+        if (nBpe == 0) 0.0 else math.floor(nChars.toDouble * 1e6 / nBpe + 0.5) / 1e6
+      (id, toks.length.toLong, nBpe, comp)
+    }.sortBy(_._1)
+  }
+
+  test("bpeApply matches the reference tokenization (counts + compression)") {
+    val corpus = Seq((1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "ab cd"),
+      (4L, "zz qq abab"), (5L, "single"))
+    val got = Text.bpeApply(corpus.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = refApply(corpus, 3)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // merges really compress: fewer BPE tokens than characters
+    assert(got.head._3 < 10)
+  }
+
   test("oracle SQL twin is well-formed (smoke: contains every round)") {
     val sql = Text.bpeTrainSql("""regexp_split_to_array(lower(text), '\s+')""", 3)
     (1 to 3).foreach(i => assert(sql.contains(s"b$i")))
