@@ -714,6 +714,31 @@ object QueriesAnalytics {
       graft.operators.Graph.triangleStats(e)
     })
 
+  /** X-M15: k-core decomposition (3 peeling rounds, k=3) on the part
+    * co-purchase graph — the community/spam-farm density primitive
+    * (nodes that survive iterated low-degree removal). Same iteration
+    * discipline as m13/m9: fixed round count, unrolled SQL oracle,
+    * per-round frames persisted ([[graft.operators.Graph.kcorePeel]]). */
+  private val m14Kcore = Q(
+    "m14_kcore",
+    Some(graft.operators.Graph.kcorePeelSql(
+      """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey % 10 = 0""",
+      k = 3, rounds = 3)),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graph.kcorePeel(e, k = 3, rounds = 3)
+        .orderBy("node")
+    })
+
   /** X-EV8: day-over-day distribution drift of the event-type mix,
     * as total-variation distance — the monitoring gate that catches a
     * pipeline silently changing its input mix. Shares and the TV sum
@@ -942,6 +967,6 @@ object QueriesAnalytics {
         .orderBy("user_id", "view_id"))
 
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, evMarkov, m13LabelProp,
-    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m11Degrees,
+    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m14Kcore, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -2589,6 +2589,49 @@ object QueriesText {
         .orderBy("source", "doc_id")
     })
 
+  /** X-DD23: content-defined-chunking dedup (FastCDC/LBFS on text):
+    * boundaries where the 16-char rolling Horner hash ≡ 0 mod 64 —
+    * a pure function of local content, so chunking re-syncs after
+    * insertions (CdcSpec proves it); per-doc report of bytes living
+    * in corpus-duplicated chunks (the content-addressed-store dedup
+    * ratio). All native higher-order functions, scan-stage. */
+  private val ddCdc = Q(
+    "dd_cdc_dedup",
+    Some("""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+          c0 AS (SELECT doc_id, txt,
+              list_sort(list_distinct(list_concat(list_concat(
+                [CAST(0 AS BIGINT)],
+                CASE WHEN length(txt) >= 16 THEN
+                  list_filter(range(16, length(txt) + 1), i ->
+                    list_reduce(list_transform(range(i - 15, i + 1),
+                      j -> CAST(unicode(substr(txt, CAST(j AS INT), 1)) AS BIGINT)),
+                      (a, c) -> (a * 31 + c) % 1000000007) % 64 = 0)
+                ELSE CAST([] AS BIGINT[]) END),
+                [CAST(length(txt) AS BIGINT)]))) AS cuts
+            FROM t),
+          ck AS (SELECT doc_id, txt, cuts, unnest(range(1, len(cuts))) AS k
+            FROM c0 WHERE len(cuts) >= 2),
+          chs AS (SELECT doc_id,
+              cuts[CAST(k + 1 AS INT)] - cuts[CAST(k AS INT)] AS clen,
+              substr(txt, CAST(cuts[CAST(k AS INT)] + 1 AS INT),
+                     CAST(cuts[CAST(k + 1 AS INT)] - cuts[CAST(k AS INT)] AS INT))
+                AS ctext
+            FROM ck),
+          dup AS (SELECT ctext FROM chs GROUP BY ctext HAVING count(*) > 1),
+          db AS (SELECT doc_id, CAST(sum(clen) AS BIGINT) AS dup_bytes
+            FROM chs JOIN dup USING (ctext) GROUP BY doc_id),
+          nb AS (SELECT doc_id, CAST(len(cuts) - 1 AS BIGINT) AS n_chunks,
+              CAST(length(txt) AS BIGINT) AS n_bytes FROM c0)
+          SELECT nb.doc_id, nb.n_chunks, nb.n_bytes,
+            CAST(coalesce(db.dup_bytes, 0) AS BIGINT) AS dup_bytes,
+            CASE WHEN nb.n_bytes = 0 THEN 0.0
+              ELSE floor(CAST(coalesce(db.dup_bytes, 0) AS DOUBLE) * 1000000.0
+                / nb.n_bytes + 0.5) / 1000000.0 END AS dedup_ratio
+          FROM nb LEFT JOIN db ON nb.doc_id = db.doc_id ORDER BY nb.doc_id"""),
+    (s, dir) =>
+      Dedup.cdcDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+
   private val ddDupSpan = Q(
     "dd_dupspan",
     Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2661,7 +2704,7 @@ object QueriesText {
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
-    txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring,
+    txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring, ddCdc,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
     ep4Corpus, ep7Ingest, ep8Rag, ep9Curation)
 }

@@ -864,6 +864,68 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Content-defined chunking (the FastCDC/LBFS boundary rule): a
+    * chunk boundary falls after position i (1-based) when the Horner
+    * hash of the trailing `w` code points (mod [[PolyP]]) is ≡ 0 mod
+    * `divisor` — boundaries are a pure function of local content, so
+    * chunking re-syncs after insertions. ONE compiled O(len) pass
+    * with a true ROLLING hash (drop-oldest via 31^(w-1) mod P); the
+    * SQL twin evaluates the same window value as an O(w) fold per
+    * position, so both engines see identical boundaries. Code points
+    * (not UTF-16 units) for per-character SQL substr parity. Returns
+    * array<struct<clen, ctext>> of the chunks in order. */
+  case class CdcChunks(child: Expression, w: Int, divisor: Int)
+      extends UnaryExpression {
+    require(w >= 2 && divisor >= 2)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("clen", LongType, nullable = false),
+        StructField("ctext", StringType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    /** public compiled kernel — see [[MinHashBands.kernel]]. */
+    def kernel(input: UTF8String): ArrayData = {
+      val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      var pw = 1L // 31^(w-1) mod P — the drop-oldest coefficient
+      var t = 0
+      while (t < w - 1) { pw = pw * 31 % PolyP; t += 1 }
+      val cuts = new java.util.ArrayList[Integer]()
+      cuts.add(0)
+      if (n >= w) {
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          if (i >= w) h = ((h - cps(i - w) * pw % PolyP) % PolyP + PolyP) % PolyP
+          h = (h * 31 + cps(i)) % PolyP
+          if (i + 1 >= w && h % divisor == 0) cuts.add(i + 1)
+          i += 1
+        }
+      }
+      if (n > 0 && cuts.get(cuts.size - 1) != n) cuts.add(n)
+      val rows = new Array[Any](cuts.size - 1)
+      var k = 1
+      while (k < cuts.size) {
+        val s = cuts.get(k - 1).intValue()
+        val e = cuts.get(k).intValue()
+        rows(k - 1) = org.apache.spark.sql.catalyst.InternalRow(
+          (e - s).toLong, UTF8String.fromString(new String(cps, s, e - s)))
+        k += 1
+      }
+      new GenericArrayData(rows)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cdcChunks", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers (classic-mode Column <-> Expression bridge)
   def minHashBands(c: Column, shingleSize: Int, numHashes: Int, bandSize: Int): Column =
     Bridge.column(
@@ -900,6 +962,9 @@ object Expressions {
 
   def simHash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def cdcChunks(c: Column, w: Int, divisor: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(c), w, divisor))
 
   def tokenBuckets(c: Column, nBuckets: Int): Column =
     Bridge.column(TokenBuckets(Bridge.expression(c), nBuckets))

@@ -615,6 +615,76 @@ object Dedup {
           .as("removed_fraction"))
   }
 
+  /** Content-defined chunking (the FastCDC/LBFS idea applied to
+    * text): chunk boundaries fall where a w-char rolling Horner hash
+    * (mod [[graft.functions.Expressions.PolyP]]) is ≡ 0 mod
+    * `divisor`, so boundaries are a pure function of LOCAL content —
+    * insert a byte early in a document and the chunking RE-SYNCS at
+    * the next boundary, unlike fixed windows (CdcSpec proves the
+    * resync). Expected chunk length ≈ divisor chars. Returns one row
+    * per chunk (id, chunk_idx, clen, ctext).
+    *
+    * Everything is native higher-order functions (aggregate /
+    * filter / transform — codegen'd, scan-stage, no UDF, no custom
+    * expression): per-position window fold is O(len·w) per doc,
+    * bounded by doc length. ASCII/BMP corpus bound documented (ascii
+    * ↔ unicode() twin parity). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 16, divisor: Int = 64): DataFrame = {
+    val chunksCol = cdcChunksCol(col(textCol), w, divisor)
+    graft.core.Tables.spread(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), posexplode(chunksCol).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_c.clen").as("clen"), col("_c.ctext").as("ctext"))
+  }
+
+  /** The per-document chunk array (struct clen, ctext) — shared by
+    * [[cdcChunks]] and [[cdcDedup]]. One compiled O(len) rolling-hash
+    * pass ([[graft.functions.Expressions.CdcChunks]]); the first cut
+    * of this operator composed native higher-order functions
+    * (filter/aggregate window folds) and was ~two orders slower —
+    * lambdas evaluate interpretively per ELEMENT (O(len·w) per doc),
+    * exactly the Expressions.scala header warning. */
+  private def cdcChunksCol(textCol: Column, w: Int, divisor: Int): Column =
+    graft.functions.Expressions.cdcChunks(textCol, w, divisor)
+
+  /** CDC-based storage-dedup report: per document, how many of its
+    * bytes live in chunks whose exact text occurs more than once
+    * CORPUS-WIDE — the dedup ratio a content-addressed store would
+    * achieve on this corpus (and the cross-document boilerplate
+    * signal at chunk rather than n-gram granularity;
+    * [[substringDedup]] is the token-window sibling).
+    *
+    * Scale shape: chunking is a narrow scan-stage pass; the chunk
+    * count is one hash aggregate with map-side partials over rows ∝
+    * chunks; only chunk-text groups with count > 1 join back. No
+    * all-pairs, no driver state. */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 16, divisor: Int = 64): DataFrame = {
+    // persist, not localCheckpoint: (id, chunks) is corpus-sized,
+    // recomputable — the dupSpanCoverage rule
+    val base = graft.core.Tables.spread(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), length(lower(col(textCol))).cast(LongType).as("n_bytes"),
+        cdcChunksCol(col(textCol), w, divisor).as("_chunks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ch = base.select(col(idCol), explode(col("_chunks")).as("_c"))
+      .select(col(idCol), col("_c.clen").as("clen"), col("_c.ctext").as("ctext"))
+    val dup = ch.groupBy("ctext").agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > 1).select("ctext")
+    val dupBytes = ch.join(dup, Seq("ctext"))
+      .groupBy(col(idCol)).agg(sum(col("clen")).as("_dup"))
+    base.select(col(idCol), size(col("_chunks")).cast(LongType).as("n_chunks"),
+        col("n_bytes"))
+      .join(dupBytes, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"), col("n_bytes"),
+        coalesce(col("_dup"), lit(0L)).as("dup_bytes"),
+        when(col("n_bytes") === 0, lit(0.0)).otherwise(
+          floor(coalesce(col("_dup"), lit(0L)).cast(DoubleType) * 1e6
+            / col("n_bytes") + 0.5) / 1e6).as("dedup_ratio"))
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Tables.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),

@@ -208,6 +208,70 @@ object Graph {
     cur.select(col("node"), col("label"))
   }
 
+  /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
+    * every node whose degree in the SURVIVING subgraph is < k (and
+    * all its edges). After enough rounds this converges to the
+    * k-core; like [[labelPropagation]] the round count is a fixed,
+    * documented parameter so the unrolled SQL twin is finite.
+    * Returns the surviving nodes with their residual degree.
+    *
+    * Scale shape: a round is one degree aggregate (union + count,
+    * map-side partials) + two semi-join-shaped equi-joins back onto
+    * the edge frame — everything keyed on node ids, no all-pairs.
+    * Each round's edge frame persists (recomputable, spills): it is
+    * referenced by the degree aggregate AND next round's join, and
+    * an unpersisted loop frame recomputes geometrically (the
+    * m13_label_prop lesson, r12). */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+                broadcastKeep: Boolean = true): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def degrees(e: DataFrame): DataFrame =
+      // ONE scan per degree pass: each edge explodes to both
+      // endpoints (a unionAll would scan the cached frame twice)
+      e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist(lvl)
+    for (_ <- 1 to rounds) {
+      val kept = degrees(e).where(col("deg") >= k).select("node")
+      // the survivor set is node-sized — here bounded by the part
+      // dimension, so it BROADCASTS and a peel round never shuffles
+      // the edge frame (only the degree aggregate exchanges). For a
+      // fact-scale node set pass broadcastKeep = false and the joins
+      // fall back to shuffles.
+      def side(c: String) = {
+        val r = kept.withColumnRenamed("node", c)
+        if (broadcastKeep) broadcast(r) else r
+      }
+      e = e.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+        .select(col("a"), col("b")).persist(lvl)
+    }
+    degrees(e)
+  }
+
+  /** Unrolled SQL twin of [[kcorePeel]]: `edgesSql` yields
+    * (src, dst). */
+  def kcorePeelSql(edgesSql: String, k: Int, rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT node, count(*) AS deg FROM
+            (SELECT unnest([a, b]) AS node FROM $prev)
+            GROUP BY node),
+          k$i AS (SELECT node FROM d$i WHERE deg >= $k),
+          e$i AS (SELECT e.a, e.b FROM $prev e
+            JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)"""
+    }
+    s"""WITH ee AS ($edgesSql),
+        e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM ee WHERE src <> dst),
+        ${(1 to rounds).map(round).mkString(",\n        ")}
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+          (SELECT unnest([a, b]) AS node FROM e$rounds)
+        GROUP BY node ORDER BY node"""
+  }
+
   /** Unrolled SQL twin of [[labelPropagation]]: `edgesSql` yields
     * (src, dst), `seedsSql` yields (node, seed_label) for EVERY node. */
   def labelPropagationSql(edgesSql: String, seedsSql: String,
