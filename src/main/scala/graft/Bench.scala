@@ -41,7 +41,14 @@ object Bench {
     * uniformly slower than the 2026-08 anchor is NOT contended — its
     * medians are internally sound; the anchor stays in the artifact
     * as ref_sec/drift_vs_anchor for cross-host comparisons. */
-  private val ProbeRefSec32 = 0.12 // quiet-host median at local[32] (2026-08)
+  // Re-anchored r12 (VERDICT r11 #2): the r12-close full-registry run
+  // on a verified-quiet host (steal 0.03%, dispersion 1.059) measured
+  // probe median 0.071 s — that run's TOTAL (105.68 s / 225 queries,
+  // BASELINE.md) and this probe constant now come from the SAME host
+  // and registry, so value_norm ≈ value on the anchor host and the
+  // r11 raw-vs-normalized contradiction (1.07× vs 1.62× against a
+  // different-generation 167-query anchor) cannot recur.
+  private val ProbeRefSec32 = 0.071 // quiet-host median at local[32] (2026-08-16)
   private val ProbeEvery = 8
   private val DriftLimit = 2.0
 
