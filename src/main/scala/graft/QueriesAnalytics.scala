@@ -714,6 +714,68 @@ object QueriesAnalytics {
       graft.operators.Graph.triangleStats(e)
     })
 
+  /** X-EV15: last-touch revenue attribution — each purchase's value
+    * credited to the user's most recent preceding non-purchase event
+    * within a 24 h lookback, else 'direct' (the classic marketing
+    * attribution shape). One user-keyed window (IGNORE NULLS last
+    * over the strictly-preceding frame) + one channel aggregate;
+    * microsecond age arithmetic so both engines cut the lookback on
+    * the same grid; exact decimal revenue sums. */
+  private val attributionSql =
+    s"""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+              last_value(CASE WHEN event_type <> 'purchase'
+                THEN struct_pack(tts := ts, tch := event_type) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+            FROM events),
+          p AS (SELECT CASE WHEN t IS NOT NULL
+                AND epoch_us(ts) - epoch_us(t.tts) <= 86400000000 THEN t.tch
+                ELSE 'direct' END AS channel, value
+            FROM e WHERE event_type = 'purchase')
+          SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+            ${sqlDsum("value")} AS revenue
+          FROM p GROUP BY channel ORDER BY channel"""
+
+  private val evAttribution = Q(
+    "ev_attribution",
+    Some(attributionSql),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("tts"), col("event_type").as("tch"))),
+        ignoreNulls = true).over(w)
+      t(s, dir, "events")
+        .withColumn("_t", touch)
+        .where(col("event_type") === "purchase")
+        .select(
+          when(col("_t").isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("_t.tts")) <= 86400000000L,
+            col("_t.tch")).otherwise(lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+        .orderBy("channel")
+    })
+
+  /** X-ST12: STATEFUL-STREAMING last-touch attribution — the
+    * [[evAttribution]] semantics as events arrive, per-user last
+    * touch in flatMapGroupsWithState state. The registry entry runs
+    * the state function on the static frame (one invocation per user
+    * == the batch strictly-preceding window) and shares the batch
+    * oracle VERBATIM; StatefulStreamsSpec drives real time-split
+    * micro-batches (touch in batch 1 attributes a purchase in
+    * batch 2 through state). */
+  private val stAttribution = Q(
+    "st_attribution",
+    Some(attributionSql),
+    (s, dir) =>
+      graft.streaming.Streams.attributionStream(t(s, dir, "events"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+        .orderBy("channel"))
+
   /** X-M15: k-core decomposition (3 peeling rounds, k=3) on the part
     * co-purchase graph — the community/spam-farm density primitive
     * (nodes that survive iterated low-degree removal). Same iteration
@@ -967,6 +1029,6 @@ object QueriesAnalytics {
         .orderBy("user_id", "view_id"))
 
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, evMarkov, m13LabelProp,
-    evRetention, evTransitions, evPii, m9PageRank, m10Triangles, m14Kcore, m11Degrees,
+    evRetention, evTransitions, evPii, evAttribution, stAttribution, m9PageRank, m10Triangles, m14Kcore, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -508,6 +508,52 @@ object Streams {
     * bucket-ordered files, where stream == batch still holds).
     * Rejected rows still charge the total (the batch twin's window
     * sums every row), so admission is prefix-closed per shard. */
+  /** STATEFUL-STREAMING last-touch attribution — the ev_attribution
+    * semantics as events arrive: per-user state holds the most
+    * recent touch (tsUs, type); each purchase emits (channel, value)
+    * against the state at its arrival. In batch mode (one invocation
+    * per user, rows sorted (ts, event_id)) this equals the batch
+    * twin's strictly-preceding window scan, so the registry entry
+    * shares the ev_attribution oracle verbatim after the same
+    * channel aggregate; StatefulStreamsSpec drives real micro-batches
+    * split on the time axis (touch in batch 1 attributes a purchase
+    * in batch 2 through state). State TTL (optional) expires idle
+    * users' touches — their later purchases become 'direct'. */
+  def attributionStream(events: DataFrame, lookbackUs: Long = 86400000000L,
+                        stateTtlMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"),
+        unix_micros(col("ts")).as("_tsus"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    def fn(key: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+           state: GroupState[(Long, String)]): Iterator[(String, Double)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var touch = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      // deterministic order within the invocation: (ts, event_id) —
+      // a same-timestamp touch with a smaller id precedes, matching
+      // the batch window's strictly-preceding frame
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, _, tpe, v) =>
+        if (tpe == "purchase") {
+          val ch = touch match {
+            case Some((tts, tch)) if tsUs - tts <= lookbackUs => tch
+            case _ => "direct"
+          }
+          out += ((ch, v))
+        } else touch = Some((tsUs, tpe))
+      }
+      touch.foreach(state.update)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
+      .toDF("channel", "value")
+  }
+
   def tokenBudgetStream(docs: DataFrame, budgetPerDomain: Long,
                         nShards: Int = 4,
                         stateTtlMs: Option[Long] = None): DataFrame = {

@@ -68,6 +68,51 @@ class StatefulStreamsSpec extends SparkSpec {
       s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
   }
 
+  test("streaming attribution across micro-batches == batch window scan") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = core.Tables.load(spark, sf001, "events")
+    val batch = Streams.attributionStream(events)
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // split ON THE TIME AXIS: every user's early events land in file
+    // 0 and late events in file 1, so purchases in batch 2 must
+    // attribute to touches remembered from batch 1 through state
+    val mid = events.agg(
+      // BOUNDED: single-row median timestamp aggregate (test-only)
+      expr("percentile_approx(unix_micros(ts), 0.5)")).collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_stream")
+    events.where(unix_micros(col("ts")) < mid).repartition(1)
+      .write.parquet(s"$dir/p0")
+    events.where(unix_micros(col("ts")) >= mid).repartition(1)
+      .write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_attr_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val target = srcDir.resolve(f"$n%03d.parquet")
+          java.nio.file.Files.copy(f, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+          n += 1
+        }
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.attributionStream(stream)
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_out").as[(String, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("streaming near-dedup across micro-batches == batch verified pairs") {
     import org.apache.spark.sql.streaming.Trigger
     val docs = core.Tables.load(spark, sf001, "documents")
