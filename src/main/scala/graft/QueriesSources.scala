@@ -1111,6 +1111,54 @@ object QueriesSources {
     (m1, m2)
   }
 
+  /** X-S30: additive SCHEMA EVOLUTION over the snapshot protocol —
+    * v2 adds a column (c_tier) while rewriting ONLY its touched
+    * buckets; inherited v1 files never carry it, and the unified
+    * read ([[graft.sources.Snapshots.readMerged]], mergeSchema)
+    * surfaces their rows with NULL — old data is never rewritten
+    * just to add a column (the Iceberg/Delta additive semantics).
+    * Gates: v1's schema does NOT contain the column, v2's unified
+    * read fills exactly the untouched buckets with NULL, and COW
+    * sharing still holds across the schema boundary. */
+  private val s28 = Q(
+    "s28_schema_evolution",
+    Some(s"""WITH v2 AS (SELECT c_custkey,
+              CASE WHEN c_custkey % 8 < 2 THEN
+                (CASE WHEN c_acctbal >= 5000.0 THEN 'gold' ELSE 'std' END)
+              END AS c_tier FROM customer)
+          SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+            CAST(0 AS BIGINT) AS n_with_tier, TRUE AS evolution_ok
+          FROM customer
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), count(*),
+            CAST(count(c_tier) AS BIGINT), TRUE
+          FROM v2 ORDER BY version"""),
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val tdir = freshScratch(dir, "snap_customer_evolve")
+      val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val bucket = pmod(col("c_custkey"), lit(8))
+      val m1 = Snapshots.commit(base, tdir, version = 1, bucket, nBuckets = 8)
+      val v2Content = base.where(pmod(col("c_custkey"), lit(8)) < 2)
+        .withColumn("c_tier",
+          when(col("c_acctbal") >= 5000.0, "gold").otherwise("std"))
+      val m2 = Snapshots.commit(v2Content, tdir, version = 2, bucket,
+        nBuckets = 8, parent = Some(m1), touched = Some(Set(0, 1)))
+      val v1 = Snapshots.read(s, m1)
+      val v2 = Snapshots.readMerged(s, m2)
+      val ok = !v1.columns.contains("c_tier") &&
+        v2.columns.contains("c_tier") &&
+        Snapshots.cowShared(m1, m2, Set(0, 1))
+      val r1 = v1.agg(count(lit(1)).as("n_rows"))
+        .select(lit(1L).as("version"), col("n_rows"),
+          lit(0L).as("n_with_tier"), lit(ok).as("evolution_ok"))
+      val r2 = v2.agg(count(lit(1)).as("n_rows"),
+          count(col("c_tier")).as("n_with_tier"))
+        .select(lit(2L).as("version"), col("n_rows"), col("n_with_tier"),
+          lit(ok).as("evolution_ok"))
+      r1.unionByName(r2).orderBy("version")
+    })
+
   /** X-S23: incremental aggregate maintenance over the snapshot
     * history — the materialized-view pattern for slowly-changing
     * 100 TB tables: keep PER-BUCKET partial aggregates (count +
@@ -1506,5 +1554,5 @@ object QueriesSources {
         .withColumn("vacuum_ok", lit(vacuumOk))
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, mm10)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, s28, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, mm10)
 }

@@ -178,6 +178,28 @@ object Snapshots {
   def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
     read(spark, loadManifest(tableDir, version))
 
+  /** Schema-evolution read: like [[read]] but unifies the schemas of
+    * all listed files (`mergeSchema`) — after an ADD-COLUMN commit
+    * rewrote only its touched buckets, inherited files simply lack
+    * the new column and their rows surface it as NULL (the
+    * Iceberg/Delta additive-evolution semantics: old data is never
+    * rewritten just to add a column). Plain [[read]] keeps
+    * first-file-schema semantics for homogeneous tables; use this
+    * whenever a table's history spans schema versions. Column ADDs
+    * only — renames/drops need id-based column mapping, which this
+    * minimal protocol deliberately omits. */
+  def readMerged(spark: SparkSession, m: Manifest): DataFrame = {
+    require(m.allFiles.nonEmpty, s"manifest v${m.version} lists no files")
+    val data = spark.read.option("mergeSchema", "true").parquet(m.allFiles: _*)
+    if (m.deletes.isEmpty) data
+    else {
+      val k = m.deleteKey.getOrElse(
+        sys.error(s"manifest v${m.version} has delete files but no delete key"))
+      data.join(broadcast(spark.read.parquet(m.deletes: _*).select(col(k))),
+        Seq(k), "left_anti")
+    }
+  }
+
   /** True copy-on-write sharing check: every untouched bucket's file
     * list is IDENTICAL (same paths — shared bytes) between the two
     * manifests, and every touched bucket's differs and is non-empty. */

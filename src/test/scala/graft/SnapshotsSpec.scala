@@ -31,6 +31,32 @@ class SnapshotsSpec extends SparkSpec {
       (k, if (k % 4 == 0) k * 3.0 else k * 1.5)))
   }
 
+  test("additive schema evolution: merged read null-fills exactly the inherited buckets") {
+    val tdir = freshDir
+    val base = (0L until 64L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val bucket = pmod(col("k"), lit(4))
+    val m1 = Snapshots.commit(base, tdir, 1, bucket, nBuckets = 4)
+    // v2 ADDS column w, rewriting bucket 0 only
+    val v2c = base.where(pmod(col("k"), lit(4)) === 0)
+      .withColumn("w", col("k") * 10)
+    val m2 = Snapshots.commit(v2c, tdir, 2, bucket, nBuckets = 4,
+      parent = Some(m1), touched = Some(Set(0)))
+    // COW sharing holds across the schema boundary
+    assert(Snapshots.cowShared(m1, m2, Set(0)))
+    // v1 is untouched by the evolution: no new column
+    assert(!Snapshots.read(spark, m1).columns.contains("w"))
+    // the merged read fills w with NULL exactly on inherited rows
+    val got = Snapshots.readMerged(spark, m2)
+      .select(col("k"), col("v"), col("w"))
+      .as[(Long, Double, Option[Long])].collect().sortBy(_._1)
+    assert(got.length == 64)
+    got.foreach { case (k, v, w) =>
+      assert(v == k * 1.5, s"k=$k")
+      if (k % 4 == 0) assert(w.contains(k * 10), s"k=$k")
+      else assert(w.isEmpty, s"k=$k should be NULL-filled")
+    }
+  }
+
   test("copy-on-write shares untouched buckets' files verbatim") {
     val tdir = freshDir
     val base = (0L until 64L).map(k => (k, k.toString)).toDF("k", "s")
