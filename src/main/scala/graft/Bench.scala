@@ -82,6 +82,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the harness reclaim unpersists checkpointed loop-state RDDs on
+    // purpose; each one logs a "lineage has been truncated" WARN —
+    // hundreds per full run, drowning real warnings (VERDICT r11
+    // cosmetic #3). Expected-by-design here, so silence just that
+    // logger, not the level.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // absorb session/codegen warmup so the first timed query isn't inflated
     spark.range(1000000).selectExpr("sum(id)").collect()
     (1 to 3).foreach(_ => probe(spark)) // and the probe path's own JIT warmup

@@ -82,6 +82,9 @@ object LogReg {
         Det.dsum(w * col("ud") * col("vd"), 8).as("h12"),
         // BOUNDED: single-row moment aggregate per Newton iteration
         Det.dsum(w * col("vd") * col("vd"), 8).as("h22")).collect()(0)
+      // empty train grid: the decimal sums are NULL — no data, no
+      // step; θ stays at zero (the prior) instead of crashing
+      if (row.isNullAt(0)) return Theta(t0, t1, t2)
       val g0 = row.getDouble(0); val g1 = row.getDouble(1); val g2 = row.getDouble(2)
       val h00 = row.getDouble(3); val h01 = row.getDouble(4); val h02 = row.getDouble(5)
       val h11 = row.getDouble(6); val h12 = row.getDouble(7); val h22 = row.getDouble(8)

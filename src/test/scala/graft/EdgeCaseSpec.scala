@@ -58,6 +58,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getSeq[Double](1).forall(_ == 0.0))
   }
 
+  test("r12 operators on empty/degenerate input") {
+    val docs = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
+      .where(lit(false))
+    // BPE training on an empty corpus: no pairs, empty merge table;
+    // apply then emits nothing
+    assert(Text.bpeTrain(docs, "text", merges = 3).count() == 0)
+    assert(Text.bpeApply(docs, "doc_id", "text", merges = 3).count() == 0)
+    assert(Dedup.substringDedup(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.cdcDedup(docs, "doc_id", "text").count() == 0)
+    // LR on an empty corpus: empty grid -> theta stays zero, empty
+    // holdout -> all-zero dense confusion spine (never a crash)
+    val cm = graft.ml.LogReg.lrQualityEval(docs, "doc_id", "text")
+      .orderBy("label", "label_pred")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(cm == Seq((0, 0, 0L), (0, 1, 0L), (1, 0, 0L), (1, 1, 0L)), cm.toString)
+    // k-core of an empty graph
+    val e = Seq((1L, 2L)).toDF("src", "dst").where(lit(false))
+    assert(graft.operators.Graph.kcorePeel(e, 2, 2).count() == 0)
+    // streaming attribution over an empty frame
+    val ev = Seq((1L, new java.sql.Timestamp(0L), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .where(lit(false))
+    assert(graft.streaming.Streams.attributionStream(ev).count() == 0)
+  }
+
   test("text relevance on an empty corpus") {
     val docs = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang").where(lit(false))
     assert(Text.tfIdfTopK(docs, "doc_id", "text", 3).count() == 0)
