@@ -801,6 +801,59 @@ object QueriesAnalytics {
         .orderBy("node")
     })
 
+  /** X-M16: PERSONALIZED PageRank — teleport mass restarts at a seed
+    * set (every 20th part), so rank measures proximity to the seeds:
+    * the similar-items/recommendation variant of m9. Same iteration
+    * machinery, 1e-12 contribution quantization and unrolled-SQL
+    * oracle discipline ([[graft.operators.Graph.personalizedPageRank]]). */
+  private val m17Ppr = Q(
+    "m17_ppr",
+    Some(graft.operators.Graph.personalizedPageRankSql(
+      edgesSql =
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           WHERE a.l_orderkey % 10 = 0""",
+      seedsSql =
+        """SELECT DISTINCT l_partkey AS node FROM lineitem
+           WHERE l_orderkey % 10 = 0 AND l_partkey % 20 = 0""",
+      iterations = 3)),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      val seeds = li.where(col("pk") % 20 === 0)
+        .select(col("pk").as("node")).distinct()
+      graft.operators.Graph.personalizedPageRank(e, seeds, iterations = 3)
+        .orderBy("node")
+    })
+
+  /** X-EV16: exact latency quantiles per event type + SLO breach —
+    * the ops-analytics staple (p50/p95/p99 dashboards). Exact
+    * percentile for oracle parity (percentile_approx is the 100 TB
+    * path — the a7 convention); round-6 emission because the two
+    * engines' linear interpolation differs in the last ulp. */
+  private val evLatencyQuantiles = Q(
+    "ev_latency_quantiles",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.95), 6) AS p95,
+              round(quantile_cont(value, 0.99), 6) AS p99,
+              round(quantile_cont(value, 0.95), 6) > 90.0 AS slo_breach
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.50)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+        .withColumn("slo_breach", col("p95") > 90.0)
+        .orderBy("event_type"))
+
   /** X-EV8: day-over-day distribution drift of the event-type mix,
     * as total-variation distance — the monitoring gate that catches a
     * pipeline silently changing its input mix. Shares and the TV sum
@@ -1029,6 +1082,6 @@ object QueriesAnalytics {
         .orderBy("user_id", "view_id"))
 
   val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, evMarkov, m13LabelProp,
-    evRetention, evTransitions, evPii, evAttribution, stAttribution, m9PageRank, m10Triangles, m14Kcore, m11Degrees,
+    evRetention, evTransitions, evPii, evAttribution, stAttribution, evLatencyQuantiles, m9PageRank, m10Triangles, m14Kcore, m17Ppr, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

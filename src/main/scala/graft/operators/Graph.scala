@@ -208,6 +208,92 @@ object Graph {
     cur.select(col("node"), col("label"))
   }
 
+  /** PERSONALIZED PageRank (the recommendation/similar-items variant):
+    * teleport mass restarts at the SEED set instead of uniformly —
+    * rank r+1 = (1−d)·1[seed]/|S| + d·Σ contribs. Same iteration
+    * machinery, determinism recipe (1e-12 floor-quantized
+    * contributions, exact decimal sums) and unrolled SQL twin as
+    * [[pageRank]]; non-seed nodes start (and teleport) at zero, so
+    * rank measures proximity to the seeds. `seeds` = (node) frame. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int, damping: Double = 0.85,
+                           scale: Int = 12,
+                           checkpointEvery: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(lvl)
+    // seed membership carried on the node frame — one broadcastable
+    // dimension join, reused every round for the teleport term
+    val sd = seeds.select(col("node")).distinct()
+    val marked = nodes.join(sd.withColumn("_isSeed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_isSeed"), lit(false)).as("_isSeed"))
+      .persist(lvl)
+    // BOUNDED: single-row seed-count aggregate
+    val nSeeds = marked.where(col("_isSeed")).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val ew = e.join(outdeg, "src").persist(lvl)
+    val teleport = (1.0 - damping) / nSeeds
+    val f = math.pow(10, scale)
+    var ranks = marked.select(col("node"),
+      when(col("_isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          (floor(col("rank") / col("_deg").cast(DoubleType) * f + 0.5) / f)
+            .as("_c"))
+      val sums = contribs.groupBy(col("dst"))
+        .agg(Det.dsum(col("_c"), scale).as("_s"))
+      ranks = marked.join(sums, marked("node") === sums("dst"), "left")
+        .select(marked("node"),
+          (when(col("_isSeed"), lit(teleport)).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        // CP-OK: loop-carried state — lineage grows each round and
+        // must be cut; node-sized, freed by harness reclaim
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Unrolled SQL twin of [[personalizedPageRank]]: `edgesSql` yields
+    * (src, dst), `seedsSql` yields the seed (node) rows. */
+  def personalizedPageRankSql(edgesSql: String, seedsSql: String,
+                              iterations: Int, damping: Double = 0.85,
+                              scale: Int = 12): String = {
+    val f = s"1e$scale"
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst,
+            floor(r.rank / CAST(e.deg AS DOUBLE) * $f + 0.5) / $f AS c
+          FROM ew e JOIN $prev r ON e.src = r.node),
+          s$i AS (SELECT dst, CAST(sum(CAST(c AS DECIMAL(30,$scale))) AS DOUBLE) AS s
+            FROM c$i GROUP BY dst),
+          r$i AS (SELECT n.node,
+            (CASE WHEN n.is_seed THEN (CAST(1 AS DOUBLE) - $damping) / sc.ns
+                  ELSE CAST(0 AS DOUBLE) END)
+              + $damping * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+          FROM marked n CROSS JOIN scount sc LEFT JOIN s$i s ON n.node = s.dst)"""
+    }
+    s"""WITH e AS ($edgesSql),
+        sd AS (SELECT DISTINCT node FROM ($seedsSql)),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        marked AS (SELECT n.node, sd.node IS NOT NULL AS is_seed
+          FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+        scount AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM marked WHERE is_seed),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        ew AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+        r0 AS (SELECT n.node,
+            CASE WHEN n.is_seed THEN CAST(1 AS DOUBLE) / sc.ns
+                 ELSE CAST(0 AS DOUBLE) END AS rank
+          FROM marked n CROSS JOIN scount sc),
+        ${(1 to iterations).map(iter).mkString(",\n        ")}
+        SELECT node, rank FROM r$iterations ORDER BY node"""
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
     * every node whose degree in the SURVIVING subgraph is < k (and
     * all its edges). After enough rounds this converges to the
