@@ -74,9 +74,21 @@ object ScaleStudy {
     def time(dir: String, name: String, captureStages: Boolean): (Double, Int, Int) = {
       val runs = (1 to 3).map { i =>
         if (captureStages && i == 3) { Thread.sleep(200); stages.synchronized(stages.clear()) }
+        // reclaim like Bench/ProfileQueries between runs (r12): without
+        // it, a query whose loop frames persist() gets cache HITS in
+        // runs 2-3 (CacheManager matches by plan), and the reported
+        // ratio measures cached-read scaling instead of compute
+        // scaling. clearCache BEFORE the raw sweep (the r11 rule).
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id))
+            try rdd.unpersist(blocking = false) catch { case _: Throwable => }
+        }
+        dt
       }
       Thread.sleep(300) // let async listener events drain
       val snap = stages.synchronized(stages.toList)
