@@ -334,6 +334,15 @@ object Bench {
     // genuinely slower machine or uniformly contended — a judge must
     // not read its absolute total as a clean-host number either way.
     val anchorDrift = probeMedian > DriftLimit * ref
+    // Non-uniform contamination flag (VERDICT r12 #3): the r12 driver
+    // window read contended=false (uniform-drift thresholds) while 30
+    // of 230 queries never got a clean probe window (still_hot) and
+    // steal ran 2.86% — per-query deltas from such a window are
+    // low-trust even when the run-wide median looks fine. Flag when
+    // still_hot exceeds 5% of the registry or steal exceeds 1%, so a
+    // judge/driver reads per-query numbers with the right trust level.
+    val windowSuspect =
+      contendedQs.size > 0.05 * math.max(results.size, 1) || stealPct > 1.0
     val calib =
       s""""calibration":{"ref_sec":${r3(ref)},"floor_sec":${r3(floorAll)},""" +
       s""""median_sec":${r3(probeMedian)},""" +
@@ -344,7 +353,8 @@ object Bench {
       s""""requeued":${hot1.size},""" +
       s""""still_hot":${contendedQs.size},""" +
       s""""run_dispersion":${r3(dispersion)}},""" +
-      s""""contended":$contended,"anchor_drift":$anchorDrift"""
+      s""""contended":$contended,"anchor_drift":$anchorDrift,""" +
+      s""""window_suspect":$windowSuspect"""
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     // Compact-line errors: the r6 driver artifact was "parsed": null
     // because 19 full error strings (~4 KB) pushed the JSON line past

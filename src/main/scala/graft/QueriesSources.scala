@@ -364,8 +364,11 @@ object QueriesSources {
         hist, scratch(dir, "reports"), "a14_histogram",
         provenance = s"lineitem@$dir")
       val metaRows = s.read.json(sidecar).select(col("rows")).head().getLong(0)
+      // driver-side equality (both sides are already driver longs):
+      // lit(a) === lit(b) with a == b logs Spark's "trivially true
+      // equals predicate" WARN on every bench run (VERDICT r12 #4)
       s.read.schema(hist.schema).option("header", "true").csv(csvDir)
-        .where(lit(metaRows) === hist.count())
+        .where(lit(metaRows == hist.count()))
         .orderBy("bin")
     })
 

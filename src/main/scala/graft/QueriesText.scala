@@ -1766,15 +1766,23 @@ object QueriesText {
         Text.hashedTf(col("chunk_text"), 64).as("cv"))
 
   /** Chunk-count HINT for plane auto-scaling, derived WITHOUT a
-    * Spark job: documents row count from parquet footers × the
-    * window-parameter estimate of chunks/doc (window/stride — each
-    * doc yields ceil(max(nToks,1)/stride) chunks, ≈ window/stride
-    * for docs about one window long). planesFor is log2-scaled, so
-    * an order-of-magnitude-correct hint gives the same plane count
-    * as the exact chunk count; the oracle generator uses the SAME
-    * hint, so Spark/oracle plane parity holds by construction. */
-  private def ep8ChunkHint(s: SparkSession, dir: String): Long =
-    graft.core.Tables.parquetRowCount(s, dir, "documents") * 64L / 48L
+    * Spark job: each doc yields ceil(max(nToks,1)/stride) chunks, so
+    * total chunks ≈ docCount (the per-doc partial window) + total
+    * tokens / stride. Both terms come from parquet FOOTERS — row
+    * count plus the text column's uncompressed byte size (÷ ~6
+    * bytes/token) — so the hint scales with CONTENT volume: corpus
+    * growth from LONGER docs grows it too (ADVICE r12: the old
+    * rowCount×window/stride hint was doc-length-blind and
+    * under-provisioned planes). planesFor is log2-scaled, so an
+    * order-of-magnitude-correct hint gives the same plane count as
+    * the exact chunk count; the oracle generator uses the SAME hint,
+    * so Spark/oracle plane parity holds by construction. */
+  private def ep8ChunkHint(s: SparkSession, dir: String): Long = {
+    val docs = graft.core.Tables.parquetRowCount(s, dir, "documents")
+    val textBytes =
+      graft.core.Tables.parquetColumnBytes(s, dir, "documents", "text")
+    docs + textBytes / (6L * 48L)
+  }
 
   private val ep8Rag = Q(
     "ep8_rag_retrieval",

@@ -66,6 +66,36 @@ object Tables {
     }.sum
   }
 
+  /** Total UNCOMPRESSED byte size of one column, summed over parquet
+    * row-group footers — same driver-side metadata read as
+    * [[parquetRowCount]] (no Spark job, no data pages). The input for
+    * size-dependent plan hints that must scale with CONTENT volume,
+    * not row count (ADVICE r12: the ep8 chunk hint under-provisioned
+    * LSH planes when corpus growth came from longer docs). Dictionary
+    * encoding can understate raw size somewhat; log2-scaled consumers
+    * (planesFor) tolerate order-of-magnitude inputs. */
+  def parquetColumnBytes(spark: SparkSession, dir: String, name: String,
+                         column: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(path))
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(b =>
+        b.getColumns.asScala
+          .filter(_.getPath.toDotString == column)
+          .map(_.getTotalUncompressedSize).sum).sum
+      finally r.close()
+    }.sum
+  }
+
   /** check_col equivalent (df_utils.py:77-105): fail fast with the list
     * of available columns when a requested column is missing.
     */

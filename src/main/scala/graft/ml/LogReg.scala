@@ -152,9 +152,11 @@ object LogReg {
     * `documents` table (the labelPropagationSql discipline): grid
     * CTE, one (q, a, s, d, th) CTE round per Newton step, dense-spine
     * confusion tail. `zSql` must be the EXACT fused linear score
-    * expression, `toksSql` the shared tokenizer. */
+    * expression, `toksSql` the shared tokenizer; `zCut` mirrors
+    * [[lrQualityEval]]'s label threshold (ADVICE r12: a hardcoded
+    * 0.0 here silently mismatched non-default-zCut callers). */
   def lrQualitySql(srcCtes: String, zSql: String, iters: Int, nBins: Int = 16,
-                   testBelowPerMille: Int = 200): String = {
+                   testBelowPerMille: Int = 200, zCut: Double = 0.0): String = {
     val nb = nBins
     def round(i: Int): String = {
       val prev = s"th${i - 1}"
@@ -193,7 +195,7 @@ object LogReg {
           ${Text.sampleBucketSql("doc_id")} AS sb,
           CAST(least(${nb - 1}, floor((len(list_distinct(toks))/len(toks)) * $nb)) AS INT) AS u,
           CAST(least(${nb - 1}, floor(least(1.0, len(toks)/100.0) * $nb)) AS INT) AS v,
-          CASE WHEN ($zSql) >= 0.0 THEN 1 ELSE 0 END AS y
+          CASE WHEN ($zSql) >= $zCut THEN 1 ELSE 0 END AS y
         FROM zsrc),
         tr AS (SELECT * FROM feat WHERE sb >= $testBelowPerMille),
         te AS (SELECT * FROM feat WHERE sb < $testBelowPerMille),

@@ -179,6 +179,13 @@ object Graph {
     var cur = seeds.select(col("node"), col("seed_label"),
         col("seed_label").as("label"))
       .persist(lvl)
+    // superseded round frames, unpersisted at each checkpoint round
+    // (the eager materialization point — unpersisting earlier would
+    // force lineage recompute of a not-yet-materialized round). Caps
+    // a long loop's cache debt at checkpointEvery frames instead of
+    // `rounds` (ADVICE r12: library consumers outside the bench
+    // harness have no external reclaim).
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to rounds) {
       val votes = e.join(
           cur.where(col("label").isNotNull)
@@ -196,14 +203,20 @@ object Graph {
       // loop frame recomputes 2^rounds times — the r11 ScaleStudy
       // superlinearity (k=16 ratio 3.4 -> 1.x after this persist).
       // Node-sized, recomputable, freed by harness reclaim.
+      stale += cur
       cur = cur.join(best, Seq("node"), "left")
         .select(col("node"), col("seed_label"),
           coalesce(col("seed_label"), col("_best"), col("label")).as("label"))
         .persist(lvl)
-      if (i % checkpointEvery == 0 && i < rounds)
+      if (i % checkpointEvery == 0 && i < rounds) {
         // CP-OK: loop-carried state — lineage grows each round and
         // must be cut; node-sized (narrow), freed by harness reclaim
-        cur = cur.localCheckpoint()
+        val cp = cur.localCheckpoint() // eager: cur + ancestors now free
+        stale += cur
+        stale.foreach(_.unpersist(blocking = false))
+        stale.clear()
+        cur = cp
+      }
     }
     cur.select(col("node"), col("label"))
   }
@@ -309,7 +322,8 @@ object Graph {
     * an unpersisted loop frame recomputes geometrically (the
     * m13_label_prop lesson, r12). */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
-                broadcastKeep: Boolean = true): DataFrame = {
+                broadcastKeep: Boolean = true,
+                checkpointEvery: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def degrees(e: DataFrame): DataFrame =
       // ONE scan per degree pass: each edge explodes to both
@@ -320,7 +334,12 @@ object Graph {
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct().persist(lvl)
-    for (_ <- 1 to rounds) {
+    // superseded round frames — unpersisted at checkpoint rounds (the
+    // labelPropagation recipe, ADVICE r12): caps a long peel's cache
+    // debt at checkpointEvery edge frames; dormant at the registry's
+    // rounds=3, real for library consumers running deep peels.
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to rounds) {
       val kept = degrees(e).where(col("deg") >= k).select("node")
       // the survivor set is node-sized — here bounded by the part
       // dimension, so it BROADCASTS and a peel round never shuffles
@@ -331,8 +350,18 @@ object Graph {
         val r = kept.withColumnRenamed("node", c)
         if (broadcastKeep) broadcast(r) else r
       }
+      stale += e
       e = e.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
         .select(col("a"), col("b")).persist(lvl)
+      if (i % checkpointEvery == 0 && i < rounds) {
+        // CP-OK: loop-carried state — lineage grows each round and
+        // must be cut; edge-frame-sized, freed by harness reclaim
+        val cp = e.localCheckpoint() // eager: e + ancestors now free
+        stale += e
+        stale.foreach(_.unpersist(blocking = false))
+        stale.clear()
+        e = cp
+      }
     }
     degrees(e)
   }

@@ -854,6 +854,13 @@ object Text {
       .withColumn("seg", regexp_replace(col("tok"), "(.)", s"$sep$$1$sep"))
       .persist(lvl)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    // the round BEFORE the current one: each round's collect() is an
+    // eager point that materializes the CURRENT frame (reading the
+    // previous round's cache once via lineage), after which the
+    // previous frame is superseded and unpersisted here — a long
+    // merge loop holds at most 2 round frames instead of `merges`
+    // (ADVICE r12: no external reclaim for library consumers).
+    var prev: org.apache.spark.sql.DataFrame = null
     var r = 1
     var dry = false
     while (r <= merges && !dry) {
@@ -869,11 +876,16 @@ object Text {
       // BOUNDED: top-1 row per round (k driver rows total) — the BPE
       // merge decision is a global argmax, inherently sequential
       val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      // the collect just materialized `cur`; the frame it was derived
+      // from is now superseded (kept persisted through the collect so
+      // cur's one lineage read of it hit cache)
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) dry = true
       else {
         val l = best(0).getString(0); val rr = best(0).getString(1)
         val n = best(0).getLong(2)
         out += ((r, l, rr, l + rr, n))
+        prev = cur
         cur = cur.withColumn("seg",
             replace(col("seg"), lit(s"$sep$l$sep$sep$rr$sep"), lit(s"$sep$l$rr$sep")))
           .persist(lvl)
@@ -925,12 +937,25 @@ object Text {
     s"""WITH ${bpeVocabCtes(toksSql, merges)}
         SELECT merge_rank, l, r, l || r AS merged, n
         FROM (${(1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+        WHERE l IS NOT NULL
         ORDER BY merge_rank"""
 
   /** The shared CTE chain of [[bpeTrainSql]]: vocabulary v0 and one
     * (x, p, b, v) round per merge, ending at v`merges` — the trained
     * vocabulary any BPE-consuming oracle (train output, apply) joins
-    * against. */
+    * against. The per-round argmax b$i is an ungrouped min-of-struct
+    * aggregate over ('m': -n, l, r) — positional struct comparison =
+    * the (n DESC, l, r) tie-break — so it yields EXACTLY one row
+    * even when the pair counts run dry (tiny/degenerate corpora
+    * where every token is fully merged before `merges` rounds): the
+    * row is all-NULL and v$i's CASE carries seg forward unchanged,
+    * matching the Scala twins' early stop ([[bpeTrain]] stops,
+    * [[bpeApply]] applies the last non-empty vocabulary). The r12
+    * LIMIT-1 b$i went EMPTY when dry and the CROSS JOIN emptied the
+    * vocabulary, making apply emit (0,0,0.0) for every doc (ADVICE
+    * r12); a LEFT JOIN ON TRUE repair was measured pathological in
+    * DuckDB (the unrolled CTE chain stopped optimizing — minutes on
+    * a 2-row corpus), hence the always-one-row aggregate shape. */
   def bpeVocabCtes(toksSql: String, merges: Int): String = {
     val s1 = "chr(31)"
     val s2 = "chr(31) || chr(31)"
@@ -942,11 +967,13 @@ object Text {
             FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
                   FROM x$i WHERE len(syms) >= 2)
             GROUP BY 1, 2),
-          b$i AS (SELECT $i AS merge_rank, l, r, n FROM p$i
-            ORDER BY n DESC, l, r LIMIT 1),
+          b$i AS (SELECT $i AS merge_rank, s.l AS l, s.r AS r,
+              CAST(-s.m AS BIGINT) AS n
+            FROM (SELECT min({'m': -n, 'l': l, 'r': r}) AS s FROM p$i)),
           v$i AS (SELECT tok, freq,
-              replace(seg, $s1 || b.l || $s2 || b.r || $s1,
-                           $s1 || b.l || b.r || $s1) AS seg
+              CASE WHEN b.l IS NULL THEN seg
+                   ELSE replace(seg, $s1 || b.l || $s2 || b.r || $s1,
+                                     $s1 || b.l || b.r || $s1) END AS seg
             FROM $prev CROSS JOIN b$i b)"""
     }
     s"""v0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,

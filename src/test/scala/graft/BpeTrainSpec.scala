@@ -138,4 +138,19 @@ class BpeTrainSpec extends SparkSpec {
     (1 to 3).foreach(i => assert(sql.contains(s"b$i")))
     assert(sql.contains("chr(31)"))
   }
+
+  test("bpeApply past merge exhaustion applies the last non-empty vocabulary") {
+    // vocabulary {ab} is fully merged after round 1; rounds 2-5 run
+    // dry. ADVICE r12: the SQL twin's CROSS JOIN onto an EMPTY b$i
+    // emptied the vocabulary here and apply emitted (0,0,0.0) per doc
+    // while this Scala side kept the round-1 vocabulary. The twin's
+    // b$i is now an always-one-row min-struct aggregate (NULL when
+    // dry = no-op rewrite); verified against DuckDB on this exact
+    // corpus — apply (1,2,2,2.0),(2,1,1,2.0), train one row (a,b,3).
+    val corpus = Seq((1L, "ab ab"), (2L, "ab"))
+    val got = Text.bpeApply(corpus.toDF("doc_id", "text"), "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 2.0), (2L, 1L, 1L, 2.0)))
+    assert(got == refApply(corpus, 5))
+  }
 }
