@@ -533,6 +533,10 @@ object QueriesText {
     None,
     (s, dir) => {
       val e = t(s, dir, "embeddings")
+      // nCentroids stays PINNED here (unlike the ANN indexes): the
+      // sample's size contract is cells × perCell rows — scaling the
+      // cell count with the corpus would change what the user asked
+      // for; the per-cell rank window costs one n-row pass regardless
       val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
       Vectors.diverseSample(e, "vec_id", "embedding", cents, perCell = 25)
         .orderBy("cell", "dist_q", "vec_id")
@@ -1078,8 +1082,14 @@ object QueriesText {
     * CTEs + the dd_dup_groups recursive closure. */
   private val ddSemantic = Q(
     "dd_semantic_groups",
-    Some {
-      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+    None,
+    (s, dir) =>
+      Dedup.semanticDupGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, tables = 8, planes = embPlanes(s, dir))
+        .orderBy("vec_id"),
+    sqlGen = Some { (s, dir) =>
+      val tableRows =
+        lshKeyedRowsSql(planes = embPlanes(s, dir), tables = 8, dim = 64)
       s"""WITH RECURSIVE keyed AS ($tableRows),
           cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
               x.embedding AS av, y.embedding AS bv
@@ -1100,11 +1110,7 @@ object QueriesText {
             (em.vec_id != coalesce(cc.canonical, em.vec_id)) AS is_dup
           FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.id
           ORDER BY em.vec_id"""
-    },
-    (s, dir) =>
-      Dedup.semanticDupGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.4, tables = 8, planes = 6)
-        .orderBy("vec_id"))
+    })
 
   /** Benchmark decontamination: the deterministic ~2% id-bucket slice
     * (sampleBucket < 20) plays the eval set; a training doc is
@@ -1557,6 +1563,27 @@ object QueriesText {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     })
 
+  /** Auto-scaled hyperplane count for the embeddings table, from
+    * parquet FOOTER row counts (driver-side metadata, no Spark job) —
+    * shared by every embeddings-LSH query fn AND its generated
+    * oracle, so plane parity holds by construction. Pinned planes
+    * (the r01–r12 registry shape, planes=6) measured honest k=16
+    * ratios of 10–14 on the embcos family: fixed bucket count ⇒
+    * occupancy ∝ corpus ⇒ within-bucket candidate pairs quadratic.
+    * planesFor keeps occupancy O(bucketTarget) at any corpus size. */
+  private def embPlanes(s: SparkSession, dir: String): Int =
+    Vectors.planesFor(
+      graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16)
+
+  /** Auto-scaled IVF coarse-cell count for the embeddings table
+    * (nlist ≈ √n from footer row counts — [[Vectors.cellsFor]]);
+    * shared by the IVF/IVF-PQ query fns and their generated oracles
+    * (which inline whatever centroids the shared trainer returns, so
+    * cell-count parity is automatic). The r01–r12 pinned nlist=8
+    * measured an honest k=16 ratio of 15.3 on ss_topk_ivf. */
+  private def embCells(s: SparkSession, dir: String): Int =
+    Vectors.cellsFor(graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
+
   /** Cosine-similarity SQL snippet shared by the ANN oracles. */
   private def cosSql(a: String, b: String): String =
     s"""round(
@@ -1574,10 +1601,12 @@ object QueriesText {
   /** LSH-bucketed ANN: multi-table OR-banding with corpus-scaled
     * planes, so within-bucket candidates per doc stay O(1) in corpus
     * size (VERDICT r01 #3; auto-scaling covered by lshTopK defaults +
-    * LshScalingSpec). The registered query pins (planes=6, tables=8)
-    * so the ENTIRE pipeline is oracle-checkable: the ±1 hyperplane
-    * weights are deterministic constants, inlined into the SQL as
-    * literal arrays — bucketing, OR-dedup, scoring and ranking all
+    * LshScalingSpec). Registry queries auto-scale planes from the
+    * parquet footer row count and GENERATE the oracle at the same
+    * count (r13 — the r01–r12 pinned planes=6 measured honest k=16
+    * ratios of 10–14 on this family): the ±1 hyperplane weights are
+    * deterministic constants, inlined into the SQL as literal
+    * arrays — bucketing, OR-dedup, scoring and ranking all
     * hash-match DuckDB (r01 left this rows-only). */
   /** SQL for the LSH-keyed embeddings rows: the same ±1 hyperplane
     * weights LshTableKeys derives (MurmurHash3 of (t,p,d)), inlined
@@ -1827,6 +1856,63 @@ object QueriesText {
         SELECT qid, cid, cosine FROM r WHERE rn <= $k"""
   }
 
+  /** NSW graph-ANN twin ([[graft.operators.Vectors.nswTopK]]): the
+    * same three bounded phases unrolled — within-bucket init pairs
+    * under `initTables` literal hyperplane tables, `buildRounds`
+    * NN-descent rounds (fwd ∪ rev ∪ 2-hop, top-m), beam₀ = the
+    * node's own graph neighbors, `beamRounds` beam expansions, final
+    * top-k. Graph/beam CTEs are MATERIALIZED: each is referenced 3×
+    * by its next round and DuckDB's inlining heuristic otherwise
+    * re-expands the unrolled chain exponentially (the bpeVocabCtes
+    * lesson, NOTES r13). */
+  private def nswTopkSql(planes: Int, initTables: Int = 3, dim: Int = 64,
+                         m: Int = 6, buildRounds: Int = 2, beam: Int = 10,
+                         beamRounds: Int = 2, k: Int = 3): String = {
+    val tableRows = lshKeyedRowsSql(planes, initTables, dim)
+    // top-`keep` per node of the deduped candidate set, exact cosine
+    // (round-6, candidate-id ties) — the twin of nswTopK.rescore
+    def rescore(name: String, candSql: String, keep: Int): String =
+      s"""$name AS MATERIALIZED (SELECT node, cand, cosine FROM (
+            SELECT node, cand, cosine, ROW_NUMBER() OVER (PARTITION BY node
+                ORDER BY cosine DESC, cand) AS rn
+            FROM (SELECT c.node, c.cand,
+                ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+              FROM ($candSql) c
+              JOIN embeddings qe ON qe.vec_id = c.node
+              JOIN embeddings ce ON ce.vec_id = c.cand) s
+          ) t WHERE rn <= $keep)"""
+    val g0cand =
+      """SELECT DISTINCT a.vec_id AS node, b.vec_id AS cand
+         FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
+         WHERE a.vec_id != b.vec_id"""
+    val buildCtes = (1 to buildRounds).map { i =>
+      val p = s"g${i - 1}"
+      rescore(s"g$i",
+        s"""SELECT DISTINCT node, cand FROM (
+            SELECT node, cand FROM $p
+            UNION ALL SELECT cand AS node, node AS cand FROM $p
+            UNION ALL SELECT x.node, y.cand FROM $p x JOIN $p y ON x.cand = y.node
+          ) u WHERE node != cand""", m)
+    }
+    val gF = s"g$buildRounds"
+    val beamCtes = (1 to beamRounds).map { j =>
+      val p = if (j == 1) gF else s"bm${j - 1}"
+      rescore(s"bm$j",
+        s"""SELECT DISTINCT node, cand FROM (
+            SELECT node, cand FROM $p
+            UNION ALL SELECT b.node, g.cand FROM $p b JOIN $gF g ON g.node = b.cand
+          ) u WHERE node != cand""", beam)
+    }
+    s"""WITH keyed AS ($tableRows),
+        ${rescore("g0", g0cand, m)},
+        ${buildCtes.mkString(",\n        ")},
+        ${beamCtes.mkString(",\n        ")}
+        SELECT node AS qid, cand AS cid, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY cosine DESC, cand) AS rn FROM bm$beamRounds) f
+        WHERE rn <= $k"""
+  }
+
   /** IVF top-k body: trained coarse centroids inlined as literals;
     * assignment/probing mirror NearestCells op-for-op. */
   private def ivfTopkSql(cents: Array[Array[Double]], nProbe: Int = 2,
@@ -1938,12 +2024,16 @@ object QueriesText {
 
   private val ssLsh = Q(
     "ss_topk_lsh",
-    Some(s"""${lshTopkSql(planes = 6, tables = 8, dim = 64, k = 3)}
-          ORDER BY qid, cosine DESC, cid"""),
+    None,
     (s, dir) =>
       Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, planesOverride = 6)
-        .orderBy(col("qid"), col("cosine").desc, col("cid")))
+          dim = 64, k = 3, tables = 8,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
+        .orderBy(col("qid"), col("cosine").desc, col("cid")),
+    sqlGen = Some { (s, dir) =>
+      s"""${lshTopkSql(planes = embPlanes(s, dir), tables = 8, dim = 64, k = 3)}
+          ORDER BY qid, cosine DESC, cid"""
+    })
 
   /** X-SS7: attribute-constrained (pre-filtered) ANN — top-3 same-
     * label neighbors per vector. The label equality is composed INTO
@@ -1955,8 +2045,14 @@ object QueriesText {
     * as literals and the widened join key exactly. */
   private val ssFiltered = Q(
     "ss_topk_filtered",
-    Some {
-      val tableRows = lshKeyedRowsSqlLabeled(planes = 6, tables = 8, dim = 64)
+    None,
+    (s, dir) =>
+      Vectors.lshTopKFiltered(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", dim = 64, k = 3, tables = 8, planes = embPlanes(s, dir))
+        .orderBy(col("qid"), col("cosine").desc, col("cid")),
+    sqlGen = Some { (s, dir) =>
+      val tableRows =
+        lshKeyedRowsSqlLabeled(planes = embPlanes(s, dir), tables = 8, dim = 64)
       s"""WITH keyed AS ($tableRows),
           cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
               a.embedding AS qv, b.embedding AS cv
@@ -1969,11 +2065,7 @@ object QueriesText {
             ORDER BY cosine DESC, cid) AS rn FROM scored)
           SELECT qid, cid, cosine FROM r WHERE rn <= 3
           ORDER BY qid, cosine DESC, cid"""
-    },
-    (s, dir) =>
-      Vectors.lshTopKFiltered(t(s, dir, "embeddings"), "vec_id", "embedding",
-          "label", dim = 64, k = 3, tables = 8, planes = 6)
-        .orderBy(col("qid"), col("cosine").desc, col("cid")))
+    })
 
   /** X-SS6: ANN recall evaluation as a first-class operator — LSH
     * top-3 measured against the exact brute-force top-3 on the %20
@@ -1984,8 +2076,34 @@ object QueriesText {
     * division (then 1e-6-floor + long-sum mean). */
   private val ssRecall = Q(
     "ss_recall_report",
-    Some {
-      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
+          e, "vec_id", "embedding", k = 3)
+        .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      val lsh = Vectors.lshTopK(e, "vec_id", "embedding",
+          dim = 64, k = 3, tables = 8,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
+        .where(col("qid") % 20 === 0)
+        .select(col("qid"), col("cid").as("_lcid"))
+      val hits = brute.join(lsh,
+          brute("qid") === lsh("qid") && brute("cid") === lsh("_lcid"),
+          "left")
+        .groupBy(brute("qid"))
+        .agg(count(col("_lcid")).as("n_hits"))
+      hits.select(col("qid"),
+          (floor(col("n_hits").cast(org.apache.spark.sql.types.DoubleType)
+            / 3 * 1e6 + 0.5) / 1e6).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          graft.core.Det.davgLong(col("recall"), 6).as("mean_recall"),
+          sum(when(col("recall") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
+    },
+    sqlGen = Some { (s, dir) =>
+      val tableRows =
+        lshKeyedRowsSql(planes = embPlanes(s, dir), tables = 8, dim = 64)
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id % 20 = 0),
           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
@@ -2019,29 +2137,6 @@ object QueriesText {
             CAST(sum(CASE WHEN recall = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_perfect
           FROM rq"""
-    },
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
-          e, "vec_id", "embedding", k = 3)
-        .select(col("query_id").as("qid"), col("vec_id").as("cid"))
-      val lsh = Vectors.lshTopK(e, "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, planesOverride = 6)
-        .where(col("qid") % 20 === 0)
-        .select(col("qid"), col("cid").as("_lcid"))
-      val hits = brute.join(lsh,
-          brute("qid") === lsh("qid") && brute("cid") === lsh("_lcid"),
-          "left")
-        .groupBy(brute("qid"))
-        .agg(count(col("_lcid")).as("n_hits"))
-      hits.select(col("qid"),
-          (floor(col("n_hits").cast(org.apache.spark.sql.types.DoubleType)
-            / 3 * 1e6 + 0.5) / 1e6).as("recall"))
-        .agg(count(lit(1)).as("n_queries"),
-          graft.core.Det.davgLong(col("recall"), 6).as("mean_recall"),
-          sum(when(col("recall") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
     })
 
   /** Embedding near-dup with LSH-bucket blocking — no label column
@@ -2052,8 +2147,14 @@ object QueriesText {
     * collisions, verify = round-6 cosine. */
   private val ddEmbcosLsh = Q(
     "dd_embcos_lsh",
-    Some {
-      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+    None,
+    (s, dir) =>
+      Vectors.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, tables = 8, planes = embPlanes(s, dir))
+        .orderBy("a", "b"),
+    sqlGen = Some { (s, dir) =>
+      val tableRows =
+        lshKeyedRowsSql(planes = embPlanes(s, dir), tables = 8, dim = 64)
       s"""WITH keyed AS ($tableRows),
           cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
               x.embedding AS av, y.embedding AS bv
@@ -2063,11 +2164,7 @@ object QueriesText {
             FROM cand)
           SELECT a, b, cosine FROM scored WHERE cosine >= 0.4
           ORDER BY a, b"""
-    },
-    (s, dir) =>
-      Vectors.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.4, tables = 8, planes = 6)
-        .orderBy("a", "b"))
+    })
 
   /** Int8 embedding quantization + reconstruction-error report:
     * per-vector symmetric scale, floor-based rounding (cross-engine
@@ -2100,20 +2197,46 @@ object QueriesText {
     * exactly — sequential double squared-L2 per centroid, argmin ties
     * by centroid index, probe the 2 nearest lists, round-6 cosine
     * ranking. Recall vs brute force additionally in VectorsSpec. */
+  /** X-SS11: graph-based ANN — single-layer navigable small world
+    * (the HNSW family minus the hierarchy: NN-descent construction,
+    * beam-search probe; see [[graft.operators.Vectors.nswTopK]]), the
+    * index shape most production vector stores run. Every phase is
+    * bounded rounds of equi-joins + node-keyed windows, so the oracle
+    * unrolls finitely and is GENERATED at Verify time at the same
+    * auto-scaled plane count (footer row count — no Spark job), the
+    * ss_topk_lsh/ss_mips mechanism. Recall floor in VectorsSpec;
+    * graded against brute force as a fourth method in
+    * `ss_recall_methods`. */
+  private val ssHnsw = Q(
+    "ss_topk_hnsw",
+    None,
+    (s, dir) =>
+      Vectors.nswTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = 3,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
+        .orderBy(col("qid"), col("cosine").desc, col("cid")),
+    sqlGen = Some { (s, dir) =>
+      s"""${nswTopkSql(Vectors.planesFor(
+             graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16))}
+          ORDER BY qid, cosine DESC, cid"""
+    })
+
   private val ssIvf = Q(
     "ss_topk_ivf",
     None,
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
-      Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 3)
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
+      Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 4, k = 3)
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
       // Double.toString is shortest-round-trip, so DuckDB re-parses the
       // literals to the bit-identical doubles NearestCells uses.
-      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"), "embedding", nCentroids = 8)
-      s"""${ivfTopkSql(cents, nProbe = 2, k = 3)}
+      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"),
+        "embedding", nCentroids = embCells(s, dir))
+      s"""${ivfTopkSql(cents, nProbe = 4, k = 3)}
           ORDER BY qid, cosine DESC, cid"""
     })
 
@@ -2135,26 +2258,28 @@ object QueriesText {
     None,
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
       val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
       Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
-          nProbe = 2, k = 3, rerank = 20)
+          nProbe = 4, k = 3, rerank = 20)
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // Double.toString literals round-trip to the bit-identical
       // doubles the compiled kernels use (proven by ss_topk_ivf).
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
       val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
-      s"""${ivfPqTopkSql(cents, cbs, nProbe = 2, k = 3, rerank = 20)}
+      s"""${ivfPqTopkSql(cents, cbs, nProbe = 4, k = 3, rerank = 20)}
           ORDER BY qid, cosine DESC, cid"""
     })
 
   /** X-SS6b: the recall report across EVERY approximate method —
-    * LSH, IVF and IVF-PQ each graded against the exact brute-force
-    * top-3 on the %20 query subset, one row per method (n_queries,
-    * mean recall, perfect-query count). The eval a production index
+    * LSH, IVF, IVF-PQ and NSW/HNSW graph search each graded against
+    * the exact brute-force top-3 on the %20 query subset, one row per
+    * method (n_queries, mean recall, perfect-query count). The eval a production index
     * runs when choosing its operating point: the PQ path has the
     * most approximation knobs (codebooks, rerank depth) and is the
     * one a 100 TB deployment runs, so it is graded first-class, not
@@ -2177,21 +2302,26 @@ object QueriesText {
         // CP-OK: k rows per sampled query (bounded), rescanned once
         // per graded method
         .localCheckpoint()
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
       val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
       def top3(m: String, df: org.apache.spark.sql.DataFrame) =
         df.where(col("qid") % 20 === 0)
           .select(lit(m).as("method"), col("qid"), col("cid"))
       val methods = top3("lsh", Vectors.lshTopK(e, "vec_id", "embedding",
-          dim = 64, k = 3, tables = 8, planesOverride = 6))
+          dim = 64, k = 3, tables = 8,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings")))
         .unionByName(top3("ivf", Vectors.ivfTopK(e, "vec_id", "embedding",
-          cents, nProbe = 2, k = 3)))
+          cents, nProbe = 4, k = 3)))
         .unionByName(top3("ivfpq", Vectors.ivfPqTopK(e, "vec_id", "embedding",
-          cents, cbs, nProbe = 2, k = 3, rerank = 20)))
+          cents, cbs, nProbe = 4, k = 3, rerank = 20)))
+        .unionByName(top3("hnsw", Vectors.nswTopK(e, "vec_id", "embedding",
+          dim = 64, k = 3,
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))))
       // static method list exploded onto brute (narrow op) — a cross
       // join here plans CartesianProduct, which PlanAudit forbids
       val hits = brute.withColumn("method",
-          explode(array(lit("lsh"), lit("ivf"), lit("ivfpq"))))
+          explode(array(lit("lsh"), lit("ivf"), lit("ivfpq"), lit("hnsw"))))
         .join(methods.withColumn("_hit", lit(1)),
           Seq("method", "qid", "cid"), "left")
         .groupBy(col("method"), col("qid"))
@@ -2207,7 +2337,8 @@ object QueriesText {
     },
     sqlGen = Some { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
       val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id % 20 = 0),
@@ -2218,16 +2349,20 @@ object QueriesText {
               ROW_NUMBER() OVER (PARTITION BY qid
                 ORDER BY cosine DESC, cid) AS rn FROM bscored)
             WHERE rn <= 3),
-          lsht AS (${lshTopkSql(planes = 6, tables = 8, dim = 64, k = 3)}),
-          ivft AS (${ivfTopkSql(cents, nProbe = 2, k = 3)}),
-          pqt AS (${ivfPqTopkSql(cents, cbs, nProbe = 2, k = 3, rerank = 20)}),
+          lsht AS (${lshTopkSql(planes = embPlanes(s, dir), tables = 8, dim = 64, k = 3)}),
+          ivft AS (${ivfTopkSql(cents, nProbe = 4, k = 3)}),
+          pqt AS (${ivfPqTopkSql(cents, cbs, nProbe = 4, k = 3, rerank = 20)}),
+          hnswt AS (${nswTopkSql(Vectors.planesFor(
+            graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16))}),
           methods AS (
             SELECT 'lsh' AS method, qid, cid FROM lsht WHERE qid % 20 = 0
             UNION ALL
             SELECT 'ivf' AS method, qid, cid FROM ivft WHERE qid % 20 = 0
             UNION ALL
-            SELECT 'ivfpq' AS method, qid, cid FROM pqt WHERE qid % 20 = 0),
-          mm AS (SELECT * FROM (VALUES ('lsh'), ('ivf'), ('ivfpq'))
+            SELECT 'ivfpq' AS method, qid, cid FROM pqt WHERE qid % 20 = 0
+            UNION ALL
+            SELECT 'hnsw' AS method, qid, cid FROM hnswt WHERE qid % 20 = 0),
+          mm AS (SELECT * FROM (VALUES ('lsh'), ('ivf'), ('ivfpq'), ('hnsw'))
             AS v(method)),
           hits AS (SELECT mm.method, b.qid,
               CAST(count(m.cid) AS BIGINT) AS n_hits
@@ -2256,6 +2391,10 @@ object QueriesText {
     None,
     (s, dir) => {
       val e = t(s, dir, "embeddings")
+      // k stays PINNED: this is a k-means REPORT at the user's chosen
+      // k (cluster semantics), not an ANN index sizing knob; the
+      // distributed pass is one compiled scan + a k-row aggregate at
+      // any corpus size
       val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
       Vectors.kmeansReport(e, "vec_id", "embedding", cents)
         .orderBy("cell")
@@ -2439,8 +2578,18 @@ object QueriesText {
     * lshKeyedRowsSql plane literals. */
   private val ddSemanticDecon = Q(
     "dd_semantic_decon",
-    Some {
-      val tableRows = lshKeyedRowsSql(planes = 6, tables = 8, dim = 64)
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Vectors.semanticDecontaminate(
+          e.where(col("vec_id") % 20 =!= 0), e.where(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", dim = 64, threshold = 0.3,
+          tables = 8, planes = embPlanes(s, dir))
+        .orderBy("vec_id")
+    },
+    sqlGen = Some { (s, dir) =>
+      val tableRows =
+        lshKeyedRowsSql(planes = embPlanes(s, dir), tables = 8, dim = 64)
       s"""WITH keyed AS ($tableRows),
           tr AS (SELECT * FROM keyed WHERE vec_id % 20 != 0),
           be AS (SELECT * FROM keyed WHERE vec_id % 20 = 0),
@@ -2453,14 +2602,6 @@ object QueriesText {
             max(cosine) AS max_cosine
           FROM scored WHERE cosine >= 0.3
           GROUP BY tid ORDER BY vec_id"""
-    },
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Vectors.semanticDecontaminate(
-          e.where(col("vec_id") % 20 =!= 0), e.where(col("vec_id") % 20 === 0),
-          "vec_id", "embedding", dim = 64, threshold = 0.3,
-          tables = 8, planes = 6)
-        .orderBy("vec_id")
     })
 
   /** X-DD22: exact-substring dedup as a rewrite — duplicated
@@ -2710,7 +2851,7 @@ object QueriesText {
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
-    ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssIvf, ssIvfPq,
+    ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring, ddCdc,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,

@@ -411,6 +411,18 @@ object Vectors {
     }
   }
 
+  /** Auto-scaled IVF coarse-cell count: nlist ≈ √n, the classical
+    * IVF sizing — probed candidates per query ≈ nProbe·n/nlist =
+    * nProbe·√n, total n^1.5, where ANY fixed cell count is n²/nlist
+    * (ss_topk_ivf measured an honest k=16 ratio of 15.3 — essentially
+    * linear-bar — at the r01–r12 pinned nlist=8). Floored at 8 (the
+    * historical small-corpus operating point), capped at a quarter of
+    * the driver training sample so Lloyd always has ≥4 sample points
+    * per centroid. */
+  def cellsFor(n: Long, sampleSize: Int = 4096): Int =
+    math.min(sampleSize / 4,
+      math.max(8, math.ceil(math.sqrt(math.max(n, 1).toDouble)).toInt))
+
   /** Auto-scaled planes per table: the bucket count tracks corpus
     * size (2^planes ≈ n / bucketTarget) so expected bucket occupancy
     * — and with it the within-bucket self-join cost per document —
@@ -641,6 +653,114 @@ object Vectors {
       .where(col("cosine") >= threshold)
       .groupBy(col("_tid").as(idCol))
       .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
+  /** Graph-based ANN — single-layer navigable-small-world search
+    * (the HNSW family minus the hierarchy; Malkov & Yashunin '16 §4,
+    * NN-descent construction per Dong et al. '11). The index most
+    * production vector stores actually run, alongside the LSH / IVF /
+    * IVF-PQ quartet graded in `ss_recall_methods`. Three bounded
+    * phases, every step an equi-join or a node-keyed window — the
+    * m13/m9 fixed-round iteration discipline, so the DuckDB twin
+    * unrolls finitely:
+    *
+    *  1. INIT — within-bucket top-`m` neighbors under `initTables`
+    *     hyperplane LSH tables (planes auto-scaled via [[planesFor]]:
+    *     O(1) bucket occupancy ⇒ candidate volume ∝ corpus, never
+    *     all-pairs; the lshTopK scale rule).
+    *  2. BUILD — `buildRounds` NN-descent rounds: candidates =
+    *     neighbors ∪ reverse neighbors ∪ neighbors-of-neighbors
+    *     (≤ m + m + m² per node, m constant), exact codegen cosine,
+    *     keep top-`m` per node (round-6 ties by candidate id).
+    *  3. PROBE — beam search, synchronous-round variant: beam₀ =
+    *     own graph neighbors; each of `beamRounds` rounds expands the
+    *     beam by its graph neighbors (≤ beam·m), rescores, keeps
+    *     top-`beam`; emit top-`k` of the final beam.
+    *
+    * Scale shape: the graph is an (n·m)-row frame persisted per round
+    * (recomputable; ≤ buildRounds+1 frames live — bounded small
+    * constants, freed by harness reclaim); probe rounds shuffle
+    * (qid, cid) pairs bounded by n·beam·m. Recall vs brute force is
+    * asserted in VectorsSpec and graded per-method in
+    * `ss_recall_methods`. Output shape matches [[lshTopK]]:
+    * (qid, cid, cosine round-6, per-query top-k). */
+  def nswTopK(df: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int, m: Int = 6, buildRounds: Int = 2,
+              beam: Int = 10, beamRounds: Int = 2, initTables: Int = 3,
+              bucketTarget: Int = 16, planesOverride: Int = -1,
+              nHint: Long = -1L): DataFrame = {
+    require(beam >= k, s"beam=$beam must be >= k=$k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else {
+        val n =
+          if (nHint > 0) nHint
+          else {
+            val stats = df.queryExecution.optimizedPlan.stats
+            if (stats.rowCount.isDefined) stats.rowCount.get.toLong else df.count()
+          }
+        planesFor(n, bucketTarget)
+      }
+    // (node, vec) scanned twice per scoring round (query + candidate
+    // side) across buildRounds+beamRounds+2 rounds — persist once
+    // (row-sized, recomputable) instead of 2×rounds source scans
+    val vecs = graft.core.Tables.spread(
+        df.select(col(idCol).as("node"), col(vecCol).as("_v")), col("node"))
+      .persist(lvl)
+    def rescore(cands: DataFrame, keep: Int): DataFrame = {
+      // cands: (node, cand) — dedup, exact cosine, top-`keep` per node
+      val scored = cands.distinct()
+        .join(vecs.select(col("node"), col("_v").as("_nv")), "node")
+        .join(vecs.select(col("node").as("cand"), col("_v").as("_cv")), "cand")
+        .select(col("node"), col("cand"),
+          round(graft.functions.Expressions.cosineSim(col("_nv"), col("_cv")), 6)
+            .as("cosine"))
+      val w = Window.partitionBy("node").orderBy(col("cosine").desc, col("cand"))
+      scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= keep)
+        .drop("_rn")
+    }
+    // 1. INIT: within-bucket pairs under `initTables` hyperplane tables
+    val keyed = vecs.select(col("node"),
+      posexplode(graft.functions.Expressions.lshTableKeys(col("_v"), dim, planes, initTables))
+        .as(Seq("_tbl", "_key")))
+    val initPairs = keyed.join(
+        keyed.select(col("_tbl"), col("_key"), col("node").as("cand")),
+        Seq("_tbl", "_key"))
+      .where(col("node") =!= col("cand"))
+      .select(col("node"), col("cand"))
+    // each round's graph is referenced 3× by the next round (direct +
+    // self-join both sides) and the final graph once per probe round:
+    // persist per round; ≤ buildRounds+1 node×m frames live at once
+    // (bounded constants — the ADVICE r12 loop-debt rule is satisfied
+    // by the bound, there is no eager point inside this lazy plan)
+    var g = rescore(initPairs, m).persist(lvl)
+    // 2. BUILD: NN-descent rounds
+    for (_ <- 1 to buildRounds) {
+      val fwd = g.select(col("node"), col("cand"))
+      val rev = g.select(col("cand").as("node"), col("node").as("cand"))
+      val twoHop = g.select(col("node"), col("cand").as("_mid"))
+        .join(g.select(col("node").as("_mid"), col("cand")), "_mid")
+        .select(col("node"), col("cand"))
+      g = rescore(fwd.union(rev).union(twoHop).where(col("node") =!= col("cand")), m)
+        .persist(lvl)
+    }
+    // 3. PROBE: beam₀ = own neighbors, then bounded expansion rounds
+    var beamDf = g.select(col("node").as("qid"), col("cand").as("cid"),
+      col("cosine"))
+    for (_ <- 1 to beamRounds) {
+      val expanded = beamDf.select(col("qid"), col("cid").as("node"))
+        .join(g.select(col("node"), col("cand")), "node")
+        .select(col("qid"), col("cand").as("cid"))
+      val cands = beamDf.select(col("qid"), col("cid"))
+        .union(expanded).where(col("qid") =!= col("cid"))
+        .withColumnRenamed("qid", "node").withColumnRenamed("cid", "cand")
+      beamDf = rescore(cands, beam)
+        .select(col("node").as("qid"), col("cand").as("cid"), col("cosine"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    beamDf.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .drop("_rn")
   }
 
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

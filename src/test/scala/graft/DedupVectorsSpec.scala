@@ -170,6 +170,24 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("NSW graph top-k: recall vs brute force, shape, no self-pairs") {
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Vectors.bruteForceTopK(q, "qid", "qv", e, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val nsw = Vectors.nswTopK(e, "vec_id", "embedding", dim = 64, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(!nsw.exists(p => p._1 == p._2), "self-pair leaked into NSW top-k")
+    // per-query row bound: a window top-k can never over-return
+    val perQ = nsw.groupBy(_._1).map(_._2.size)
+    assert(perQ.max <= 5, s"over-returned: ${perQ.max}")
+    val recall = (brute & nsw).size.toDouble / brute.size
+    // graph search (NN-descent + beam) must beat plain OR-banding LSH's
+    // floor on the same near-isotropic embeddings — the beam rescans
+    // ~beam·m exact cosines per query where LSH only sees collisions
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("lshTopKFiltered == lshTopK run per label stratum (pre-filter exactness)") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     val filtered = Vectors.lshTopKFiltered(e, "vec_id", "embedding", "label",
@@ -286,7 +304,7 @@ class VectorsSpec extends SparkSpec {
     val rows = SparkEntry.queries("ss_recall_methods")(spark, sf01)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
-    assert(rows.keySet == Set("lsh", "ivf", "ivfpq"), rows.keySet)
+    assert(rows.keySet == Set("lsh", "ivf", "ivfpq", "hnsw"), rows.keySet)
     // every method grades the SAME query subset
     assert(rows.values.map(_._1).toSet.size == 1, rows)
     rows.foreach { case (m, (nq, mean, perfect)) =>
@@ -299,6 +317,7 @@ class VectorsSpec extends SparkSpec {
     assert(rows("ivf")._2 > 0.35, s"ivf recall ${rows("ivf")._2}")
     assert(rows("ivfpq")._2 > 0.25, s"ivfpq recall ${rows("ivfpq")._2}")
     assert(rows("lsh")._2 > 0.2, s"lsh recall ${rows("lsh")._2}")
+    assert(rows("hnsw")._2 > 0.2, s"hnsw recall ${rows("hnsw")._2}")
   }
 
   test("IVF training is write-order-independent: cluster-sorted corpus keeps recall") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Clustering, Dedup, Temporal, Text}
+import graft.operators.{Clustering, Dedup, Temporal, Text, Vectors}
 
 /** Degenerate-input behavior: empty sides, empty corpora, empty
   * graphs. An engine operator must return a sane empty (or
@@ -81,6 +81,16 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .where(lit(false))
     assert(graft.streaming.Streams.attributionStream(ev).count() == 0)
+  }
+
+  test("r13: NSW graph ANN on empty/degenerate input") {
+    val vecs = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    // empty corpus: no buckets, no graph, no beams -> empty, no throw
+    assert(Vectors.nswTopK(vecs.where(lit(false)), "vec_id", "embedding",
+      dim = 64, k = 3, nHint = 2).count() == 0)
+    // single vector: no candidate pairs at any phase -> empty
+    assert(Vectors.nswTopK(vecs, "vec_id", "embedding", dim = 64, k = 3,
+      nHint = 2).count() == 0)
   }
 
   test("text relevance on an empty corpus") {
