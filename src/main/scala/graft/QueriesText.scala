@@ -1866,8 +1866,8 @@ object QueriesText {
     * re-expands the unrolled chain exponentially (the bpeVocabCtes
     * lesson, NOTES r13). */
   private def nswTopkSql(planes: Int, initTables: Int = 3, dim: Int = 64,
-                         m: Int = 6, buildRounds: Int = 2, beam: Int = 10,
-                         beamRounds: Int = 2, k: Int = 3): String = {
+                         m: Int = 8, buildRounds: Int = 3, beam: Int = 10,
+                         beamRounds: Int = 3, k: Int = 3): String = {
     val tableRows = lshKeyedRowsSql(planes, initTables, dim)
     // top-`keep` per node of the deduped candidate set, exact cosine
     // (round-6, candidate-id ties) — the twin of nswTopK.rescore

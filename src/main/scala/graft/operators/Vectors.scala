@@ -685,8 +685,8 @@ object Vectors {
     * `ss_recall_methods`. Output shape matches [[lshTopK]]:
     * (qid, cid, cosine round-6, per-query top-k). */
   def nswTopK(df: DataFrame, idCol: String, vecCol: String,
-              dim: Int, k: Int, m: Int = 6, buildRounds: Int = 2,
-              beam: Int = 10, beamRounds: Int = 2, initTables: Int = 3,
+              dim: Int, k: Int, m: Int = 8, buildRounds: Int = 3,
+              beam: Int = 10, beamRounds: Int = 3, initTables: Int = 3,
               bucketTarget: Int = 16, planesOverride: Int = -1,
               nHint: Long = -1L): DataFrame = {
     require(beam >= k, s"beam=$beam must be >= k=$k")
@@ -729,12 +729,20 @@ object Vectors {
         Seq("_tbl", "_key"))
       .where(col("node") =!= col("cand"))
       .select(col("node"), col("cand"))
-    // each round's graph is referenced 3× by the next round (direct +
-    // self-join both sides) and the final graph once per probe round:
-    // persist per round; ≤ buildRounds+1 node×m frames live at once
-    // (bounded constants — the ADVICE r12 loop-debt rule is satisfied
-    // by the bound, there is no eager point inside this lazy plan)
-    var g = rescore(initPairs, m).persist(lvl)
+    // Every round's frame is referenced ≥2× by the NEXT round (the
+    // 2-hop self-join / the beam's carry-over + expansion), so the
+    // LOGICAL PLAN TREE doubles per round — persist dedups execution
+    // but not the tree, and at 3+3 rounds plan construction/rendering
+    // itself OOMs (measured: heap death inside generateTreeString).
+    // localCheckpoint is the correct cut for this shape: eager, flat
+    // LogicalRDD, node×m-row frames, ≤ rounds+1 live at once, freed
+    // by harness reclaim. (The lineage-chain loops — pageRank, label
+    // prop — only need it every 4 rounds; a DAG loop needs it every
+    // round.)
+    // CP-OK: loop-carried state, multiply-referenced per round —
+    // plan tree is exponential without the cut; graph frames are
+    // node×m-sized and recomputable
+    var g = rescore(initPairs, m).localCheckpoint()
     // 2. BUILD: NN-descent rounds
     for (_ <- 1 to buildRounds) {
       val fwd = g.select(col("node"), col("cand"))
@@ -742,10 +750,14 @@ object Vectors {
       val twoHop = g.select(col("node"), col("cand").as("_mid"))
         .join(g.select(col("node").as("_mid"), col("cand")), "_mid")
         .select(col("node"), col("cand"))
+      // CP-OK: same exponential-plan cut as above, once per round
       g = rescore(fwd.union(rev).union(twoHop).where(col("node") =!= col("cand")), m)
-        .persist(lvl)
+        .localCheckpoint()
     }
     // 3. PROBE: beam₀ = own neighbors, then bounded expansion rounds
+    // (beam frames: same ≥2-references-per-round shape — unpersisted
+    // they also recompute 2^beamRounds times, measured 5.5 → 73 s at
+    // sf0.1 when rounds went 2 → 3)
     var beamDf = g.select(col("node").as("qid"), col("cand").as("cid"),
       col("cosine"))
     for (_ <- 1 to beamRounds) {
@@ -755,8 +767,11 @@ object Vectors {
       val cands = beamDf.select(col("qid"), col("cid"))
         .union(expanded).where(col("qid") =!= col("cid"))
         .withColumnRenamed("qid", "node").withColumnRenamed("cid", "cand")
+      // CP-OK: beam loop state, (n·beam)-row, multiply-referenced —
+      // the exponential-plan cut, once per round
       beamDf = rescore(cands, beam)
         .select(col("node").as("qid"), col("cand").as("cid"), col("cosine"))
+        .localCheckpoint()
     }
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     beamDf.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
