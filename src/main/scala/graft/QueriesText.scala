@@ -1022,6 +1022,66 @@ object QueriesText {
         .orderBy("doc_id")
     })
 
+  /** Fold of the first 6 hex chars of a DuckDB md5 string into the
+    * integer Spark's `conv(substring(md5(..), 1, 6), 16, 10)`
+    * computes — the shared bit-position hash of the bloom filter. */
+  private def hex6Sql(md5Expr: String): String =
+    (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (5 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** X-DD24: bloom-prefiltered incremental exact dedup — the
+    * membership-sketch ingest gate ([[Dedup.bloomIncremental]]):
+    * existing corpus → fixed-size bitmap (word-level bit_or
+    * aggregate, broadcast literal), batch docs bit-test in the SCAN
+    * stage, and only bloom HITS pay the exact content-key join. No
+    * false negatives by construction; nBits auto-scales
+    * ([[Dedup.bloomBitsFor]], ~16 bits/element) from the parquet
+    * footer count, and the GENERATED oracle mirrors the salted-md5
+    * bit positions (hex-char fold == Spark's conv) and the
+    * positions-set membership exactly. */
+  private val ddBloom = Q(
+    "dd_bloom_incremental",
+    None,
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_bucket", Text.sampleBucket(col("doc_id")))
+      Dedup.bloomIncremental(
+          d.where(col("_bucket") >= 100), d.where(col("_bucket") < 100),
+          "doc_id", "text",
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    sqlGen = Some { (s, dir) =>
+      val nBits = Dedup.bloomBitsFor(
+        graft.core.Tables.parquetRowCount(s, dir, "documents"))
+      def pos(j: Int) = s"(${hex6Sql(s"md5('$j:' || t)")} % $nBits)"
+      s"""WITH base AS (SELECT doc_id, text,
+              ${Text.sampleBucketSql("doc_id")} AS bucket FROM documents),
+          ex AS (SELECT lower(text) AS t FROM base WHERE bucket >= 100),
+          bt AS (SELECT doc_id, lower(text) AS t FROM base WHERE bucket < 100),
+          exp AS (SELECT DISTINCT pos FROM (
+            ${(0 until 4).map(j => s"SELECT ${pos(j)} AS pos FROM ex")
+              .mkString("\n            UNION ALL\n            ")}) u),
+          bp AS (
+            ${(0 until 4).map(j =>
+                s"SELECT doc_id, $j AS j, ${pos(j)} AS pos FROM bt")
+              .mkString("\n            UNION ALL\n            ")}),
+          hit AS (SELECT bp.doc_id, CAST(count(*) AS BIGINT) AS nset
+            FROM bp JOIN exp USING (pos) GROUP BY bp.doc_id),
+          exk AS (SELECT DISTINCT md5(t) AS k FROM ex),
+          res AS (SELECT b.doc_id,
+              coalesce(h.nset, 0) = 4 AS bloom_hit,
+              (coalesce(h.nset, 0) = 4
+                AND EXISTS (SELECT 1 FROM exk WHERE exk.k = md5(b.t)))
+                AS is_dup
+            FROM bt b LEFT JOIN hit h ON b.doc_id = h.doc_id)
+          SELECT doc_id, bloom_hit, is_dup,
+            (bloom_hit AND NOT is_dup) AS false_positive
+          FROM res ORDER BY doc_id"""
+    })
+
   /** Duplicate-group canonicalization: connected components over the
     * verified near-dup pair graph (the step that turns pair lists
     * into a keep/drop decision). Oracle: recursive-CTE transitive
@@ -2848,7 +2908,7 @@ object QueriesText {
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
-    ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental,
+    ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental, ddBloom,
     ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,

@@ -172,6 +172,13 @@ object syntax {
                      threshold: Double): DataFrame =
       Dedup.incrementalNearDups(df, batch, idCol, textCol, threshold)
 
+    /** Bloom-prefiltered incremental exact dedup: this frame =
+      * existing corpus; batch docs bit-test a broadcast bloom bitmap
+      * in the scan stage and only hits pay the exact key join. */
+    def bloomDedupAgainst(batch: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+      Dedup.bloomIncremental(df, batch, idCol, textCol)
+
     /** Benchmark decontamination: training docs (this frame) sharing
       * any word n-gram with the bench frame. */
     def decontaminateAgainst(bench: DataFrame, idCol: String,

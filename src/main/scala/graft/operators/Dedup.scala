@@ -432,6 +432,99 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
   }
 
+  /** Bloom-filter bit count for an existing-corpus size: ~16 bits per
+    * element (k=4 hashes ⇒ false-positive rate ≈ (1−e^−¼)⁴ ≈ 0.24%),
+    * rounded up to a power of two, floored at 2^16 and capped at 2^22
+    * (0.5 MB of bitmap — broadcastable; past the cap a deployment
+    * shards the filter). Log-scaled like planesFor: an
+    * order-of-magnitude-correct n gives the same size class. */
+  def bloomBitsFor(n: Long): Int = {
+    val target = math.max(16L * math.max(n, 1L), 1L << 16)
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
+    1 << math.min(p, 22)
+  }
+
+  /** Bloom-prefiltered incremental exact dedup — the membership-
+    * sketch pattern every content-addressed ingest runs at scale:
+    * "have I seen this document before?" answered in the SCAN stage
+    * against a fixed-size broadcast bitmap, with the expensive exact
+    * key join paid ONLY for the (few) bloom hits.
+    *
+    *   1. BUILD: the existing corpus's `hashes` deterministic bit
+    *      positions per doc (first 6 hex chars of salted
+    *      md5(j ++ ":" ++ lower(text)) mod nBits — cross-engine
+    *      exact) are OR-merged executor-side into word-level longs
+    *      (one `bit_or` aggregate, ≤ nBits/64 rows) and assembled
+    *      into ONE driver bitmap — the treeAggregate shape of a real
+    *      bloom build, never a per-position driver set.
+    *   2. PROBE: every batch doc tests its `hashes` bits against the
+    *      broadcast bitmap literal — pure column math, no join, no
+    *      shuffle. No false negatives by construction, so a bloom
+    *      MISS is a definitive "new document".
+    *   3. VERIFY: only bloom-HIT docs join the existing content keys
+    *      ([[contentKey]]); `is_dup` = hit ∧ key-match (exact, by the
+    *      no-false-negative property), `false_positive` = hit ∧ ¬dup.
+    *
+    * Returns one row per batch doc: (id, bloom_hit, is_dup,
+    * false_positive). nBits auto-scales via [[bloomBitsFor]] (a
+    * saturated fixed-size bloom degrades to hit-everything = the
+    * unfiltered join, never to wrong answers). BloomDedupSpec pins
+    * no-false-negatives, forced false positives at a tiny override,
+    * and equality with a join-only reference. */
+  def bloomIncremental(existing: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String, hashes: Int = 4,
+                       nBitsOverride: Int = -1, nHint: Long = -1L): DataFrame = {
+    val nBits =
+      if (nBitsOverride > 0) nBitsOverride
+      else {
+        val n =
+          if (nHint > 0) nHint
+          else {
+            val stats = existing.queryExecution.optimizedPlan.stats
+            if (stats.rowCount.isDefined) stats.rowCount.get.toLong
+            else existing.count()
+          }
+        bloomBitsFor(n)
+      }
+    val words = math.max(1, (nBits + 63) / 64)
+    def posCol(c: Column, j: Int): Column =
+      (conv(substring(md5(concat(lit(s"$j:"), lower(c))), 1, 6), 16, 10)
+        .cast(LongType) % nBits).cast(LongType)
+    val expos = graft.core.Tables.spread(existing.select(col(textCol)), col(textCol))
+      .select(explode(array((0 until hashes).map(j => posCol(col(textCol), j)): _*))
+        .as("pos"))
+    // word-level OR-merge: the aggregate output is ≤ nBits/64 rows
+    // (≤ 65536 longs at the 2^22 cap) REGARDLESS of corpus size
+    val wordRows = expos
+      .select((col("pos") / 64).cast(LongType).as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      // BOUNDED: ≤ nBits/64 rows by construction (bitmap words)
+      .collect()
+    val bitmap = new Array[Long](words.toInt)
+    wordRows.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    val bm = typedlit(bitmap.toIndexedSeq)
+    val probed0 = graft.core.Tables.spread(
+        batch.select(col(idCol), col(textCol)), col(idCol))
+      .withColumn("_bm", bm)
+    val probed = (0 until hashes)
+      .foldLeft(probed0)((df, j) => df.withColumn(s"_p$j", posCol(col(textCol), j)))
+      .withColumn("bloom_hit",
+        (0 until hashes).map(j => expr(
+          s"(shiftright(element_at(_bm, cast(_p$j div 64 as int) + 1), " +
+          s"cast(_p$j % 64 as int)) & 1) = 1")).reduce(_ && _))
+    val exKeys = existing.select(contentKey(col(textCol)).as("_k")).distinct()
+    // the pre-filter payoff: only HIT rows reach the key join
+    val dupIds = probed.where(col("bloom_hit"))
+      .select(col(idCol).as("_did"), contentKey(col(textCol)).as("_bk"))
+      .join(exKeys, col("_bk") === col("_k"), "left_semi")
+      .select(col("_did"))
+    probed.join(dupIds, col(idCol) === col("_did"), "left")
+      .select(col(idCol), col("bloom_hit"),
+        col("_did").isNotNull.as("is_dup"),
+        (col("bloom_hit") && col("_did").isNull).as("false_positive"))
+  }
+
   /** Benchmark decontamination: flag training documents that share
     * any word n-gram with a benchmark/eval document — the n-gram
     * overlap rule production pre-training pipelines run before

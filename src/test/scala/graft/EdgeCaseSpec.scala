@@ -91,6 +91,14 @@ class EdgeCaseSpec extends SparkSpec {
     // single vector: no candidate pairs at any phase -> empty
     assert(Vectors.nswTopK(vecs, "vec_id", "embedding", dim = 64, k = 3,
       nHint = 2).count() == 0)
+    // bloom incremental: empty existing -> every batch doc a
+    // definitive miss; empty batch -> empty report
+    val docs1 = Seq((1L, "x")).toDF("doc_id", "text")
+    val bl = Dedup.bloomIncremental(docs1.where(lit(false)), docs1,
+      "doc_id", "text", nHint = 2).collect()
+    assert(bl.length == 1 && !bl(0).getBoolean(1) && !bl(0).getBoolean(2))
+    assert(Dedup.bloomIncremental(docs1, docs1.where(lit(false)),
+      "doc_id", "text", nHint = 2).count() == 0)
   }
 
   test("text relevance on an empty corpus") {
