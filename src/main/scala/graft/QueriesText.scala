@@ -1926,7 +1926,7 @@ object QueriesText {
     * re-expands the unrolled chain exponentially (the bpeVocabCtes
     * lesson, NOTES r13). */
   private def nswTopkSql(planes: Int, initTables: Int = 3, dim: Int = 64,
-                         m: Int = 8, buildRounds: Int = 3, beam: Int = 10,
+                         m: Int = 8, buildRounds: Int = 3, beam: Int = 16,
                          beamRounds: Int = 3, k: Int = 3): String = {
     val tableRows = lshKeyedRowsSql(planes, initTables, dim)
     // top-`keep` per node of the deduped candidate set, exact cosine

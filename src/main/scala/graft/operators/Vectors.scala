@@ -686,7 +686,7 @@ object Vectors {
     * (qid, cid, cosine round-6, per-query top-k). */
   def nswTopK(df: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, m: Int = 8, buildRounds: Int = 3,
-              beam: Int = 10, beamRounds: Int = 3, initTables: Int = 3,
+              beam: Int = 16, beamRounds: Int = 3, initTables: Int = 3,
               bucketTarget: Int = 16, planesOverride: Int = -1,
               nHint: Long = -1L): DataFrame = {
     require(beam >= k, s"beam=$beam must be >= k=$k")
