@@ -24,7 +24,10 @@ object ScaleStudy {
   private val HeavyFamily = Seq(
     "ep2_flagship", "ep4_corpus_curation", "dd_containment",
     "m10_triangles", "dd_keep_best", "j16_nearest_event",
-    "s19_scd2_history", "a20_concentration")
+    "s19_scd2_history", "a20_concentration",
+    // r13 additions: the ANN-eval pair tops ANCHOR.json, and the
+    // bloom build/probe is the newest sketch path
+    "ss_topk_hnsw", "ss_recall_methods", "dd_bloom_incremental")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(4)
