@@ -1925,9 +1925,13 @@ object QueriesText {
     * by its next round and DuckDB's inlining heuristic otherwise
     * re-expands the unrolled chain exponentially (the bpeVocabCtes
     * lesson, NOTES r13). */
-  private def nswTopkSql(planes: Int, initTables: Int = 3, dim: Int = 64,
-                         m: Int = 8, buildRounds: Int = 3, beam: Int = 16,
-                         beamRounds: Int = 3, k: Int = 3): String = {
+  private def nswTopkSql(planes: Int, initTables: Int = Vectors.Nsw.InitTables,
+                         dim: Int = 64,
+                         m: Int = Vectors.Nsw.M,
+                         buildRounds: Int = Vectors.Nsw.BuildRounds,
+                         beam: Int = Vectors.Nsw.Beam,
+                         beamRounds: Int = Vectors.Nsw.BeamRounds,
+                         k: Int = 3): String = {
     val tableRows = lshKeyedRowsSql(planes, initTables, dim)
     // top-`keep` per node of the deduped candidate set, exact cosine
     // (round-6, candidate-id ties) — the twin of nswTopK.rescore
@@ -2277,7 +2281,8 @@ object QueriesText {
         .orderBy(col("qid"), col("cosine").desc, col("cid")),
     sqlGen = Some { (s, dir) =>
       s"""${nswTopkSql(Vectors.planesFor(
-             graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16))}
+             graft.core.Tables.parquetRowCount(s, dir, "embeddings"),
+             Vectors.Nsw.BucketTarget))}
           ORDER BY qid, cosine DESC, cid"""
     })
 
@@ -2288,7 +2293,7 @@ object QueriesText {
       val e = t(s, dir, "embeddings")
       val cents = Vectors.trainIvfCentroids(e, "embedding",
         nCentroids = embCells(s, dir))
-      Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 4, k = 3)
+      Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = Vectors.Ivf.NProbe, k = 3)
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
@@ -2296,7 +2301,7 @@ object QueriesText {
       // literals to the bit-identical doubles NearestCells uses.
       val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"),
         "embedding", nCentroids = embCells(s, dir))
-      s"""${ivfTopkSql(cents, nProbe = 4, k = 3)}
+      s"""${ivfTopkSql(cents, nProbe = Vectors.Ivf.NProbe, k = 3)}
           ORDER BY qid, cosine DESC, cid"""
     })
 
@@ -2308,7 +2313,7 @@ object QueriesText {
     * The oracle is generated at Verify time like ss_topk_ivf: both
     * quantizers train deterministically (shared hash-ordered sample,
     * maximin init, fixed Lloyd iterations), so coarse centroids AND
-    * all 8×16 codebook rows (with their precomputed squared norms)
+    * all 8×kSub codebook rows (with their precomputed squared norms)
     * are inlined as SQL literals; encode (per-subspace argmin, ties
     * by code), the per-query ADC table, the j-ordered lookup sum,
     * shortlist ranking and the exact rerank all mirror the Spark
@@ -2320,9 +2325,9 @@ object QueriesText {
       val e = t(s, dir, "embeddings")
       val cents = Vectors.trainIvfCentroids(e, "embedding",
         nCentroids = embCells(s, dir))
-      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = Vectors.Ivf.KSub)
       Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
-          nProbe = 4, k = 3, rerank = 20)
+          nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank)
         .orderBy(col("qid"), col("cosine").desc, col("cid"))
     },
     sqlGen = Some { (s, dir) =>
@@ -2331,8 +2336,8 @@ object QueriesText {
       // doubles the compiled kernels use (proven by ss_topk_ivf).
       val cents = Vectors.trainIvfCentroids(e, "embedding",
         nCentroids = embCells(s, dir))
-      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
-      s"""${ivfPqTopkSql(cents, cbs, nProbe = 4, k = 3, rerank = 20)}
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = Vectors.Ivf.KSub)
+      s"""${ivfPqTopkSql(cents, cbs, nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank)}
           ORDER BY qid, cosine DESC, cid"""
     })
 
@@ -2364,7 +2369,7 @@ object QueriesText {
         .localCheckpoint()
       val cents = Vectors.trainIvfCentroids(e, "embedding",
         nCentroids = embCells(s, dir))
-      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = Vectors.Ivf.KSub)
       def top3(m: String, df: org.apache.spark.sql.DataFrame) =
         df.where(col("qid") % 20 === 0)
           .select(lit(m).as("method"), col("qid"), col("cid"))
@@ -2372,9 +2377,9 @@ object QueriesText {
           dim = 64, k = 3, tables = 8,
           nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings")))
         .unionByName(top3("ivf", Vectors.ivfTopK(e, "vec_id", "embedding",
-          cents, nProbe = 4, k = 3)))
+          cents, nProbe = Vectors.Ivf.NProbe, k = 3)))
         .unionByName(top3("ivfpq", Vectors.ivfPqTopK(e, "vec_id", "embedding",
-          cents, cbs, nProbe = 4, k = 3, rerank = 20)))
+          cents, cbs, nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank)))
         .unionByName(top3("hnsw", Vectors.nswTopK(e, "vec_id", "embedding",
           dim = 64, k = 3,
           nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))))
@@ -2399,7 +2404,7 @@ object QueriesText {
       val e = t(s, dir, "embeddings")
       val cents = Vectors.trainIvfCentroids(e, "embedding",
         nCentroids = embCells(s, dir))
-      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+      val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = Vectors.Ivf.KSub)
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id % 20 = 0),
           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
@@ -2410,10 +2415,11 @@ object QueriesText {
                 ORDER BY cosine DESC, cid) AS rn FROM bscored)
             WHERE rn <= 3),
           lsht AS (${lshTopkSql(planes = embPlanes(s, dir), tables = 8, dim = 64, k = 3)}),
-          ivft AS (${ivfTopkSql(cents, nProbe = 4, k = 3)}),
-          pqt AS (${ivfPqTopkSql(cents, cbs, nProbe = 4, k = 3, rerank = 20)}),
+          ivft AS (${ivfTopkSql(cents, nProbe = Vectors.Ivf.NProbe, k = 3)}),
+          pqt AS (${ivfPqTopkSql(cents, cbs, nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank)}),
           hnswt AS (${nswTopkSql(Vectors.planesFor(
-            graft.core.Tables.parquetRowCount(s, dir, "embeddings"), 16))}),
+            graft.core.Tables.parquetRowCount(s, dir, "embeddings"),
+            Vectors.Nsw.BucketTarget))}),
           methods AS (
             SELECT 'lsh' AS method, qid, cid FROM lsht WHERE qid % 20 = 0
             UNION ALL

@@ -509,10 +509,18 @@ object Dedup {
       .withColumn("_bm", bm)
     val probed = (0 until hashes)
       .foldLeft(probed0)((df, j) => df.withColumn(s"_p$j", posCol(col(textCol), j)))
-      .withColumn("bloom_hit",
+      // coalesce: a NULL text yields NULL probe positions and a NULL
+      // bit-test chain — the oracle's count-based hit CTE reads such a
+      // row as bloom_hit = false, so both engines must (ADVICE r13)
+      .withColumn("bloom_hit", coalesce(
         (0 until hashes).map(j => expr(
           s"(shiftright(element_at(_bm, cast(_p$j div 64 as int) + 1), " +
-          s"cast(_p$j % 64 as int)) & 1) = 1")).reduce(_ && _))
+          s"cast(_p$j % 64 as int)) & 1) = 1")).reduce(_ && _), lit(false)))
+      // referenced twice below (the hit-filter branch and the final
+      // left join) — persist so the batch spread + 4 md5 probes + bit
+      // tests run once per action, not twice (batch-sized,
+      // recomputable — the PMI persist recipe, ADVICE r13)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exKeys = existing.select(contentKey(col(textCol)).as("_k")).distinct()
     // the pre-filter payoff: only HIT rows reach the key join
     val dupIds = probed.where(col("bloom_hit"))

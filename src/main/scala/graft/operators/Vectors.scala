@@ -193,9 +193,20 @@ object Vectors {
     * iterations), returned as plain arrays. At 100 TB the sample is
     * a tiny `TABLESAMPLE`; assignment below stays fully distributed.
     */
+  /** Driver training-sample budget shared by [[trainIvfCentroids]]
+    * and [[cellsFor]]'s cap (ADVICE r13: the two defaults were only
+    * coupled by convention — a caller mixing a smaller sample with
+    * cellsFor-sized nlist could under-sample Lloyd). */
+  val IvfSampleSize = 4096
+
   def trainIvfCentroids(df: DataFrame, vecCol: String, nCentroids: Int,
-                        iterations: Int = 10, sampleSize: Int = 4096): Array[Array[Double]] =
+                        iterations: Int = 10,
+                        sampleSize: Int = IvfSampleSize): Array[Array[Double]] = {
+    require(sampleSize >= 4 * nCentroids,
+      s"sampleSize=$sampleSize gives Lloyd < 4 sample points per " +
+      s"centroid at nCentroids=$nCentroids — size cells via cellsFor($sampleSize)")
     kmeansFit(hashOrderedSample(df, vecCol, sampleSize), nCentroids, iterations)
+  }
 
   /** X-M8: distributed k-means cluster report. Training runs on the
     * deterministic hash-ordered driver sample (maximin init + fixed
@@ -419,9 +430,53 @@ object Vectors {
     * historical small-corpus operating point), capped at a quarter of
     * the driver training sample so Lloyd always has ≥4 sample points
     * per centroid. */
-  def cellsFor(n: Long, sampleSize: Int = 4096): Int =
+  def cellsFor(n: Long, sampleSize: Int = IvfSampleSize): Int =
     math.min(sampleSize / 4,
       math.max(8, math.ceil(math.sqrt(math.max(n, 1).toDouble)).toInt))
+
+  /** One source of truth for the NSW graph-ANN operating point: both
+    * twins — [[nswTopK]] (Spark) and `QueriesText.nswTopkSql` (the
+    * generated DuckDB oracle) — and the `ss_topk_hnsw` /
+    * `ss_recall_methods` registry entries read THESE constants, so a
+    * tuning edit cannot desynchronize query from oracle (ADVICE r13:
+    * the beam 10→16 widen changed one side's default and only the
+    * next Verify run would have caught a miss). Round-count budget:
+    * 1 init + BuildRounds + BeamRounds materialized CTEs ≤ ~8 total —
+    * past that the unrolled DuckDB twin hits the plan-explosion wall
+    * (NOTES r13). */
+  // r14 operating point (RecallProbe sweep, NOTES r14): m 8→14,
+  // initTables 3→4, bucketTarget 16→32 moved recall@3 at sf0.1 from
+  // 0.39 to 0.79 (sf0.01: 0.75→0.97) at flat wall — the probe/build
+  // stages are job-floor dominated at these corpus sizes, so graph
+  // degree was free recall. Round counts deliberately unchanged
+  // (the DuckDB unroll budget).
+  object Nsw {
+    val M = 14
+    val BuildRounds = 3
+    val Beam = 16
+    val BeamRounds = 3
+    val InitTables = 4
+    val BucketTarget = 32
+  }
+
+  /** Shared IVF / IVF-PQ operating point for the registry twins —
+    * same one-source-of-truth rationale as [[Nsw]]: the `ss_topk_ivf`
+    * / `ss_topk_ivfpq` / `ss_recall_methods` query fns AND their
+    * generated DuckDB oracles all read these, so a recall-tuning edit
+    * lands on both engines at once. */
+  // r14 operating point (RecallProbe sweep): IVF nProbe 4→8 moved
+  // recall@3 at sf0.1 from 0.45 to 0.63; the PQ path additionally
+  // needed finer codebooks (kSub 16→32, 5-bit codes), a deeper probe
+  // (nProbe 10) and a wider exact-rerank shortlist (20→64) to reach
+  // 0.63 (was 0.27 — an ADC shortlist that narrow simply never
+  // contained the true neighbors). Candidates stay nProbe·√n per
+  // query (n^1.5 total) — the documented IVF asymptote.
+  object Ivf {
+    val NProbe = 8
+    val PqNProbe = 10
+    val Rerank = 64
+    val KSub = 32
+  }
 
   /** Auto-scaled planes per table: the bucket count tracks corpus
     * size (2^planes ≈ n / bucketTarget) so expected bucket occupancy
@@ -685,9 +740,11 @@ object Vectors {
     * `ss_recall_methods`. Output shape matches [[lshTopK]]:
     * (qid, cid, cosine round-6, per-query top-k). */
   def nswTopK(df: DataFrame, idCol: String, vecCol: String,
-              dim: Int, k: Int, m: Int = 8, buildRounds: Int = 3,
-              beam: Int = 16, beamRounds: Int = 3, initTables: Int = 3,
-              bucketTarget: Int = 16, planesOverride: Int = -1,
+              dim: Int, k: Int, m: Int = Nsw.M,
+              buildRounds: Int = Nsw.BuildRounds,
+              beam: Int = Nsw.Beam, beamRounds: Int = Nsw.BeamRounds,
+              initTables: Int = Nsw.InitTables,
+              bucketTarget: Int = Nsw.BucketTarget, planesOverride: Int = -1,
               nHint: Long = -1L): DataFrame = {
     require(beam >= k, s"beam=$beam must be >= k=$k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

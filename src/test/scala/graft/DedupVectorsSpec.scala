@@ -185,7 +185,8 @@ class VectorsSpec extends SparkSpec {
     // graph search (NN-descent + beam) must beat plain OR-banding LSH's
     // floor on the same near-isotropic embeddings — the beam rescans
     // ~beam·m exact cosines per query where LSH only sees collisions
-    assert(recall > 0.3, s"recall=$recall")
+    // (floor raised 0.3→0.6 with the r14 m=14/bt=32/it=4 retune)
+    assert(recall > 0.6, s"recall=$recall")
   }
 
   test("lshTopKFiltered == lshTopK run per label stratum (pre-filter exactness)") {
@@ -311,13 +312,15 @@ class VectorsSpec extends SparkSpec {
       assert(nq > 0 && mean >= 0.0 && mean <= 1.0, s"$m: $mean")
       assert(perfect >= 0 && perfect <= nq, s"$m: $perfect/$nq")
     }
-    // operating floors on the real embeddings at sf0.01 (measured
-    // ~0.55/0.44/0.36; floors leave headroom, they catch collapses
-    // like an untrained codebook or a broken probe, not noise)
-    assert(rows("ivf")._2 > 0.35, s"ivf recall ${rows("ivf")._2}")
-    assert(rows("ivfpq")._2 > 0.25, s"ivfpq recall ${rows("ivfpq")._2}")
+    // operating floors on the real embeddings at sf0.01, raised at
+    // r14 after the RecallProbe retune (measured 0.69/0.68/0.56/0.97
+    // for ivf/ivfpq/lsh/hnsw; sf0.1 reads 0.63/0.63/0.25/0.79).
+    // Floors leave headroom — they catch collapses like an untrained
+    // codebook or a broken probe, not noise.
+    assert(rows("ivf")._2 > 0.5, s"ivf recall ${rows("ivf")._2}")
+    assert(rows("ivfpq")._2 > 0.5, s"ivfpq recall ${rows("ivfpq")._2}")
     assert(rows("lsh")._2 > 0.2, s"lsh recall ${rows("lsh")._2}")
-    assert(rows("hnsw")._2 > 0.4, s"hnsw recall ${rows("hnsw")._2}")
+    assert(rows("hnsw")._2 > 0.8, s"hnsw recall ${rows("hnsw")._2}")
   }
 
   test("IVF training is write-order-independent: cluster-sorted corpus keeps recall") {
