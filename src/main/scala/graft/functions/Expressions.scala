@@ -53,6 +53,53 @@ object Expressions {
     set
   }
 
+  /** Sorted 64-bit FNV-1a signature of a text's k-shingle SET — the
+    * cacheable form of [[shingleSet]] for stateful streaming dedup:
+    * a document's signature is computed once on arrival and kept in
+    * stream state, so later comparisons never re-tokenize the text
+    * ([[sigJaccard]] is a merge-scan over two sorted arrays).
+    * Same lowercasing/short-text rules as shingleSet, so
+    * |signature| == |shingle set| and intersections agree with the
+    * exact string kernel unless two DISTINCT shingles collide in 64
+    * bits (~n²/2⁶⁴ per document pair — negligible at any real corpus;
+    * the oracle hash gate would surface it deterministically). */
+  def shingleSig(text: String, k: Int): Array[Long] = {
+    def fnv(s: String, from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = from
+      while (i < until) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (lc.length <= k) set.add(fnv(lc, 0, lc.length))
+    else {
+      var i = 0
+      val n = lc.length - k + 1
+      while (i < n) { set.add(fnv(lc, i, i + k)); i += 1 }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Exact Jaccard of two [[shingleSig]] signatures — the same
+    * `inter / (|a| + |b| - inter)` arithmetic as
+    * [[ShingleJaccard.kernel]], with the intersection counted by a
+    * linear merge over the sorted arrays instead of set probes. */
+  def sigJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** MinHash LSH band keys of a text column, one compiled pass:
     * shingle → numHashes × md5("j:"+shingle) minima → per-band md5 of
     * the concatenated signature slice. Result: array of band-key hex

@@ -102,11 +102,57 @@ object ScaleStudy {
       (runs.sorted.apply(1), snap.size, snap.count(_._2 == 1))
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  stages  1-task  (linear = $k%d.0)")
-    names.foreach { n =>
-      val (t1, _, _) = time(src, n, captureStages = false)
-      val (tk, nStages, oneTask) = time(dst, n, captureStages = true)
-      println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  $nStages%6d  $oneTask%6d")
+    names.foreach {
+      case "m1_extent" => m1Extent(spark, src, dst, k)
+      case n =>
+        val (t1, _, _) = time(src, n, captureStages = false)
+        val (tk, nStages, oneTask) = time(dst, n, captureStages = true)
+        println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  $nStages%6d  $oneTask%6d")
     }
+  }
+
+  /** EXTENT-scaling mode for the fixed-domain spatial fixture
+    * (VERDICT r13 #5): m1_dbscan's positions are (key·17)%500 —
+    * a fixed 500×500 domain, so k× replicated points mean k× density
+    * and k²× ε-pairs (274 s at 16×, OOMs a 24 GB driver). That grades
+    * the FIXTURE, not the operator: real spatial growth extends the
+    * extent at roughly constant density, and the grid-join's cost is
+    * ∝ output pairs (optimal). This mode lays each shard's 500×500
+    * tile out on a √k × √k grid at pitch 512 (> 500 + 2ε, so tiles
+    * cannot interact and the k× workload is exactly k independent
+    * copies of the 1× workload — constant density, k× extent), then
+    * times the SAME [[graft.operators.Clustering.dbscan]] operator
+    * the registry query calls, eps/minSamples unchanged. */
+  private def m1Extent(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    import graft.operators.Clustering
+    val side = math.ceil(math.sqrt(k.toDouble)).toLong
+    val pitch = 512L
+    def pts(dir: String) = {
+      val tile = (col("p_partkey") / Stride).cast("long")
+      graft.core.Tables.load(spark, dir, "part").select(
+        col("p_partkey"),
+        ((col("p_partkey") * 17) % 500 + (tile % side) * pitch).as("x"),
+        ((col("p_partkey") * 29) % 500 + (tile / side) * pitch).as("y"))
+    }
+    def time(dir: String): Double = {
+      val runs = (1 to 3).map { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val t0 = System.nanoTime()
+        Clustering.dbscan(pts(dir), "p_partkey", "x", "y",
+          eps = 5.0, minSamples = 2).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id))
+            try rdd.unpersist(blocking = false) catch { case _: Throwable => }
+        }
+        dt
+      }
+      runs.sorted.apply(1)
+    }
+    val t1 = time(src)
+    val tk = time(dst)
+    println(f"${"m1_extent(dbscan)"}%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  ${"-"}%6s  ${"-"}%6s")
   }
 
   /** Offset every *key-like* long column by shard stride; suffix the

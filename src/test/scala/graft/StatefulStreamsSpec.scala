@@ -152,6 +152,30 @@ class StatefulStreamsSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
   }
 
+  test("cached shingle signature Jaccard == exact string-kernel Jaccard (r14 state cache)") {
+    // the stateful signature cache replaces per-pair ShingleJaccard
+    // kernel calls with merge-intersections of cached sorted 64-bit
+    // signatures — pin value equality on real corpus text, all pairs
+    // of a bounded sample (plus the degenerate short-text rule)
+    val texts = core.Tables.load(spark, sf001, "documents")
+      .orderBy("doc_id").limit(30).select("text").as[String].collect()
+    val sj = graft.functions.Expressions.ShingleJaccard(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create("", org.apache.spark.sql.types.StringType), 5)
+    val sigs = texts.map(t => graft.functions.Expressions.shingleSig(t, 5))
+    for (i <- texts.indices; j <- texts.indices if i < j) {
+      val exact = sj.kernel(
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(i)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(j)))
+      val cached = graft.functions.Expressions.sigJaccard(sigs(i), sigs(j))
+      assert(cached == exact, s"pair ($i,$j): sig=$cached kernel=$exact")
+    }
+    // short texts collapse to ONE shingle in both representations
+    assert(graft.functions.Expressions.sigJaccard(
+      graft.functions.Expressions.shingleSig("ab", 5),
+      graft.functions.Expressions.shingleSig("AB", 5)) == 1.0)
+  }
+
   test("streaming CEP across micro-batches == batch lead-window pattern") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = core.Tables.load(spark, sf001, "events")
