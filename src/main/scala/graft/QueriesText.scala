@@ -1173,9 +1173,15 @@ object QueriesText {
     })
 
   /** Benchmark decontamination: the deterministic ~2% id-bucket slice
-    * (sampleBucket < 20) plays the eval set; a training doc is
-    * contaminated iff it shares any word 4-gram with it. Inverted-
-    * index equi-join on the gram — never train × bench pairs. */
+    * of the FIRST 500 ids (sampleBucket < 20 ∧ doc_id < 500) plays
+    * the eval set; a training doc is contaminated iff it shares any
+    * word 4-gram with it. Inverted-index equi-join on the gram —
+    * never train × bench pairs. The id cap (r14, VERDICT #6) pins the
+    * eval side to a CONSTANT row count as the corpus grows — the
+    * production shape, where benchmarks are fixed files next to an
+    * ever-growing crawl; the old pure-fraction slice made the k=16
+    * ScaleStudy ratio (6.2) measure eval-set growth, a fixture
+    * artifact the operator doesn't have. */
   private val ddDecontaminate = Q(
     "dd_decontaminate",
     Some(s"""WITH t AS (SELECT doc_id,
@@ -1183,8 +1189,10 @@ object QueriesText {
             $toksSql AS toks FROM documents),
           g AS (SELECT doc_id, bucket,
             list_distinct(${ngramsOf("toks", 4)}) AS gr FROM t),
-          tg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE bucket >= 20),
-          bg AS (SELECT doc_id AS bench_id, unnest(gr) AS gram FROM g WHERE bucket < 20)
+          tg AS (SELECT doc_id, unnest(gr) AS gram FROM g
+            WHERE NOT (bucket < 20 AND doc_id < 500)),
+          bg AS (SELECT doc_id AS bench_id, unnest(gr) AS gram FROM g
+            WHERE bucket < 20 AND doc_id < 500)
           SELECT tg.doc_id, count(DISTINCT tg.gram) AS n_shared_grams,
             count(DISTINCT bg.bench_id) AS n_bench_docs
           FROM tg JOIN bg USING (gram)
@@ -1192,8 +1200,9 @@ object QueriesText {
     (s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("_bucket", Text.sampleBucket(col("doc_id")))
+      val isBench = col("_bucket") < 20 && col("doc_id") < 500
       Dedup.decontaminate(
-          d.where(col("_bucket") >= 20), d.where(col("_bucket") < 20),
+          d.where(!isBench), d.where(isBench),
           "doc_id", "text", n = 4)
         .orderBy("doc_id")
     })
