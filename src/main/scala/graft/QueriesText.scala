@@ -989,6 +989,24 @@ object QueriesText {
         .dropDuplicates("a", "b")
         .orderBy("a", "b"))
 
+  /** X-ST13: stateful streaming exact-dedup ingest gate, batch-mode
+    * execution — the same flatMapGroupsWithState transform
+    * StatefulStreamsSpec drives across micro-batches runs here on
+    * the static corpus. Per-doc admit/reject with the corpus
+    * content-key set in stream state (first occurrence by id wins),
+    * so the oracle is the window rank over the shared
+    * md5(lower(text)) key — first-occurrence semantics identical to
+    * dd_exact's min-id convention. */
+  private val stIngestDedup = Q(
+    "st_ingest_dedup",
+    Some("""SELECT doc_id, md5(lower(text)) AS content_key,
+            (row_number() OVER (PARTITION BY md5(lower(text))
+               ORDER BY doc_id) > 1) AS is_dup
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.streaming.Streams.exactIngestGate(t(s, dir, "documents"))
+        .orderBy("doc_id"))
+
   /** Incremental near-dedup: the ~10% id-bucket slice plays the
     * incoming crawl batch; flag batch docs that near-duplicate the
     * existing corpus (band-bucket join batch × existing, exact
@@ -1227,6 +1245,76 @@ object QueriesText {
       val b = d.select(col("doc_id").as("b"), col("sh").as("_shb"))
       a.join(b, col("b") === col("a") + 1)
         .select(col("a"), col("b"), Text.jaccard(col("_sha"), col("_shb")).as("jaccard"))
+        .orderBy("a")
+    })
+
+  /** X-TX30: ROUGE-2 overlap on the deterministic consecutive-id
+    * pair set — the summarization/duplication EVAL metric next to
+    * dd_ngram_jaccard's set-Jaccard: clipped MULTISET bigram overlap
+    * (Σ min(countₐ(g), countᵦ(g)) — Lin '04's clipping, which plain
+    * set intersection over-credits for repeated grams), with recall
+    * against doc a, precision against doc b, and their harmonic F1.
+    * All counts are exact integers; each ratio is ONE double
+    * division of two exact longs and F1 one fixed-shape expression
+    * over those ratios — bit-identical cross-engine without
+    * quantization. Scale shape: gram explode in the scan (spread
+    * first — the r01 byte-small/CPU-heavy trap), one (doc, gram)
+    * hash aggregate, one gram-keyed equi-join restricted to adjacent
+    * ids; never all-pairs. */
+  private val txRouge = Q(
+    "tx_rouge_overlap",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(${ngramsOf("toks", 2)}) AS gram FROM t),
+          c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+          tot AS (SELECT doc_id, count(*) AS total FROM g GROUP BY doc_id),
+          ov AS (SELECT x.doc_id AS a, sum(least(x.n, y.n)) AS n_overlap
+            FROM c x JOIN c y ON y.doc_id = x.doc_id + 1 AND y.gram = x.gram
+            GROUP BY x.doc_id),
+          base AS (SELECT ta.doc_id AS a, tb.doc_id AS b,
+              coalesce(ov.n_overlap, 0) AS n_overlap,
+              ta.total AS total_a, tb.total AS total_b
+            FROM tot ta JOIN tot tb ON tb.doc_id = ta.doc_id + 1
+            LEFT JOIN ov ON ov.a = ta.doc_id),
+          r AS (SELECT a, b, CAST(n_overlap AS BIGINT) AS n_overlap,
+              total_a, total_b,
+              CAST(n_overlap AS DOUBLE) / total_a AS rouge2_recall,
+              CAST(n_overlap AS DOUBLE) / total_b AS rouge2_precision
+            FROM base)
+          SELECT a, b, n_overlap, total_a, total_b, rouge2_recall,
+            rouge2_precision,
+            CASE WHEN n_overlap = 0 THEN 0.0
+              ELSE 2.0 * rouge2_recall * rouge2_precision
+                   / (rouge2_recall + rouge2_precision) END AS rouge2_f1
+          FROM r ORDER BY a"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = graft.core.Tables.spread(
+          d.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), explode(Text.wordNgrams(col("text"), 2)).as("gram"))
+      val c = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      val tot = g.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      val ov = c.select(col("doc_id").as("_xa"), col("gram"), col("n").as("_xn"))
+        .join(c.select((col("doc_id") - 1).as("_xa"), col("gram"), col("n").as("_yn")),
+          Seq("_xa", "gram"))
+        .groupBy(col("_xa").as("a"))
+        .agg(sum(least(col("_xn"), col("_yn"))).as("_ov"))
+      val base = tot.select(col("doc_id").as("a"), col("total").as("total_a"))
+        .join(tot.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"),
+          col("total").as("total_b")), Seq("a"))
+        .join(ov, Seq("a"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("_ov"), lit(0L)).as("n_overlap"),
+          col("total_a"), col("total_b"))
+      val withR = base
+        .withColumn("rouge2_recall",
+          col("n_overlap").cast(org.apache.spark.sql.types.DoubleType) / col("total_a"))
+        .withColumn("rouge2_precision",
+          col("n_overlap").cast(org.apache.spark.sql.types.DoubleType) / col("total_b"))
+      withR
+        .withColumn("rouge2_f1",
+          when(col("n_overlap") === 0L, lit(0.0))
+            .otherwise(lit(2.0) * col("rouge2_recall") * col("rouge2_precision")
+              / (col("rouge2_recall") + col("rouge2_precision"))))
         .orderBy("a")
     })
 
@@ -2922,9 +3010,9 @@ object QueriesText {
     txRepetition, txFused, txLangEval, txSplit, txCorpus, txCommonness, txBigramLm, txPmi, txTfidf, txBm25,
     txVocab, txPack,
     txPackReport, txMix, txTemp, p12Stratified,
-    ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, ddDupGroups,
+    ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, stIngestDedup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental, ddBloom,
-    ddNgram, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
+    ddNgram, txRouge, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,

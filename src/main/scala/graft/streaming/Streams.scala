@@ -262,6 +262,62 @@ object Streams {
       .toDF("a", "b", "jaccard")
   }
 
+  /** X-ST13: stateful streaming exact-dedup ingest gate — the
+    * "have I seen this document before?" decision made AS DOCS
+    * ARRIVE, with the corpus's content-key set living in stream
+    * state: the streaming twin of the
+    * [[graft.operators.Dedup.bloomIncremental]] /
+    * `ep7_incremental_ingest` batch gates, closing the ingest-dedup
+    * triangle (batch side table / batch sketch / stream state).
+    *
+    * Shape: content key = md5(lower(text)) computed in the SCAN
+    * (same engine-native expression the dd_exact oracle mirrors);
+    * rows group by the key's first 3 hex chars — a bounded 4096-key
+    * space, so state per group is O(corpus/4096) keys and the
+    * shuffle is uniform by construction (md5 prefixes are uniform —
+    * no skew salting needed at any corpus size). Each group's
+    * `flatMapGroupsWithState` keeps the SET of seen keys; an
+    * arriving doc is a duplicate iff its key is already present
+    * (from any earlier micro-batch, or from a smaller-id doc in this
+    * one — rows are processed in id order, so batch-mode output is
+    * deterministic and equals the window oracle
+    * `row_number() OVER (PARTITION BY key ORDER BY id) > 1`).
+    * At production scale the state store bounds memory per executor
+    * and `stateTtlMs` gives the dedup horizon a crawl wants.
+    * StatefulStreamsSpec proves a dup whose original arrived in an
+    * EARLIER micro-batch still flags (cross-batch state). */
+  def exactIngestGate(docs: DataFrame,
+                      stateTtlMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(lower(col("text"))).as("_ck"))
+      .select(col("doc_id"), col("_ck"), substring(col("_ck"), 1, 3).as("_bucket"))
+      .as[(Long, String, String)]
+    def fn(bucket: String, rows: Iterator[(Long, String, String)],
+           state: GroupState[Set[String]]): Iterator[(Long, String, Boolean)] = {
+      // TTL expiry: the bucket's seen-key set is the dedup horizon —
+      // an idle slice of the key space restarts cold (same contract
+      // as the near-dup horizon above)
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var seen = state.getOption.getOrElse(Set.empty[String])
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+      rows.toSeq.sortBy(_._1).foreach { case (id, ck, _) =>
+        val dup = seen.contains(ck)
+        out += ((id, ck, dup))
+        if (!dup) seen += ck
+      }
+      state.update(seen)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs))(fn)
+      .toDF("doc_id", "content_key", "is_dup")
+  }
+
   /** X-ST7: stateful streaming CEP — the strict view→click→purchase
     * sequence (the batch ev_cep_pattern) detected AS EVENTS ARRIVE:
     * `flatMapGroupsWithState` keyed by user holds only the last two

@@ -152,6 +152,76 @@ class StatefulStreamsSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
   }
 
+  test("streaming exact-dedup ingest gate across micro-batches == batch window rank") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the sf0.001 corpus has no exact dups — plant 20 (same text,
+    // id + 10000) so the gate has something to catch; planted ids
+    // flip parity, so half the dups cross the micro-batch split below
+    val raw = core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val docs = raw.unionByName(
+      raw.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val batch = Streams.exactIngestGate(docs)
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(batch.count(_._3) == 20, "planted dups not all flagged in batch mode")
+    // independent sequential reference: JVM MessageDigest md5 of the
+    // lowercased UTF-8 text, first-seen fold in id order
+    val ref = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = scala.collection.mutable.HashSet[String]()
+      docs.select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).map { case (id, text) =>
+          val ck = md.digest(text.toLowerCase(java.util.Locale.ROOT)
+              .getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val dup = !seen.add(ck)
+          (id, ck, dup)
+        }.toSet
+    }
+    assert(batch == ref, s"batch-vs-ref diff: ${(batch diff ref).take(3)} ${(ref diff batch).take(3)}")
+    // split by id parity and force one file per micro-batch: a dup
+    // whose FIRST occurrence arrived in batch 1 must still flag in
+    // batch 2, through the seen-key state
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
+    docs.where(col("doc_id") % 2 === 0).repartition(1).write.parquet(s"$dir/p0")
+    docs.where(col("doc_id") % 2 === 1).repartition(1).write.parquet(s"$dir/p1")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    var n = 0
+    Seq("p0", "p1").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val target = srcDir.resolve(f"$n%03d.parquet")
+          java.nio.file.Files.copy(f, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+          n += 1
+        }
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.exactIngestGate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ingest_out")
+      .as[(Long, String, Boolean)].collect().toSet
+    // the streaming admission order is ARRIVAL order (evens first),
+    // not global id order — project to per-KEY dup counts, which both
+    // orders must agree on (same set of keys, one admit per key)
+    def perKey(s: Set[(Long, String, Boolean)]) =
+      s.groupBy(_._2).view.mapValues(g => (g.size, g.count(_._3))).toMap
+    assert(perKey(streamed) == perKey(batch))
+    // and any id whose key appeared in batch 1 (even twin with a
+    // smaller id... or any even id sharing its key) must flag as dup
+    val evenKeys = streamed.filter(_._1 % 2 == 0).map(_._2)
+    streamed.filter(r => r._1 % 2 == 1 && evenKeys.contains(r._2))
+      .foreach { r => assert(r._3, s"cross-batch dup ${r._1} not flagged") }
+  }
+
   test("cached shingle signature Jaccard == exact string-kernel Jaccard (r14 state cache)") {
     // the stateful signature cache replaces per-pair ShingleJaccard
     // kernel calls with merge-intersections of cached sorted 64-bit

@@ -15,6 +15,46 @@ class TextRelevanceSpec extends SparkSpec {
     (4L, "apple banana cherry", "de"))
     .toDF("doc_id", "text", "lang")
 
+  test("tx_rouge_overlap == independent sequential ROUGE-2 (clipped multiset) reference") {
+    // plain-Scala ROUGE-2 over the real corpus: lowercase whitespace
+    // tokens (String.split == Spark's split()), bigrams WITH
+    // multiplicity, clipped overlap Σ min(ca, cb) — computed with
+    // none of the operator's plan machinery
+    val docs = core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def bigrams(text: String): Seq[String] = {
+      val t = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      if (t.length <= 1) Seq(t.mkString(" "))
+      else t.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val byId = docs.map { case (id, tx) => id -> bigrams(tx) }.toMap
+    val got = SparkEntry.queries("tx_rouge_overlap")(spark, sf001)
+      .select("a", "n_overlap", "total_a", "total_b", "rouge2_f1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    var sawClip = false
+    got.foreach { case (a, (ov, ta, tb, f1)) =>
+      val ga = byId(a); val gb = byId(a + 1)
+      val ca = ga.groupBy(identity).view.mapValues(_.size)
+      val cb = gb.groupBy(identity).view.mapValues(_.size).toMap
+      val refOv = ca.map { case (g, n) => math.min(n, cb.getOrElse(g, 0)) }.sum.toLong
+      if (ca.exists { case (g, n) => n > 1 && cb.getOrElse(g, 0) > 0 }) sawClip = true
+      assert((ov, ta, tb) == ((refOv, ga.size.toLong, gb.size.toLong)),
+        s"pair $a: got ($ov,$ta,$tb) ref ($refOv,${ga.size},${gb.size})")
+      val refF1 =
+        if (refOv == 0) 0.0
+        else {
+          val r = refOv.toDouble / ga.size; val p = refOv.toDouble / gb.size
+          2.0 * r * p / (r + p)
+        }
+      assert(f1 == refF1, s"pair $a f1: $f1 vs $refF1")
+    }
+    // the corpus must actually exercise the clipping path, or this
+    // test can't distinguish multiset ROUGE from set intersection
+    assert(sawClip, "no repeated-bigram overlap in fixture — clipping untested")
+  }
+
   test("tfIdfTopK: corpus-unique term outranks ubiquitous terms") {
     val out = Text.tfIdfTopK(docs, "doc_id", "text", k = 2)
       .orderBy("doc_id", "rank_in_group").collect()
