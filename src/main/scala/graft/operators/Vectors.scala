@@ -450,11 +450,15 @@ object Vectors {
   // stages are job-floor dominated at these corpus sizes, so graph
   // degree was free recall. Round counts deliberately unchanged
   // (the DuckDB unroll budget).
+  // BeamRounds 3→2 (second sweep): recall 0.790→0.783 at sf0.1 /
+  // 0.973 unchanged at sf0.01 — one whole probe round (a join +
+  // window + checkpoint, and one MATERIALIZED oracle CTE) for 0.007
+  // recall.
   object Nsw {
     val M = 14
     val BuildRounds = 3
     val Beam = 16
-    val BeamRounds = 3
+    val BeamRounds = 2
     val InitTables = 4
     val BucketTarget = 32
   }
