@@ -1406,22 +1406,45 @@ object QueriesText {
     * eval on the held-out LCG split. Output: dense 2×2 confusion
     * matrix. Unrolled-iteration SQL oracle mirrors every Newton
     * step (quantized sigmoid, decimal moment sums, Cramer solve). */
-  private val txLrQuality = Q(
-    "tx_lr_quality",
-    Some {
-      val z = s"""-2.0 + 3.0 * ($qualityInlineSql2)
+  // shared by the LR and boosted-stump trainers: the fused linear
+  // quality label and its toks/g3 source CTEs — one copy so the two
+  // models train on provably identical labels
+  private val lrZSql = s"""-2.0 + 3.0 * ($qualityInlineSql2)
               + 1.5 * (len(list_distinct(toks)) / len(toks))
               - 2.0 * ((len(g3) - len(list_distinct(g3))) / len(g3))
               + 0.5 * least(1.0, len(toks) / 200.0)"""
-      graft.ml.LogReg.lrQualitySql(
-        srcCtes =
-          s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-              zsrc AS (SELECT doc_id, text, toks, ${ngramsOf("toks", 3)} AS g3 FROM t)""",
-        zSql = z, iters = 4)
-    },
+  private val lrSrcCtes =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        zsrc AS (SELECT doc_id, text, toks, ${ngramsOf("toks", 3)} AS g3 FROM t)"""
+
+  private val txLrQuality = Q(
+    "tx_lr_quality",
+    Some(graft.ml.LogReg.lrQualitySql(
+      srcCtes = lrSrcCtes, zSql = lrZSql, iters = 4)),
     (s, dir) =>
       graft.ml.LogReg.lrQualityEval(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("label", "label_pred"))
+
+  /** X-M17: trained gradient-boosted decision stumps (histogram
+    * L2Boost, [[graft.ml.Boost]]) on the same binned features and
+    * fused-linear label as tx_lr_quality — the TREE member of the
+    * trained-model family. Training is driver arithmetic on the
+    * bounded ≤16² grid (no per-round Spark job); the fitted ensemble
+    * is inlined into the generated oracle as literals and the SQL
+    * twin independently recomputes features, labels, split
+    * membership and the fixed-order score chain (the m8_kmeans
+    * mechanism). */
+  private val m18Boost = Q(
+    "m18_boost_stumps",
+    None,
+    (s, dir) =>
+      graft.ml.Boost.boostQualityEval(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("label", "label_pred"),
+    sqlGen = Some { (s, dir) =>
+      val model = graft.ml.Boost.trainOnDocs(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ml.Boost.boostQualitySql(lrSrcCtes, lrZSql, model)
+    })
 
   /** X-TX28: full BPE tokenizer training — `merges` rounds of
     * pair-count → global-argmax merge → greedy left-to-right rewrite
@@ -3013,7 +3036,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, stIngestDedup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental, ddBloom,
     ddNgram, txRouge, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, stTokenBudget, txLmPpl,
+    txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, m18Boost, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring, ddCdc,

@@ -44,7 +44,7 @@ object LogReg {
   /** Trained thetas (intercept, ttr-bin weight, satlen-bin weight). */
   final case class Theta(t0: Double, t1: Double, t2: Double)
 
-  private def featFrame(docs: DataFrame, idCol: String, textCol: String,
+  private[ml] def featFrame(docs: DataFrame, idCol: String, textCol: String,
                         nBins: Int, zCut: Double): DataFrame = {
     val ttr = Text.typeTokenRatio(col(textCol))
     val satLen = least(lit(1.0), Text.tokenCount(col(textCol)) / 100.0)
