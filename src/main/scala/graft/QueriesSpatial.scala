@@ -412,5 +412,82 @@ object QueriesSpatial {
         floor(col("l_extendedprice") / 10.0 + 0.5).cast("double") / 100.0)
         .orderBy("l_suppkey"))
 
-  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, m1, m2, m3, m4, m6, m7, m12)
+  /** X-J18: point-in-polygon containment join (ray casting /
+    * even-odd rule — the classic computational-geometry theta join a
+    * geospatial layer runs for region assignment). Three fixed test
+    * regions over the 500×500 key-derived domain: a triangle, a
+    * convex quad and a CONCAVE L (the case where bounding-box or
+    * convex-only logic silently mis-assigns).
+    *
+    * Shape: the polygon EDGE list (13 rows) rides into the scan as a
+    * typed literal array and `explode`s per point — a narrow
+    * generate, NO join and NO shuffle until the final per-point
+    * parity aggregate; at 100 TB the region table is dimension-sized
+    * and this is exactly the broadcast-literal pattern (m8's
+    * centroids, the bloom bitmap). Crossing parity per (point,
+    * polygon) = even-odd containment.
+    *
+    * Determinism: the test ray leaves from (px, py + 0.5) — the
+    * half-offset ordinate never equals an integer vertex y, so the
+    * `y1 > py != y2 > py` straddle test has no boundary ambiguity;
+    * the crossing-x comparison is ONE fixed-shape double expression
+    * mirrored token-for-token in the oracle (engine parity is what
+    * the hash gate needs; both engines see identical IEEE inputs). */
+  private val j17PointInPoly = locally {
+    // closed rings, integer vertices: (poly, x1, y1, x2, y2)
+    val rings: Seq[(Int, Seq[(Int, Int)])] = Seq(
+      0 -> Seq((50, 50), (200, 60), (120, 180)),
+      1 -> Seq((250, 100), (450, 120), (430, 300), (260, 280)),
+      2 -> Seq((60, 300), (220, 300), (220, 360), (140, 360), (140, 460), (60, 460)))
+    val edges: Seq[(Int, Int, Int, Int, Int)] = rings.flatMap { case (pid, vs) =>
+      vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+        (pid, x1, y1, x2, y2)
+      }
+    }
+    val edgeValuesSql = edges.map { case (p, x1, y1, x2, y2) =>
+      s"($p, $x1, $y1, $x2, $y2)"
+    }.mkString(",\n              ")
+    Q(
+      "j17_point_in_poly",
+      Some(s"""WITH pts AS (SELECT p_partkey,
+                (p_partkey * 17) % 500 AS px,
+                (p_partkey * 29) % 500 + 0.5 AS py FROM part),
+              e AS (SELECT * FROM (VALUES
+              $edgeValuesSql) AS t(poly, x1, y1, x2, y2)),
+              cr AS (SELECT p.p_partkey, e.poly,
+                  CASE WHEN (e.y1 > p.py) != (e.y2 > p.py)
+                        AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1
+                       THEN 1 ELSE 0 END AS c
+                FROM pts p CROSS JOIN e),
+              par AS (SELECT p_partkey, poly,
+                  CAST(sum(c) AS BIGINT) % 2 = 1 AS inside
+                FROM cr GROUP BY p_partkey, poly)
+              SELECT p_partkey,
+                CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_regions,
+                min(CASE WHEN inside THEN poly END) AS region
+              FROM par GROUP BY p_partkey ORDER BY p_partkey"""),
+      (s, dir) => {
+        val pts = t(s, dir, "part").select(
+          col("p_partkey"),
+          ((col("p_partkey") * 17) % 500).as("px"),
+          ((col("p_partkey") * 29) % 500 + lit(0.5)).as("py"))
+        val cr = pts
+          .select(col("p_partkey"), col("px"), col("py"),
+            explode(typedLit(edges)).as("e"))
+          .select(col("p_partkey"), col("e._1").as("poly"),
+            when((col("e._3") > col("py")) =!= (col("e._5") > col("py")) &&
+                 col("px") < (col("e._4") - col("e._2")) * (col("py") - col("e._3"))
+                   / (col("e._5") - col("e._3")) + col("e._2"),
+              lit(1)).otherwise(lit(0)).as("c"))
+        val par = cr.groupBy("p_partkey", "poly")
+          .agg((sum(col("c")) % 2 === 1).as("inside"))
+        par.groupBy("p_partkey")
+          .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_regions"),
+            min(when(col("inside"), col("poly"))).as("region"))
+          .orderBy("p_partkey")
+      })
+  }
+
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, j17PointInPoly, m1, m2, m3, m4, m6, m7, m12)
 }
