@@ -379,6 +379,61 @@ object QueriesTemporal {
         .orderBy("l_orderkey", "l_linenumber")
     })
 
+  /** X-EV18: exponential smoothing (EWMA, α = 1/2) of the per-type
+    * daily event counts, with the 1-step-ahead forecast error — the
+    * classic capacity/forecast smoother, made HASH-EXACT across
+    * engines by a dyadic trick: with α = 1/2 the recursion
+    * s_d = (x_d + s_{d−1})/2 unrolls to s_d = M_d / 2^{d−1} where
+    * M_d = x_1 + Σ_{j=2..d} 2^{j−2}·x_j is an exact INTEGER
+    * (cumulative window sum of shifted longs — order-independent,
+    * no floating accumulation), and the single final division by a
+    * power of two is exact in IEEE for any M < 2^53 (counts ≤ ~10⁶
+    * over ≤ 32 periods). No quantization grid needed anywhere.
+    * One keyed window pass; per-type state is O(days). */
+  private val evEwma = Q(
+    "ev_ewma_smooth",
+    Some("""WITH d AS (SELECT event_type, day(ts) AS day,
+              CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY event_type, day(ts)),
+            i AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS rn,
+                LEAD(n_events) OVER w AS next_actual
+              FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            m AS (SELECT *, sum(CASE WHEN rn = 1 THEN n_events
+                  ELSE n_events * (CAST(1 AS BIGINT) << CAST(rn - 2 AS INT)) END)
+                OVER (PARTITION BY event_type ORDER BY rn) AS mcum
+              FROM i)
+            SELECT event_type, day, n_events,
+              CAST(mcum AS DOUBLE)
+                / (CAST(1 AS BIGINT) << CAST(rn - 1 AS INT)) AS ewma,
+              CASE WHEN next_actual IS NULL THEN NULL
+                ELSE abs(next_actual - CAST(mcum AS DOUBLE)
+                  / (CAST(1 AS BIGINT) << CAST(rn - 1 AS INT))) END AS forecast_err
+            FROM m ORDER BY event_type, day"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val i = d.select(col("event_type"), col("day"), col("n_events"),
+        row_number().over(w).cast("long").as("rn"),
+        lead(col("n_events"), 1).over(w).as("next_actual"))
+      val wcum = Window.partitionBy("event_type").orderBy("rn")
+      val m = i.withColumn("mcum",
+        sum(when(col("rn") === 1, col("n_events"))
+          .otherwise(col("n_events")
+            * expr("shiftleft(1L, cast(rn - 2 as int))"))).over(wcum))
+      val ewma = col("mcum").cast(org.apache.spark.sql.types.DoubleType) /
+        expr("shiftleft(1L, cast(rn - 1 as int))")
+      m.select(col("event_type"), col("day"), col("n_events"),
+          ewma.as("ewma"),
+          when(col("next_actual").isNull, lit(null))
+            .otherwise(abs(col("next_actual") - ewma)).as("forecast_err"))
+        .orderBy("event_type", "day")
+    })
+
   val all: Seq[Q] = Seq(j11Asof, j12Range, j15Overlap, j16Nearest, w4TopK, stSliding,
-    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2, evResample)
+    w5TimeWindow, w7Sliding, stAttribution, evSessionize, w6Ranks, s19Scd2, evResample,
+    evEwma)
 }

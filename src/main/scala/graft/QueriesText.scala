@@ -1318,6 +1318,66 @@ object QueriesText {
         .orderBy("a")
     })
 
+  /** X-TX31: pairwise domain vocabulary overlap — the corpus-mix
+    * diagnostic a curation pipeline runs before weighting domains
+    * (near-identical sources are mix-redundant; disjoint ones add
+    * coverage): per-source DISTINCT word-3-gram vocabularies, then
+    * Jaccard + containment for every source pair. Zero-overlap pairs
+    * still emit (size-frame left join). Each ratio is one IEEE
+    * division of exact longs.
+    *
+    * Scale shape: the gram frame is per-source DISTINCT, so the
+    * gram-keyed self-join's candidate count is Σ_g df(g)² with
+    * df ≤ #domains — bounded by the DOMAIN count, not the corpus;
+    * output is #domains² rows. The vocab build is the usual
+    * scan-stage explode (spread first) + hash distinct. */
+  private val txDomainOverlap = Q(
+    "tx_domain_overlap",
+    Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+          g AS (SELECT DISTINCT source, unnest(${ngramsOf("toks", 3)}) AS gram FROM t),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+          ov AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY a.source, b.source)
+          SELECT sa.source AS src_a, sb.source AS src_b,
+            sa.n AS n_a, sb.n AS n_b,
+            CAST(coalesce(ov.n_shared, 0) AS BIGINT) AS n_shared,
+            CAST(coalesce(ov.n_shared, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(ov.n_shared, 0)) AS jaccard,
+            CAST(coalesce(ov.n_shared, 0) AS DOUBLE)
+              / least(sa.n, sb.n) AS containment
+          FROM sz sa JOIN sz sb ON sa.source < sb.source
+          LEFT JOIN ov ON ov.src_a = sa.source AND ov.src_b = sb.source
+          ORDER BY src_a, src_b"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = graft.core.Tables.spread(
+          d.select(col("source"), col("text")), col("source"))
+        .select(col("source"), explode(Text.wordNgrams(col("text"), 3)).as("gram"))
+        .distinct()
+      val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val ov = g.select(col("source").as("src_a"), col("gram"))
+        .join(g.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      // domain-count-sized pair spine (#domains² rows): broadcast
+      // inequality join — the dimension side is tiny by definition
+      val base = sz.select(col("source").as("src_a"), col("n").as("n_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
+          col("src_a") < col("src_b"))
+      base.join(ov, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("jaccard",
+          col("n_shared").cast(org.apache.spark.sql.types.DoubleType)
+            / (col("n_a") + col("n_b") - col("n_shared")))
+        .withColumn("containment",
+          col("n_shared").cast(org.apache.spark.sql.types.DoubleType)
+            / least(col("n_a"), col("n_b")))
+        .orderBy("src_a", "src_b")
+    })
+
   /** Shared SimHash-signature CTE chain (`sig(doc_id, simhash)`):
     * per-bit ±1 sums over the md5_number_lower token hashes, sign
     * bits, two's-complement bit 63 — the exact SQL twin of
@@ -3035,7 +3095,7 @@ object QueriesText {
     txPackReport, txMix, txTemp, p12Stratified,
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, stIngestDedup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental, ddBloom,
-    ddNgram, txRouge, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
+    ddNgram, txRouge, txDomainOverlap, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, m18Boost, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,

@@ -11,6 +11,30 @@ class TemporalSpec extends SparkSpec {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  test("ev_ewma_smooth == sequential (x+s)/2 fold — the dyadic closed form is exact") {
+    // the registry computes EWMA via the integer closed form
+    // M_d / 2^(d-1); the naive sequential recursion s=(x+s)/2 is a
+    // completely different computation that is ALSO exact for
+    // dyadic rationals under 2^53 — the two must agree bit-for-bit
+    val rows = SparkEntry.queries("ev_ewma_smooth")(spark, sf01)
+      .select("event_type", "day", "n_events", "ewma")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      var s = Double.NaN
+      rs.sortBy(_._2).foreach { case (_, day, n, ewma) =>
+        s = if (s.isNaN) n.toDouble else (n + s) / 2.0
+        assert(ewma == s, s"$tpe day $day: closed-form $ewma vs fold $s")
+      }
+    }
+    // forecast_err on the last day of each type must be NULL
+    val last = SparkEntry.queries("ev_ewma_smooth")(spark, sf01)
+      .orderBy(col("event_type"), col("day").desc)
+      .dropDuplicates("event_type")
+    assert(last.collect().forall(_.isNullAt(4)))
+  }
+
   test("asofJoin: latest right at-or-before, per key, inclusive ties") {
     val left = Seq(
       (1L, "2024-01-01 10:00:00", 100L),

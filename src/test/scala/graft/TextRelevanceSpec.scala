@@ -55,6 +55,33 @@ class TextRelevanceSpec extends SparkSpec {
     assert(sawClip, "no repeated-bigram overlap in fixture — clipping untested")
   }
 
+  test("tx_domain_overlap == independent per-source 3-gram-set reference") {
+    val docs = core.Tables.load(spark, sf001, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      if (t.length <= 2) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => grams(d._2)).toSet).toMap
+    val got = SparkEntry.queries("tx_domain_overlap")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val srcs = vocab.keys.toSeq.sorted
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, s"${got.size} pairs")
+    for (a <- srcs; b <- srcs if a < b) {
+      val (va, vb) = (vocab(a), vocab(b))
+      val shared = (va & vb).size.toLong
+      val (na, nb, ns, j, c) = got((a, b))
+      assert((na, nb, ns) == ((va.size.toLong, vb.size.toLong, shared)),
+        s"($a,$b): got ($na,$nb,$ns) ref (${va.size},${vb.size},$shared)")
+      assert(j == shared.toDouble / (va.size + vb.size - shared))
+      assert(c == shared.toDouble / math.min(va.size, vb.size))
+    }
+  }
+
   test("tfIdfTopK: corpus-unique term outranks ubiquitous terms") {
     val out = Text.tfIdfTopK(docs, "doc_id", "text", k = 2)
       .orderBy("doc_id", "rank_in_group").collect()
