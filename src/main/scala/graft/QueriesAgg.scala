@@ -595,6 +595,48 @@ object QueriesAgg {
         .orderBy(col("n_exact").desc, col("l_partkey"))
     })
 
+  /** X-A23: CUBE revenue aggregate — the full grouping-sets surface
+    * (detail, per-region, per-nation, grand total in ONE pass;
+    * Spark plans a single Expand + hash aggregate, the same shape a
+    * 100 TB OLAP rollup wants instead of four separate scans).
+    * `grouping_id()` (Spark) == `GROUPING(r, n)` (DuckDB) bitmask
+    * disambiguates genuine-NULL keys from subtotal rows; exact
+    * decimal revenue sums; NULLS FIRST pinned on both sides so the
+    * subtotal rows order identically. */
+  private val a23 = Q(
+    "a23_rollup_cube",
+    Some(s"""SELECT r.r_name, n.n_name,
+              CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+              ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY CUBE(r.r_name, n.n_name)
+            ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(r("r_name"), n("n_name"),
+          (l("l_extendedprice") * (lit(1) - l("l_discount"))).as("_rev"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast(LongType).as("gid"),
+          dsum(col("_rev")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(col("r_name"), col("n_name"), col("gid"), col("revenue"), col("n_rows"))
+        .orderBy(col("gid"), col("r_name").asc_nulls_first,
+          col("n_name").asc_nulls_first)
+    })
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    a15, a16, a17, a18, a21, a22, w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, a16, a17, a18, a21, a22, a23, w1, w2, w3, c2, c3, c4, c5, c12)
 }
