@@ -1506,6 +1506,26 @@ object QueriesText {
       graft.ml.Boost.boostQualitySql(lrSrcCtes, lrZSql, model)
     })
 
+  /** X-M18: isotonic calibration (PAVA) of the trained boosted-stump
+    * scorer ([[graft.ml.Isotonic]]) — train on the train split, bin
+    * HELD-OUT ensemble scores, fit the monotone label-rate step
+    * function with exact integer PAVA (long-rational pooling,
+    * cross-multiplied comparisons — no floating point in the fit).
+    * Model weights AND fitted rates are literal-inlined into the
+    * generated oracle; features, scores, bins, grid and raw rates
+    * are recomputed independently by the SQL twin. */
+  private val m19Isotonic = Q(
+    "m19_isotonic",
+    None,
+    (s, dir) =>
+      graft.ml.Isotonic.calibrationEval(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bin"),
+    sqlGen = Some { (s, dir) =>
+      val (model, fit) = graft.ml.Isotonic.calibrationFit(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ml.Isotonic.calibrationSql(lrSrcCtes, lrZSql, model, fit)
+    })
+
   /** X-TX28: full BPE tokenizer training — `merges` rounds of
     * pair-count → global-argmax merge → greedy left-to-right rewrite
     * (Sennrich '16), on the distinct-token vocabulary with corpus
@@ -3096,7 +3116,7 @@ object QueriesText {
     ddExact, ddSoft, ddUrl, ddMinhash, ddLshQuality, ddSweep, ddMinhashPoly, stNearDup, stIngestDedup, ddDupGroups,
     ddGroupStats, ddSemantic, ddDecontaminate, ddIncremental, ddBloom,
     ddNgram, txRouge, txDomainOverlap, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
-    txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, m18Boost, stTokenBudget, txLmPpl,
+    txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, m18Boost, m19Isotonic, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
     m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring, ddCdc,

@@ -96,11 +96,7 @@ object Boost {
     // holdout eval — persist once (recomputable; the LogReg recipe)
     val feats = LogReg.featFrame(docs, idCol, textCol, nBins, zCut).persist(lvl)
     val model = trainOn(feats, nBins, rounds, nu, testBelowPerMille)
-    val score = model.stumps.foldLeft(lit(model.f0): org.apache.spark.sql.Column) {
-      (acc, st) =>
-        val x = if (st.feat == 0) col("u") else col("v")
-        acc + when(x <= st.thr, lit(st.wl)).otherwise(lit(st.wr))
-    }
+    val score = scoreCol(model)
     val pr = feats.where(col("_sb") < testBelowPerMille)
       .select(col("y").as("label"),
         when(score > 0.5, lit(1)).otherwise(lit(0)).as("label_pred"))
@@ -127,6 +123,24 @@ object Boost {
     fitStumps(grid.toIndexedSeq, rounds, nu, nBins)
   }
 
+  /** The ensemble score as a Spark column over (u, v) — one fixed
+    * left-associated chain, shared with [[scoreSql]] so both engines
+    * evaluate the identical IEEE expression. */
+  def scoreCol(model: Model): org.apache.spark.sql.Column =
+    model.stumps.foldLeft(lit(model.f0): org.apache.spark.sql.Column) {
+      (acc, st) =>
+        val x = if (st.feat == 0) col("u") else col("v")
+        acc + when(x <= st.thr, lit(st.wl)).otherwise(lit(st.wr))
+    }
+
+  /** The ensemble score as a DuckDB expression over columns u, v —
+    * the literal twin of [[scoreCol]]. */
+  def scoreSql(model: Model): String =
+    model.stumps.foldLeft(model.f0.toString) { (acc, st) =>
+      val x = if (st.feat == 0) "u" else "v"
+      s"($acc + CASE WHEN $x <= ${st.thr} THEN ${st.wl} ELSE ${st.wr} END)"
+    }
+
   /** Featurize + train in one call — the sqlGen entry point (the
     * query fn and the oracle generator must see the identical
     * model, so both go through the same featFrame + trainOn pair). */
@@ -143,10 +157,7 @@ object Boost {
                       nBins: Int = 16, testBelowPerMille: Int = 200,
                       zCut: Double = 0.0): String = {
     val nb = nBins
-    val score = model.stumps.foldLeft(model.f0.toString) { (acc, st) =>
-      val x = if (st.feat == 0) "u" else "v"
-      s"($acc + CASE WHEN $x <= ${st.thr} THEN ${st.wl} ELSE ${st.wr} END)"
-    }
+    val score = scoreSql(model)
     s"""WITH $srcCtes,
         feat AS (SELECT
           ${graft.operators.Text.sampleBucketSql("doc_id")} AS sb,
