@@ -2430,6 +2430,68 @@ object QueriesText {
           ORDER BY a, b"""
     })
 
+  /** X-SS12: reciprocal-rank fusion (Cormack et al. '09, k₀ = 60) of
+    * two ANN indexes — the hybrid-retrieval combiner production RAG
+    * stacks run when no single index dominates (and exactly what the
+    * ss_recall_methods table shows here: LSH and IVF win on
+    * different queries). Each index contributes 1/(60 + rank) per
+    * candidate; candidates surfacing in EITHER list fuse via a
+    * full-outer join on (query, candidate), top-5 per query by fused
+    * score. Determinism: ranks are integer row_numbers over the
+    * round-6 cosine order; each RRF term is one correctly rounded
+    * IEEE division of exact ints and the two-term sum has a fixed
+    * shape mirrored in the oracle (1.0 emitted as CAST(1 AS DOUBLE)
+    * — the DuckDB decimal-literal rule). Scale: two index probes +
+    * one (qid, cid)-keyed outer join, all bounded by 2·k·n rows. */
+  private val ssRrf = Q(
+    "ss_rrf_fusion",
+    None,
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = graft.core.Tables.parquetRowCount(s, dir, "embeddings")
+      val cents = Vectors.trainIvfCentroids(e, "embedding",
+        nCentroids = embCells(s, dir))
+      def ranked(df: org.apache.spark.sql.DataFrame, as: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+        df.select(col("qid"), col("cid"), row_number().over(w).as(as))
+      }
+      val l = ranked(Vectors.lshTopK(e, "vec_id", "embedding",
+        dim = 64, k = 10, tables = 8, nHint = n), "r_lsh")
+      val iv = ranked(Vectors.ivfTopK(e, "vec_id", "embedding", cents,
+        nProbe = Vectors.Ivf.NProbe, k = 10), "r_ivf")
+      val fused = l.join(iv, Seq("qid", "cid"), "full_outer")
+        .select(col("qid"), col("cid"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0))).as("rrf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+      fused.withColumn("rank",
+          row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+        .where(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    },
+    sqlGen = Some { (s, dir) =>
+      val cents = Vectors.trainIvfCentroids(t(s, dir, "embeddings"),
+        "embedding", nCentroids = embCells(s, dir))
+      s"""WITH lt AS (${lshTopkSql(planes = embPlanes(s, dir), tables = 8, dim = 64, k = 10)}),
+          it AS (${ivfTopkSql(cents, nProbe = Vectors.Ivf.NProbe, k = 10)}),
+          lr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS r FROM lt),
+          ir AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS r FROM it),
+          f AS (SELECT coalesce(lr.qid, ir.qid) AS qid,
+              coalesce(lr.cid, ir.cid) AS cid,
+              coalesce(CAST(1 AS DOUBLE) / (60 + lr.r), 0.0)
+                + coalesce(CAST(1 AS DOUBLE) / (60 + ir.r), 0.0) AS rrf
+            FROM lr FULL OUTER JOIN ir
+              ON lr.qid = ir.qid AND lr.cid = ir.cid)
+          SELECT qid, cid, rrf, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY rrf DESC, cid) AS rank FROM f) t
+          WHERE rank <= 5 ORDER BY qid, rank"""
+    })
+
   /** Int8 embedding quantization + reconstruction-error report:
     * per-vector symmetric scale, floor-based rounding (cross-engine
     * exact), order-independent max error. */
@@ -3118,7 +3180,7 @@ object QueriesText {
     ddNgram, txRouge, txDomainOverlap, ddSimhash, ddSimhashHam, txDsir, txEntropy, txTokenBudget, txHashingTf,
     txNbLangid, txBpePairs, txBpeTrain, txBpeApply, txLrQuality, m18Boost, m19Isotonic, stTokenBudget, txLmPpl,
     ddEmbcos, ddEmbcosLsh, ssTopk, ssLsh, ssFiltered, ssHnsw, ssIvf, ssIvfPq,
-    m8Kmeans, ssRecall, ssRecallMethods, ssQuant, ssMips,
+    m8Kmeans, ssRecall, ssRecallMethods, ssRrf, ssQuant, ssMips,
     txChunk, p14Blocklist, p15Contract, ddKeepBest, ddContainment, ddDupSpan, ddSubstring, ddCdc,
     ddLineDedup, ddSemanticDecon, txCcnetBuckets, ssDiverse, txEpochMix,
     ep4Corpus, ep7Ingest, ep8Rag, ep9Curation)

@@ -323,6 +323,44 @@ class VectorsSpec extends SparkSpec {
     assert(rows("hnsw")._2 > 0.8, s"hnsw recall ${rows("hnsw")._2}")
   }
 
+  test("ss_rrf_fusion == independent Scala RRF over the two index rankings") {
+    import graft.operators.Vectors
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val n = e.count()
+    val cents = Vectors.trainIvfCentroids(e, "embedding",
+      nCentroids = Vectors.cellsFor(n))
+    // rank both index outputs EXACTLY as the query does (cosine desc,
+    // cid), then fuse in plain Scala — map arithmetic, no Spark
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.select("qid", "cid", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+          rs.sortBy(t => (-t._3, t._2)).zipWithIndex.toSeq
+            .map { case (t, i) => (q, t._2) -> (i + 1) }
+        }.toMap
+    val lsh = ranks(Vectors.lshTopK(e, "vec_id", "embedding", dim = 64,
+      k = 10, tables = 8, nHint = n))
+    val ivf = ranks(Vectors.ivfTopK(e, "vec_id", "embedding", cents,
+      nProbe = Vectors.Ivf.NProbe, k = 10))
+    val fusedRef = (lsh.keySet ++ ivf.keySet).map { key =>
+      key -> (lsh.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        + ivf.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toMap
+    val topRef = fusedRef.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.sortBy { case ((_, cid), rrf) => (-rrf, cid) }.take(5).zipWithIndex
+        .map { case (((_, cid), rrf), i) => (q, cid) -> (rrf, i + 1L) }
+    }
+    val got = SparkEntry.queries("ss_rrf_fusion")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.nonEmpty && got == topRef,
+      s"diff: ${(got.toSet diff topRef.toSet).take(3)} | ${(topRef.toSet diff got.toSet).take(3)}")
+    // fusion must actually mix: some fused pair carries both terms
+    assert(got.keys.exists(k => lsh.contains(k) && ivf.contains(k)))
+    // and each list contributes something the other missed
+    assert(got.keys.exists(k => lsh.contains(k) && !ivf.contains(k)))
+  }
+
   test("IVF training is write-order-independent: cluster-sorted corpus keeps recall") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     // a corpus written sorted by its position in embedding space — the
