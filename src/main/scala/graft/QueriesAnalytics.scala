@@ -311,6 +311,114 @@ object QueriesAnalytics {
     * user-cardinality, and at 100 TB the three aggregates shuffle on
     * the same user key so AQE co-partitions them. Timestamps are
     * exact micros — no float anywhere. */
+  /** X-EV19: Kaplan–Meier survival estimate of time-to-conversion —
+    * the right-censoring-aware "how long until a viewer purchases"
+    * curve (a plain average over converters is biased: users who
+    * never converted carry information too). Duration = whole hours
+    * from a user's FIRST view to their first purchase at-or-after
+    * it; users with no such purchase are CENSORED at the global
+    * observation end (max ts). At each observed duration t:
+    * n_risk = users still unresolved entering t, S(t) multiplies by
+    * (1 − d_t/n_t).
+    *
+    * Determinism: durations/counts are exact integers; each step's
+    * ln(1 − d/n) is quantized to micro-units as a LONG, the running
+    * product is a cumulative SUM of those longs (a fixed SET per
+    * row — order-independent), S = round-6 exp of the sum. One
+    * user-keyed aggregate + one duration-keyed aggregate + one
+    * ordered window; everything that moves is user- or
+    * duration-cardinality. */
+  private val evSurvival = Q(
+    "ev_survival_km",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS p_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+              GROUP BY e.user_id),
+            mx AS (SELECT max(ts) AS end_ts FROM events),
+            du AS (SELECT v.user_id,
+                CASE WHEN p.p_ts IS NOT NULL THEN
+                  CAST(floor(date_diff('second', v.v_ts, p.p_ts) / 3600.0) AS BIGINT)
+                ELSE
+                  CAST(floor(date_diff('second', v.v_ts, mx.end_ts) / 3600.0) AS BIGINT)
+                END AS dur,
+                (p.p_ts IS NOT NULL) AS observed
+              FROM v LEFT JOIN p ON v.user_id = p.user_id CROSS JOIN mx),
+            g AS (SELECT dur,
+                CAST(count(*) FILTER (WHERE observed) AS BIGINT) AS n_events,
+                CAST(count(*) FILTER (WHERE NOT observed) AS BIGINT) AS n_censored
+              FROM du GROUP BY dur),
+            r AS (SELECT *,
+                CAST(sum(n_events + n_censored) OVER
+                    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) -
+                  coalesce(sum(n_events + n_censored) OVER
+                    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+              FROM g),
+            s AS (SELECT *, CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+                WHEN n_events = n_risk THEN CAST(-100000000 AS BIGINT)
+                ELSE CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                  * 1e6 + 0.5) AS BIGINT) END AS lnq
+              FROM r)
+            SELECT dur AS duration_h, n_risk, n_events, n_censored,
+              floor(exp(CAST(sum(lnq) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS survival
+            FROM s ORDER BY duration_h"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .where(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      val mx = ev.agg(max(col("ts")).as("end_ts"))
+      val du = v.join(p, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("p_ts").isNotNull,
+            floor(unix_timestamp(col("p_ts"))
+              .minus(unix_timestamp(col("v_ts"))).cast(DoubleType) / 3600.0))
+            .otherwise(
+              floor(unix_timestamp(col("end_ts"))
+                .minus(unix_timestamp(col("v_ts"))).cast(DoubleType) / 3600.0))
+            .cast(LongType).as("dur"),
+          col("p_ts").isNotNull.as("observed"))
+      val g = du.groupBy("dur").agg(
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("n_censored"))
+      // duration-cardinality global windows (bounded rows); the total
+      // at-risk count is the FULL-frame window sum — in-plan, no
+      // extra count() job (the r12 VERDICT #8 rule)
+      val wAll = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n_risk",
+          sum(col("n_events") + col("n_censored")).over(wAll)
+            - coalesce(sum(col("n_events") + col("n_censored"))
+              .over(wPrev), lit(0L)))
+        .withColumn("lnq",
+          // d == n: the step factor is exactly 0 — survival is 0 from
+          // here on; a -100 (micro-ln) sentinel makes exp round to 0
+          // instead of ln(0) (DuckDB raises, Spark NULLs — neither is
+          // the curve)
+          when(col("n_events") === 0, lit(0L))
+            .when(col("n_events") === col("n_risk"), lit(-100000000L))
+            .otherwise(floor(log(lit(1.0)
+              - col("n_events").cast(DoubleType) / col("n_risk"))
+              * 1e6 + 0.5).cast(LongType)))
+        .select(col("dur").as("duration_h"), col("n_risk"),
+          col("n_events"), col("n_censored"),
+          (floor(exp(sum(col("lnq")).over(wCum).cast(DoubleType) / 1e6)
+            * 1e6 + 0.5) / 1e6).as("survival"))
+        .orderBy("duration_h")
+    })
+
   private val evFunnel = Q(
     "ev_funnel",
     Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -1081,7 +1189,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evAbZtest, evPsi, evMarkov, m13LabelProp,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evSurvival, evAbZtest, evPsi, evMarkov, m13LabelProp,
     evRetention, evTransitions, evPii, evAttribution, stAttribution, evLatencyQuantiles, m9PageRank, m10Triangles, m14Kcore, m17Ppr, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

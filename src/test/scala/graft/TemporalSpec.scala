@@ -11,6 +11,51 @@ class TemporalSpec extends SparkSpec {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  test("ev_survival_km == independent sequential Kaplan-Meier over collected durations") {
+    // sequential reference: recompute per-user durations and walk the
+    // classic KM product loop in plain Scala (quantizing exactly as
+    // the operator documents), none of the window machinery
+    val ev = core.Tables.load(spark, sf01, "events")
+      .select("user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000L)) // whole seconds, like unix_timestamp
+    val endTs = ev.map(_._3).max
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val durations = firstView.toSeq.map { case (u, v) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= v)
+        .map(_._3)
+      if (p.nonEmpty) (math.floorDiv(p.min - v, 3600L), true)
+      else (math.floorDiv(endTs - v, 3600L), false)
+    }
+    var atRisk = durations.size.toLong
+    var lnSum = 0L
+    val ref = durations.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      val events = g.count(_._2).toLong
+      val censored = g.count(!_._2).toLong
+      val risk = atRisk
+      val lnq =
+        if (events == 0) 0L
+        else if (events == risk) -100000000L
+        else math.floor(math.log(1.0 - events.toDouble / risk) * 1e6 + 0.5).toLong
+      lnSum += lnq
+      atRisk -= events + censored
+      (d, risk, events, censored,
+        math.floor(math.exp(lnSum.toDouble / 1e6) * 1e6 + 0.5) / 1e6)
+    }
+    val got = SparkEntry.queries("ev_survival_km")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == ref, s"first diff: ${got.zip(ref).find(p => p._1 != p._2)}")
+    // curve properties: survival non-increasing, censoring present or
+    // all users resolved, telescoping risk set
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 >= b._5, s"survival rose at ${b._1}")
+      case _ =>
+    }
+    assert(got.head._2 == durations.size)
+  }
+
   test("ev_ewma_smooth == sequential (x+s)/2 fold — the dyadic closed form is exact") {
     // the registry computes EWMA via the integer closed form
     // M_d / 2^(d-1); the naive sequential recursion s=(x+s)/2 is a
