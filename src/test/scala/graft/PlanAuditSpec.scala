@@ -68,7 +68,15 @@ class PlanAuditSpec extends SparkSpec {
     "ev_psi_drift",
     // tx_lm_perplexity: the 1-row train-vocabulary aggregate rides
     // back onto the test bigram frame — the tx_bigram_lm V shape
-    "tx_lm_perplexity")
+    "tx_lm_perplexity",
+    // tx_domain_overlap: the #domains-row vocab-size frame crosses
+    // itself on src_a < src_b for the #domains² pair spine —
+    // dimension × dimension by definition (r14)
+    "tx_domain_overlap",
+    // ev_survival_km: the 1-row global max-ts observation end rides
+    // back onto the user-cardinality duration frame — the a19/tfidf
+    // 1-row shape (r14)
+    "ev_survival_km")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
@@ -84,7 +92,9 @@ class PlanAuditSpec extends SparkSpec {
     "ev_drift_tv" ->
       "day-over-day lag over the per-day report frame: cardinality = distinct calendar days (metadata-sized at any data scale)",
     "m5_reindex" ->
-      "cumulative offsets over the per-partition counts frame: ≤ numShufflePartitions rows by construction (operators/Reindex)")
+      "cumulative offsets over the per-partition counts frame: ≤ numShufflePartitions rows by construction (operators/Reindex)",
+    "ev_survival_km" ->
+      "risk-set/ln-sum cumulatives over the per-duration report frame: cardinality = distinct whole-hour durations within the observation window (metadata-sized at any data scale — the ev_drift_tv per-day shape)")
 
   /** Queries that deliberately funnel the RETURNED frame through a
     * single-partition SHUFFLE (the other way a plan serializes
