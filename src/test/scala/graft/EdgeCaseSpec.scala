@@ -83,6 +83,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.streaming.Streams.attributionStream(ev).count() == 0)
   }
 
+  test("r14 operators on empty/degenerate input") {
+    val docs = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
+      .where(lit(false))
+    // streaming ingest gate: empty stream -> no state, no rows
+    assert(graft.streaming.Streams.exactIngestGate(
+      docs.select("doc_id", "text")).count() == 0)
+    // boosted stumps on an empty corpus: empty grid -> prior-only
+    // model, empty holdout -> all-zero dense confusion spine
+    val cm = graft.ml.Boost.boostQualityEval(docs, "doc_id", "text")
+      .orderBy("label", "label_pred")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(cm == Seq((0, 0, 0L), (0, 1, 0L), (1, 0, 0L), (1, 1, 0L)), cm.toString)
+    // isotonic calibration on an empty corpus: no occupied bins,
+    // empty curve, no crash anywhere in featurize/train/fit
+    assert(graft.ml.Isotonic.calibrationEval(docs, "doc_id", "text").count() == 0)
+  }
+
   test("r13: NSW graph ANN on empty/degenerate input") {
     val vecs = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
     // empty corpus: no buckets, no graph, no beams -> empty, no throw
