@@ -732,6 +732,55 @@ object QueriesSources {
         .orderBy("media_id")
     })
 
+  /** X-MM11: REAL PNG decode — the first COMPRESSED container
+    * through the media seam: CRC-verified chunk walk, JDK zlib
+    * inflate, and the full five-filter scanline reconstruction
+    * (None/Sub/Up/Average/Paeth). Each key's 4×2 solid-color image is
+    * WRITTEN with filter type (key % 5) applied to every scanline —
+    * so all five reconstruction paths are exercised inside the
+    * oracle-gated query while the decoded channel means stay
+    * filter-independent, which is exactly what lets the oracle stay
+    * CLOSED-FORM (means = the synthesis arithmetic, the mm_ppm
+    * design; a wrong filter inverse would shift the means and fail
+    * the hash). Round-trip pixel equality per filter type is pinned
+    * byte-for-byte in MediaCodecsSpec. */
+  private val mm11 = Q(
+    "mm_png_decode",
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS media_id,
+              CAST(p_partkey % 5 AS BIGINT) AS filter_type,
+              CAST(4 AS DOUBLE) AS width, CAST(2 AS DOUBLE) AS height,
+              CAST((p_partkey * 3) % 256 AS DOUBLE) AS mean_r,
+              CAST((p_partkey * 5) % 256 AS DOUBLE) AS mean_g,
+              CAST((p_partkey * 7) % 256 AS DOUBLE) AS mean_b,
+              CAST(0.299 AS DOUBLE) * CAST((p_partkey * 3) % 256 AS DOUBLE)
+                + CAST(0.587 AS DOUBLE) * CAST((p_partkey * 5) % 256 AS DOUBLE)
+                + CAST(0.114 AS DOUBLE) * CAST((p_partkey * 7) % 256 AS DOUBLE)
+                AS mean_luma
+            FROM part WHERE p_partkey <= 200 ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "part")
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast(LongType)).as[Long]
+        .map { k =>
+          val (r, g, b) = (((k * 3) % 256).toByte, ((k * 5) % 256).toByte,
+            ((k * 7) % 256).toByte)
+          val rgb = Array.fill(8)(Array(r, g, b)).flatten
+          (k, k % 5, MediaCodecs.buildPng(4, 2, rgb, filterType = (k % 5).toInt))
+        }.toDF("media_id", "filter_type", "blob")
+      val f = Multimodal.decodeFeaturesStub(
+        media.select("media_id", "blob"), "media_id", "blob", dim = 8)
+      media.select("media_id", "filter_type").join(f, Seq("media_id"))
+        .select(col("media_id"), col("filter_type"),
+          col("features").getItem(1).as("width"),
+          col("features").getItem(2).as("height"),
+          col("features").getItem(3).as("mean_r"),
+          col("features").getItem(4).as("mean_g"),
+          col("features").getItem(5).as("mean_b"),
+          col("features").getItem(6).as("mean_luma"))
+        .orderBy("media_id")
+    })
+
   /** X-MM7: REAL AU (Sun/NeXT .snd) decode — the second audio
     * container, same closed-form-oracle design as mm_wav_decode: a ±a
     * square wave has rms = peak = a/32768 exactly (a ≤ 32760 < 2¹⁵,
@@ -1557,5 +1606,5 @@ object QueriesSources {
         .withColumn("vacuum_ok", lit(vacuumOk))
     })
 
-  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, s28, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, mm10)
+  val all: Seq[Q] = Seq(s1, ep1, s2f, s2v, s3f, ep1f, s5, s20, s6json, s6orc, s7, s12, s13, s14, s15, s16, s17, s18, s21, s22, s23, s24, s25, s26, s27, s28, ep6, st1, st2, st3, st4, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, mm10, mm11)
 }

@@ -378,4 +378,173 @@ object MediaCodecs {
           0.299 * mr + 0.587 * mg + 0.114 * mb)
     }
   }
+
+  // ---- PNG (RFC 2083): the first COMPRESSED container through the
+  // seam — chunk walk with CRC-32 verification, zlib inflate
+  // (java.util.zip — in the JDK, no external codec), and the full
+  // five-filter reconstruction (None/Sub/Up/Average/Paeth). Strictly
+  // 8-bit RGB (colorType 2), non-interlaced; anything else fails to
+  // None and the deterministic fallback like every other parser here.
+
+  final case class PngInfo(width: Int, height: Int, bitDepth: Int,
+                           meanR: Double, meanG: Double, meanB: Double,
+                           meanLuma: Double)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def paeth(a: Int, bUp: Int, c: Int): Int = {
+    val p = a + bUp - c
+    val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
+  }
+
+  /** Minimal RGB-8 PNG writer — the inverse of [[decodePngPixels]].
+    * `filterType` (0..4) is applied to EVERY scanline, so the
+    * synthesis queries can exercise each reconstruction path while
+    * the decoded pixels stay filter-independent (the closed-form
+    * oracle relies on exactly that). */
+  def buildPng(w: Int, h: Int, rgb: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster must be ${w * h * 3} bytes")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((1 + stride) * h)
+    for (y <- 0 until h) {
+      raw(y * (1 + stride)) = filterType.toByte
+      for (x <- 0 until stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) rgb((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Strict PNG decode to raw RGB pixels: signature, CRC-verified
+    * chunk walk, IHDR constraints (8-bit RGB, no interlace), IDAT
+    * concat + inflate to the exact scanline length, all five filter
+    * reconstructions. None on any violation. */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) { if (b(i) != PngSig(i)) return None; i += 1 }
+    var off = PngSig.length
+    var wh: Option[(Int, Int)] = None
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    var first = true
+    while (!ended && off + 12 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len.toInt)
+      if ((crc.getValue & 0xffffffffL) != be32(b, off + 8 + len.toInt)) return None
+      typ match {
+        case "IHDR" =>
+          if (!first || len != 13) return None
+          val w = be32(b, off + 8).toInt
+          val h = be32(b, off + 12).toInt
+          val bitDepth = b(off + 16) & 0xff
+          val colorType = b(off + 17) & 0xff
+          val (comp, filt, inter) =
+            (b(off + 18) & 0xff, b(off + 19) & 0xff, b(off + 20) & 0xff)
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+              comp != 0 || filt != 0 || inter != 0) return None
+          wh = Some((w, h))
+        case "IDAT" =>
+          if (wh.isEmpty) return None
+          idat.write(b, off + 8, len.toInt)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      first = false
+      off += 12 + len.toInt
+    }
+    for ((w, h) <- wh if ended) yield {
+      val stride = w * 3
+      val raw = new Array[Byte]((1 + stride) * h)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, got, raw.length - got)
+          if (n == 0 && inflater.needsInput()) return None // truncated
+          got += n
+        }
+        if (got != raw.length || !inflater.finished()) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inflater.end()
+      val px = new Array[Byte](stride * h)
+      val bpp = 3
+      for (y <- 0 until h) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        if (ft > 4) return None
+        for (x <- 0 until stride) {
+          val f = raw(y * (1 + stride) + 1 + x) & 0xff
+          val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          px(y * stride + x) = ((f + pred) & 0xff).toByte
+        }
+      }
+      (w, h, px)
+    }
+  }
+
+  /** PNG feature parse — channel means + luma over the decoded
+    * pixels, the PpmInfo shape for the compressed container. */
+  def parsePng(b: Array[Byte]): Option[PngInfo] =
+    decodePngPixels(b).map { case (w, h, px) =>
+      var sr = 0.0; var sg = 0.0; var sb2 = 0.0
+      var i = 0
+      while (i < px.length) {
+        sr += (px(i) & 0xff); sg += (px(i + 1) & 0xff); sb2 += (px(i + 2) & 0xff)
+        i += 3
+      }
+      val n = w.toDouble * h
+      val (mr, mg, mb) = (sr / n, sg / n, sb2 / n)
+      PngInfo(w, h, 8, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+    }
 }

@@ -77,6 +77,11 @@ object Multimodal {
               fit(Array(5.0, a.sampleRate.toDouble, a.channels.toDouble,
                 a.durationSec, a.rms, a.peak, a.bitsPerSample.toDouble,
                 a.nFrames.toDouble))
+            }).orElse(MediaCodecs.parsePng(bytes).map { p =>
+              // compressed image container, PpmInfo slot layout so
+              // width/height/means queries work unchanged
+              fit(Array(6.0, p.width.toDouble, p.height.toDouble,
+                p.meanR, p.meanG, p.meanB, p.meanLuma, p.bitDepth.toDouble))
             }).getOrElse(Array.tabulate(dim) { i =>
               val lo = i * bytes.length / dim
               val hi = math.max(lo + 1, (i + 1) * bytes.length / dim)

@@ -152,4 +152,44 @@ class MediaCodecsSpec extends SparkSpec {
     val t = out(3L)
     assert(t(0) != 1.0 && t(0) != 2.0 && t.length == 8) // chunk-mean fallback
   }
+
+  test("PNG round-trip: every filter type reconstructs the raster byte-for-byte") {
+    import graft.operators.MediaCodecs
+    // non-trivial raster (gradients + LCG noise) so Sub/Up/Average/
+    // Paeth all see real deltas — a solid color would make every
+    // filter inverse trivially pass
+    val (w, h) = (7, 5)
+    var seed = 12345L
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((i * 11) + (seed >>> 56)).toInt & 0xff).toByte
+    }
+    for (ft <- 0 to 4) {
+      val png = MediaCodecs.buildPng(w, h, rgb, filterType = ft)
+      val decoded = MediaCodecs.decodePngPixels(png)
+      assert(decoded.nonEmpty, s"filter $ft failed to decode")
+      val (dw, dh, px) = decoded.get
+      assert(dw == w && dh == h)
+      assert(px.sameElements(rgb), s"filter $ft: pixel mismatch")
+    }
+  }
+
+  test("PNG strictness: corrupt CRC, truncated IDAT, wrong color type, non-PNG all -> None") {
+    import graft.operators.MediaCodecs
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 17 & 0xff).toByte)
+    val good = MediaCodecs.buildPng(4, 2, rgb, filterType = 4)
+    assert(MediaCodecs.parsePng(good).nonEmpty)
+    // flip one byte inside the IDAT payload: CRC check must catch it
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x7f).toByte
+    assert(MediaCodecs.parsePng(corrupt).isEmpty, "corrupt CRC accepted")
+    // truncate mid-chunk
+    assert(MediaCodecs.parsePng(good.take(good.length - 10)).isEmpty)
+    // non-PNG payloads fall through cleanly
+    assert(MediaCodecs.parsePng("not a png at all".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.parsePng(Array.emptyByteArray).isEmpty)
+    // the decoded means equal the raster means exactly (closed form)
+    val info = MediaCodecs.parsePng(good).get
+    val mr = rgb.grouped(3).map(t => t(0) & 0xff).sum / 8.0
+    assert(info.meanR == mr)
+  }
 }
