@@ -637,6 +637,60 @@ object QueriesAgg {
           col("n_name").asc_nulls_first)
     })
 
+  /** X-A24: Benford's-law first-digit audit — the classic
+    * fabricated-data / corruption screen for any positive-valued
+    * measure: observed leading-digit shares vs the log-law
+    * expectation log10(1+1/d), with the χ² statistic per digit.
+    * Digit extraction is STRING-based on the exact integer cents
+    * (floor(x·100+0.5) → BIGINT → first char) — no float log10
+    * boundary anywhere; expected probabilities ride on the 1e-6
+    * floor grid and every share/χ² term is a fixed-shape IEEE
+    * expression over exact longs. One scan + one 9-row aggregate;
+    * dense digit spine so missing digits report 0. */
+  private val a24 = Q(
+    "a24_benford_report",
+    Some("""WITH c AS (SELECT CAST(substr(CAST(
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS d
+              FROM lineitem WHERE l_extendedprice > 0),
+            o AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY d),
+            tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+            sp AS (SELECT CAST(t.range + 1 AS INT) AS digit FROM range(9) t),
+            e AS (SELECT digit,
+                floor(ln(1.0 + CAST(1 AS DOUBLE) / digit) / ln(10.0) * 1e6 + 0.5)
+                  / 1e6 AS p_expected
+              FROM sp)
+            SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+              CAST(coalesce(o.n_obs, 0) AS DOUBLE) / tot.n AS share,
+              e.p_expected,
+              (CAST(coalesce(o.n_obs, 0) AS DOUBLE) - e.p_expected * tot.n)
+                * (CAST(coalesce(o.n_obs, 0) AS DOUBLE) - e.p_expected * tot.n)
+                / (e.p_expected * tot.n) AS chi2_term
+            FROM e LEFT JOIN o ON o.d = e.digit CROSS JOIN tot
+            ORDER BY e.digit"""),
+    (s, dir) => {
+      val c = t(s, dir, "lineitem")
+        .where(col("l_extendedprice") > 0)
+        .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+          .cast(LongType).cast(StringType), 1, 1).cast(IntegerType).as("d"))
+      val o = c.groupBy("d").agg(count(lit(1)).as("n_obs"))
+      val tot = o.agg(sum(col("n_obs")).as("n"))
+      val spine = s.range(9).select((col("id") + 1).cast(IntegerType).as("digit"))
+      val e = spine.withColumn("p_expected",
+        floor(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+          * 1e6 + 0.5) / 1e6)
+      val obs = coalesce(col("n_obs"), lit(0L))
+      val obsD = obs.cast(DoubleType)
+      e.join(broadcast(o), col("d") === col("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), obs.as("n_obs"),
+          (obsD / col("n")).as("share"), col("p_expected"),
+          ((obsD - col("p_expected") * col("n"))
+            * (obsD - col("p_expected") * col("n"))
+            / (col("p_expected") * col("n"))).as("chi2_term"))
+        .orderBy("digit")
+    })
+
   val all: Seq[Q] = Seq(a2, a2w, a3g, a4, a5, a6, a7, a8, a10, a12, a13, a14,
-    a15, a16, a17, a18, a21, a22, a23, w1, w2, w3, c2, c3, c4, c5, c12)
+    a15, a16, a17, a18, a21, a22, a23, a24, w1, w2, w3, c2, c3, c4, c5, c12)
 }

@@ -468,6 +468,50 @@ class FunnelSpec extends SparkSpec {
   }
 }
 
+class BenfordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a24_benford_report == independent string-digit fold; Benford holds on a log-uniform sample") {
+    // sequential reference over collected prices
+    val prices = core.Tables.load(spark, sf01, "lineitem")
+      .select("l_extendedprice").as[Double].collect().filter(_ > 0)
+    val counts = prices.map(p =>
+      (math.floor(p * 100 + 0.5).toLong.toString.charAt(0) - '0'))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val got = SparkEntry.queries("a24_benford_report")(spark, sf01)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == (1 to 9).toSet)
+    (1 to 9).foreach { d =>
+      val obs = counts.getOrElse(d, 0L)
+      val (gn, gs, gp, gchi) = got(d)
+      assert(gn == obs, s"digit $d: $gn vs $obs")
+      assert(gs == obs.toDouble / n)
+      val pExp = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6 + 0.5) / 1e6
+      assert(gp == pExp)
+      val dev = obs.toDouble - pExp * n
+      assert(gchi == dev * dev / (pExp * n))
+    }
+    // the MATH direction: a deterministic log-uniform sample should
+    // FOLLOW Benford (shares within ±0.02 of expectation), unlike
+    // the synthetic TPC-H prices the registry query audits
+    val lcg = Iterator.iterate(88172645463325252L)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+    val logu = lcg.take(20000).map { x =>
+      val u = ((x >>> 11).toDouble / (1L << 53).toDouble)
+      math.pow(10.0, 1.0 + 5.0 * u) // spans 5 decades
+    }.toSeq
+    val fd = logu.map(v => v.toLong.toString.charAt(0) - '0')
+      .groupBy(identity).view.mapValues(_.size.toDouble / logu.size).toMap
+    (1 to 9).foreach { d =>
+      val exp = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(fd.getOrElse(d, 0.0) - exp) < 0.02,
+        s"log-uniform sample digit $d: ${fd.getOrElse(d, 0.0)} vs $exp")
+    }
+  }
+}
+
 class RollupCubeSpec extends SparkSpec {
 
   test("a23_rollup_cube == four independent slice aggregates (gid semantics exact)") {

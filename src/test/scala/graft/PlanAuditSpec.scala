@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     // ev_survival_km: the 1-row global max-ts observation end rides
     // back onto the user-cardinality duration frame — the a19/tfidf
     // 1-row shape (r14)
-    "ev_survival_km")
+    "ev_survival_km",
+    // a24_benford_report: the 1-row total rides onto the 9-row digit
+    // spine — the ev_psi_drift shape (r14)
+    "a24_benford_report")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
