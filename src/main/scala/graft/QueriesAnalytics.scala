@@ -311,6 +311,83 @@ object QueriesAnalytics {
     * user-cardinality, and at 100 TB the three aggregates shuffle on
     * the same user key so AQE co-partitions them. Timestamps are
     * exact micros — no float anywhere. */
+  /** X-EV20: deterministic bootstrap confidence interval for the
+    * mean per-user purchase total — resampling-based uncertainty, the
+    * inference tool that works when no closed form does (next to
+    * ev_ab_ztest's parametric z). B = 200 resamples of the n user
+    * totals WITH replacement, indices from a shared 31-bit LCG
+    * (x = (1103515245·(id+1) + 12345) mod 2³¹, idx = x mod n — plain
+    * BIGINT arithmetic on both engines, no 64-bit wraparound DuckDB
+    * would refuse); CI = the 2.5%/97.5% order statistics (ranks 5 and
+    * 196 of the 200 sorted resample means, ties broken by resample
+    * id).
+    *
+    * Determinism: user totals quantized once to micro-LONGS; every
+    * resample mean is an exact long sum with one fixed-shape double
+    * division chain. Scale shape: the user-total frame is
+    * user-dimension-sized; the B-fold replication is a narrow
+    * `explode(sequence)` (never a cartesian), the resample lookup one
+    * equi-join on the rank, and the 200-row means frame takes a
+    * bounded global window. */
+  private val evBootstrap = Q(
+    "ev_bootstrap_ci",
+    Some("""WITH u0 AS (SELECT user_id,
+              CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS t
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+            u AS (SELECT t,
+                CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS r,
+                CAST(count(*) OVER () AS BIGINT) AS n
+              FROM u0),
+            rs AS (SELECT u.r, u.n, CAST(b.range AS BIGINT) AS b,
+                ((1103515245 * (b.range * u.n + u.r + 1) + 12345)
+                  % 2147483648) % u.n AS idx
+              FROM u CROSS JOIN range(200) b),
+            sm AS (SELECT rs.b,
+                CAST(sum(ut.t) AS BIGINT) AS ts,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM rs JOIN u ut ON ut.r = rs.idx
+              GROUP BY rs.b),
+            means AS (SELECT b,
+                CAST(ts AS DOUBLE) / 1e6 / cnt AS m,
+                row_number() OVER (ORDER BY CAST(ts AS DOUBLE) / 1e6 / cnt, b)
+                  AS rk
+              FROM sm),
+            obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(t) AS DOUBLE) / 1e6 / count(*) AS mean_total
+              FROM u0)
+            SELECT obs.n_users, CAST(200 AS BIGINT) AS n_resamples,
+              obs.mean_total,
+              (SELECT m FROM means WHERE rk = 5) AS ci_lo,
+              (SELECT m FROM means WHERE rk = 196) AS ci_hi
+            FROM obs"""),
+    (s, dir) => {
+      val u0 = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 1e6).cast(LongType)).as("t"))
+      val wAll = Window.orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val u = u0.select(col("t"),
+        (row_number().over(Window.orderBy("user_id")) - 1).cast(LongType).as("r"),
+        count(lit(1)).over(wAll).as("n"))
+      val rs = u.withColumn("b", explode(sequence(lit(0L), lit(199L))))
+        .select(col("b"), col("n"),
+          (((lit(1103515245L) * (col("b") * col("n") + col("r") + 1) + 12345L)
+            % 2147483648L) % col("n")).as("idx"))
+      val sm = rs.join(u.select(col("r").as("idx"), col("t")), Seq("idx"))
+        .groupBy("b").agg(sum(col("t")).as("ts"), count(lit(1)).as("cnt"))
+      val mExpr = col("ts").cast(DoubleType) / 1e6 / col("cnt")
+      val means = sm.select(col("b"), mExpr.as("m"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+      val obs = u0.agg(count(lit(1)).as("n_users"),
+        (sum(col("t")).cast(DoubleType) / 1e6 / count(lit(1))).as("mean_total"))
+      obs.withColumn("n_resamples", lit(200L))
+        .crossJoin(broadcast(means.where(col("rk") === 5).select(col("m").as("ci_lo"))))
+        .crossJoin(broadcast(means.where(col("rk") === 196).select(col("m").as("ci_hi"))))
+        .select(col("n_users"), col("n_resamples"), col("mean_total"),
+          col("ci_lo"), col("ci_hi"))
+    })
+
   /** X-EV19: Kaplan–Meier survival estimate of time-to-conversion —
     * the right-censoring-aware "how long until a viewer purchases"
     * curve (a plain average over converters is biased: users who
@@ -1189,7 +1266,7 @@ object QueriesAnalytics {
       graft.streaming.Streams.streamCepMatches(t(s, dir, "events"))
         .orderBy("user_id", "view_id"))
 
-  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evSurvival, evAbZtest, evPsi, evMarkov, m13LabelProp,
+  val all: Seq[Q] = Seq(a19Skew, q3, q5, evJson, evRolling, evAnomaly, evFunnel, evSurvival, evBootstrap, evAbZtest, evPsi, evMarkov, m13LabelProp,
     evRetention, evTransitions, evPii, evAttribution, stAttribution, evLatencyQuantiles, m9PageRank, m10Triangles, m14Kcore, m17Ppr, m11Degrees,
     evDrift, ep5User360, evCep, stCep, stAnomaly, a20Concentration, aggRollup, aggCube, u4Unpivot, aggPivot)
 }

@@ -468,6 +468,39 @@ class FunnelSpec extends SparkSpec {
   }
 }
 
+class BootstrapCiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ev_bootstrap_ci == independent sequential LCG resampling reference") {
+    val totals = core.Tables.load(spark, sf01, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(round(col("value") * 1e6).cast("long")).as("t"))
+      .select("user_id", "t").as[(Long, Long)].collect()
+      .sortBy(_._1).map(_._2)
+    val n = totals.length.toLong
+    val means = (0L until 200L).map { b =>
+      var s = 0L
+      (0L until n).foreach { r =>
+        val id = b * n + r + 1
+        val idx = ((1103515245L * id + 12345L) % 2147483648L) % n
+        s += totals(idx.toInt)
+      }
+      s.toDouble / 1e6 / n
+    }
+    val sorted = means.zipWithIndex.sortBy { case (m, b) => (m, b) }.map(_._1)
+    val (refLo, refHi) = (sorted(4), sorted(195)) // ranks 5 and 196
+    val refMean = totals.sum.toDouble / 1e6 / n
+    val row = SparkEntry.queries("ev_bootstrap_ci")(spark, sf01).collect()(0)
+    assert(row.getLong(0) == n && row.getLong(1) == 200L)
+    assert(row.getDouble(2) == refMean)
+    assert(row.getDouble(3) == refLo, s"${row.getDouble(3)} vs $refLo")
+    assert(row.getDouble(4) == refHi, s"${row.getDouble(4)} vs $refHi")
+    // a 95% CI must bracket the point estimate with real width
+    assert(refLo < refMean && refMean < refHi)
+    assert(refHi - refLo > 0.0)
+  }
+}
+
 class BenfordSpec extends SparkSpec {
   import spark.implicits._
 

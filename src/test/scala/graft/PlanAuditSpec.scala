@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkSpec {
     "ev_survival_km",
     // a24_benford_report: the 1-row total rides onto the 9-row digit
     // spine — the ev_psi_drift shape (r14)
-    "a24_benford_report")
+    "a24_benford_report",
+    // ev_bootstrap_ci: the 1-row observed-stats frame crosses the
+    // 1-row ci_lo and ci_hi order-statistic picks — 1 × 1 × 1 by
+    // construction (r14)
+    "ev_bootstrap_ci")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
@@ -97,7 +101,9 @@ class PlanAuditSpec extends SparkSpec {
     "m5_reindex" ->
       "cumulative offsets over the per-partition counts frame: ≤ numShufflePartitions rows by construction (operators/Reindex)",
     "ev_survival_km" ->
-      "risk-set/ln-sum cumulatives over the per-duration report frame: cardinality = distinct whole-hour durations within the observation window (metadata-sized at any data scale — the ev_drift_tv per-day shape)")
+      "risk-set/ln-sum cumulatives over the per-duration report frame: cardinality = distinct whole-hour durations within the observation window (metadata-sized at any data scale — the ev_drift_tv per-day shape)",
+    "ev_bootstrap_ci" ->
+      "user ranking + resample-mean ranking: the first window runs over the user-DIMENSION totals frame (users ≪ events at any scale), the second over exactly B=200 resample means")
 
   /** Queries that deliberately funnel the RETURNED frame through a
     * single-partition SHUFFLE (the other way a plan serializes
