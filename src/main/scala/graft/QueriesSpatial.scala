@@ -59,6 +59,33 @@ object QueriesSpatial {
         .select("p_partkey", "s_suppkey", "dist2")
         .orderBy("p_partkey"))
 
+  /** X-J19: k-nearest-neighbors join (k = 3) — the k > 1
+    * generalization of J3's radius-bounded NN join, the shape a
+    * cross-match pipeline runs when it wants candidate LISTS (e.g.
+    * ambiguous-match resolution) instead of a single best. Same
+    * grid-cell bucketing, per-left rank ≤ k window; INNER semantics
+    * (fewer-than-k neighbors emit fewer rows — the null-flag
+    * convention stays with J3). Oracle: brute-force cross join,
+    * same rank rule. */
+  private val j18Knn = Q(
+    "j18_knn_join",
+    Some(s"""WITH p AS ($partPointsSql), s AS ($suppPointsSql),
+             cand AS (SELECT p.p_partkey, s.s_suppkey,
+               (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) AS dist2
+               FROM p, s
+               WHERE (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) <= 22500),
+             best AS (SELECT * FROM (SELECT cand.*, ROW_NUMBER() OVER
+               (PARTITION BY p_partkey ORDER BY dist2, s_suppkey) AS rn FROM cand)
+               WHERE rn <= 3)
+             SELECT p_partkey, s_suppkey, dist2, CAST(rn AS BIGINT) AS rank
+             FROM best ORDER BY p_partkey, rank"""),
+    (s, dir) =>
+      Spatial.knnJoinWithin(
+          partPoints(s, dir), "p_partkey", "px", "py",
+          suppPoints(s, dir), "s_suppkey", "sx", "sy", radius = 150.0, k = 3)
+        .select("p_partkey", "s_suppkey", "dist2", "rank")
+        .orderBy("p_partkey", "rank"))
+
   /** J4: per-row index-probe NN (PS1Cal_matching.py:135-217) — the
     * probe loop becomes the same bucketed join, shuffle (non-
     * broadcast) flavor, opposite direction. */
@@ -489,5 +516,5 @@ object QueriesSpatial {
       })
   }
 
-  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, j17PointInPoly, m1, m2, m3, m4, m6, m7, m12)
+  val all: Seq[Q] = Seq(j3, j3s, j4, j5, j9, j17PointInPoly, j18Knn, m1, m2, m3, m4, m6, m7, m12)
 }

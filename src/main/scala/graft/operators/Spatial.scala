@@ -70,6 +70,35 @@ object Spatial {
     left.join(best, Seq(leftId), "left")
   }
 
+  /** k-nearest-neighbors join (the k > 1 generalization of
+    * [[nnJoinWithin]]): up to `k` right rows per left row within
+    * `radius`, rank-ordered by (dist², rightId). Same grid-cell
+    * candidate generation — cost ∝ genuine radius neighbors, never
+    * all pairs. INNER semantics: a left row with fewer than k
+    * in-radius neighbors emits fewer rows, one with none emits none
+    * (the LEFT/null-flag convention stays with the k = 1 reference
+    * twin). */
+  def knnJoinWithin(left: DataFrame, leftId: String, lx: String, ly: String,
+                    right: DataFrame, rightId: String, rx: String, ry: String,
+                    radius: Double, k: Int,
+                    broadcastRight: Boolean = true): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val (lcx, lcy) = cellCoords(col(lx), col(ly), radius)
+    val leftC = left.withColumn("_cx", lcx).withColumn("_cy", lcy)
+    val rightC = withNeighborCells(right, rx, ry, radius)
+    val rightSide = if (broadcastRight) broadcast(rightC) else rightC
+    val d2 = (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+      (col(ly) - col(ry)) * (col(ly) - col(ry))
+    val rightCols = right.columns.filter(_ != leftId).toIndexedSeq
+    val cand = leftC.join(rightSide, Seq("_cx", "_cy"))
+      .withColumn("dist2", d2)
+      .where(col("dist2") <= radius * radius)
+      .select((col(leftId) +: rightCols.map(col)) :+ col("dist2"): _*)
+    val w = Window.partitionBy(leftId).orderBy(col("dist2"), col(rightId))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** J3 on the sphere: nearest neighbor within an angular radius for
     * (ra, dec) degree coordinates — wrap- and pole-safe.
     *

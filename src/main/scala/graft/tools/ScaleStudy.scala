@@ -104,11 +104,55 @@ object ScaleStudy {
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio  stages  1-task  (linear = $k%d.0)")
     names.foreach {
       case "m1_extent" => m1Extent(spark, src, dst, k)
+      case "j18_extent" => j18Extent(spark, src, dst, k)
       case n =>
         val (t1, _, _) = time(src, n, captureStages = false)
         val (tk, nStages, oneTask) = time(dst, n, captureStages = true)
         println(f"$n%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  $nStages%6d  $oneTask%6d")
     }
+  }
+
+  /** j18_knn_join extent mode — same rationale as [[m1Extent]]: the
+    * fixture derives BOTH sides' positions from keys mod 1000, so k×
+    * replication packs k× points into the same domain and candidate
+    * pairs grow ∝ k² (in-place ratio 23.7 at k=16). Production kNN
+    * joins a fact side against a DIMENSION-sized right side over a
+    * growing extent; this mode tiles each shard's 1000×1000 domain at
+    * pitch 1312 (> 1000 + 2·radius ⇒ shards can't interact) and times
+    * the same [[graft.operators.Spatial.knnJoinWithin]]. */
+  private def j18Extent(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    import graft.operators.Spatial
+    val side = math.ceil(math.sqrt(k.toDouble)).toLong
+    val pitch = 1312L
+    def pts(dir: String, table: String, id: String, mx: Long, my: Long,
+            xa: String, ya: String) = {
+      val tile = (col(id) / Stride).cast("long")
+      graft.core.Tables.load(spark, dir, table).select(
+        col(id),
+        ((col(id) * mx) % 1000 + (tile % side) * pitch).as(xa),
+        ((col(id) * my) % 1000 + (tile / side) * pitch).as(ya))
+    }
+    def time(dir: String): Double = {
+      val runs = (1 to 3).map { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val t0 = System.nanoTime()
+        Spatial.knnJoinWithin(
+          pts(dir, "part", "p_partkey", 1L, 13L, "px", "py"), "p_partkey", "px", "py",
+          pts(dir, "supplier", "s_suppkey", 37L, 91L, "sx", "sy"), "s_suppkey", "sx", "sy",
+          radius = 150.0, k = 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id2, rdd) =>
+          if (!before.contains(id2))
+            try rdd.unpersist(blocking = false) catch { case _: Throwable => }
+        }
+        dt
+      }
+      runs.sorted.apply(1)
+    }
+    val t1 = time(src)
+    val tk = time(dst)
+    println(f"${"j18_extent(knn)"}%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f  ${"-"}%6s  ${"-"}%6s")
   }
 
   /** EXTENT-scaling mode for the fixed-domain spatial fixture

@@ -111,4 +111,36 @@ class NearestJoinSpec extends SparkSpec {
     assert(!plan.contains("unboundedfollowing"), plan)
     assert("exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("knnJoinWithin == brute-force k-NN within radius (rank rule exact)") {
+    import graft.operators.Spatial
+    // the registry fixture at sf0.001: part vs supplier synthetic
+    // planar points; brute-force reference over the collected sets
+    val pts = core.Tables.load(spark, sf001, "part")
+      .select(col("p_partkey"), (col("p_partkey") % 1000).as("px"),
+        ((col("p_partkey") * 13) % 1000).as("py"))
+    val sup = core.Tables.load(spark, sf001, "supplier")
+      .select(col("s_suppkey"), ((col("s_suppkey") * 37) % 1000).as("sx"),
+        ((col("s_suppkey") * 91) % 1000).as("sy"))
+    val got = Spatial.knnJoinWithin(pts, "p_partkey", "px", "py",
+        sup, "s_suppkey", "sx", "sy", radius = 150.0, k = 3)
+      .select("p_partkey", "s_suppkey", "dist2", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ps = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ss = sup.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ps.flatMap { case (pid, px, py) =>
+      ss.map { case (sid, sx, sy) =>
+        (sid, (px - sx) * (px - sx) + (py - sy) * (py - sy))
+      }.filter(_._2 <= 150L * 150L)
+        .sortBy { case (sid, d2) => (d2, sid) }.take(3).zipWithIndex
+        .map { case ((sid, d2), i) => (pid, sid, d2, (i + 1).toLong) }
+    }.toSet
+    assert(got == ref,
+      s"diff: ${(got diff ref).take(3)} | ${(ref diff got).take(3)}")
+    // k > 1 must genuinely widen: some left key has rank-3 rows, and
+    // every (key, rank) pair is unique
+    assert(got.exists(_._4 == 3L))
+    assert(got.groupBy(t => (t._1, t._4)).forall(_._2.size == 1))
+  }
 }
