@@ -360,16 +360,28 @@ object QueriesAnalytics {
               (SELECT m FROM means WHERE rk = 5) AS ci_lo,
               (SELECT m FROM means WHERE rk = 196) AS ci_hi
             FROM obs"""),
-    (s, dir) => {
-      val u0 = t(s, dir, "events")
+    (s, dir) => bootstrapCi(t(s, dir, "events")))
+
+  /** ev_bootstrap_ci body, factored out so EdgeCaseSpec can drive it
+    * on an empty frame (ADVICE r14). */
+  private[graft] def bootstrapCi(events: DataFrame): DataFrame = {
+      val u0 = events
         .where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(round(col("value") * 1e6).cast(LongType)).as("t"))
-      val wAll = Window.orderBy("user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val u = u0.select(col("t"),
-        (row_number().over(Window.orderBy("user_id")) - 1).cast(LongType).as("r"),
-        count(lit(1)).over(wAll).as("n"))
+      // User indexing via the Reindex partition-offset pattern
+      // (VERDICT r14 #3): byte-identical to
+      // row_number().over(Window.orderBy(user_id)) − 1 (ReindexSpec
+      // asserts equality), but the user-DIMENSION frame — which grows
+      // with the corpus — never crosses a global window / single task.
+      // The user count rides back in on a 1-row broadcast cross (the
+      // tx_tfidf N shape; bnljAllowed).
+      val nRow = u0.agg(count(lit(1)).as("n"))
+      val u = graft.operators.Reindex
+        .consecutiveIds(u0.select(col("user_id"), col("t")), "r",
+          Seq(col("user_id")))
+        .crossJoin(broadcast(nRow))
+        .select(col("t"), col("r"), col("n"))
       val rs = u.withColumn("b", explode(sequence(lit(0L), lit(199L))))
         .select(col("b"), col("n"),
           (((lit(1103515245L) * (col("b") * col("n") + col("r") + 1) + 12345L)
@@ -381,12 +393,21 @@ object QueriesAnalytics {
         .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
       val obs = u0.agg(count(lit(1)).as("n_users"),
         (sum(col("t")).cast(DoubleType) / 1e6 / count(lit(1))).as("mean_total"))
-      obs.withColumn("n_resamples", lit(200L))
-        .crossJoin(broadcast(means.where(col("rk") === 5).select(col("m").as("ci_lo"))))
-        .crossJoin(broadcast(means.where(col("rk") === 196).select(col("m").as("ci_hi"))))
+      // LEFT joins on a literal key, not crossJoins (ADVICE r14): on a
+      // corpus with zero purchase events `means` is empty and a cross
+      // would erase the obs row, while the oracle's scalar subqueries
+      // keep it with NULL CIs — the left join preserves twin parity on
+      // degenerate input (1-row build sides; result identical when
+      // means is non-empty: rk = 5 / 196 each match exactly one row).
+      val k = lit(1).as("_k")
+      obs.withColumn("n_resamples", lit(200L)).withColumn("_k", lit(1))
+        .join(broadcast(means.where(col("rk") === 5)
+          .select(k, col("m").as("ci_lo"))), Seq("_k"), "left")
+        .join(broadcast(means.where(col("rk") === 196)
+          .select(k, col("m").as("ci_hi"))), Seq("_k"), "left")
         .select(col("n_users"), col("n_resamples"), col("mean_total"),
           col("ci_lo"), col("ci_hi"))
-    })
+  }
 
   /** X-EV19: Kaplan–Meier survival estimate of time-to-conversion —
     * the right-censoring-aware "how long until a viewer purchases"
@@ -444,8 +465,11 @@ object QueriesAnalytics {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS survival
             FROM s ORDER BY duration_h"""),
-    (s, dir) => {
-      val ev = t(s, dir, "events")
+    (s, dir) => survivalKm(t(s, dir, "events")))
+
+  /** ev_survival_km body, factored out so EdgeCaseSpec can drive it
+    * on an empty frame (ADVICE r14). */
+  private[graft] def survivalKm(ev: DataFrame): DataFrame = {
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
       val p = ev.where(col("event_type") === "purchase")
@@ -494,7 +518,7 @@ object QueriesAnalytics {
           (floor(exp(sum(col("lnq")).over(wCum).cast(DoubleType) / 1e6)
             * 1e6 + 0.5) / 1e6).as("survival"))
         .orderBy("duration_h")
-    })
+  }
 
   private val evFunnel = Q(
     "ev_funnel",

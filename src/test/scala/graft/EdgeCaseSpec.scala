@@ -98,6 +98,24 @@ class EdgeCaseSpec extends SparkSpec {
     // isotonic calibration on an empty corpus: no occupied bins,
     // empty curve, no crash anywhere in featurize/train/fit
     assert(graft.ml.Isotonic.calibrationEval(docs, "doc_id", "text").count() == 0)
+    // bootstrap CI on a corpus with ZERO purchase events (ADVICE r14:
+    // the crossJoin form dropped the obs row here while the oracle's
+    // scalar subqueries kept it with NULL CIs): one row, NULL mean/CIs
+    val ev = Seq((1L, new java.sql.Timestamp(0L), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ci = QueriesAnalytics.bootstrapCi(ev).collect()
+    assert(ci.length == 1, s"expected 1 obs row, got ${ci.length}")
+    assert(ci(0).getLong(0) == 0L && ci(0).isNullAt(2) &&
+      ci(0).isNullAt(3) && ci(0).isNullAt(4), ci(0).toString)
+    // and on a fully empty frame: same single NULL-CI obs row
+    val ciE = QueriesAnalytics.bootstrapCi(ev.where(lit(false))).collect()
+    assert(ciE.length == 1 && ciE(0).getLong(0) == 0L && ciE(0).isNullAt(3))
+    // Kaplan-Meier on an empty frame: no viewers -> empty curve
+    assert(QueriesAnalytics.survivalKm(ev.where(lit(false))).count() == 0)
+    // ... and with viewers but no purchases: every user censored at the
+    // observation end, survival stays 1.0 on every emitted step
+    val km = QueriesAnalytics.survivalKm(ev).collect()
+    assert(km.forall(_.getDouble(4) == 1.0), km.mkString(","))
   }
 
   test("r13: NSW graph ANN on empty/degenerate input") {

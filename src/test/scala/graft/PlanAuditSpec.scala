@@ -80,9 +80,10 @@ class PlanAuditSpec extends SparkSpec {
     // a24_benford_report: the 1-row total rides onto the 9-row digit
     // spine — the ev_psi_drift shape (r14)
     "a24_benford_report",
-    // ev_bootstrap_ci: the 1-row observed-stats frame crosses the
-    // 1-row ci_lo and ci_hi order-statistic picks — 1 × 1 × 1 by
-    // construction (r14)
+    // ev_bootstrap_ci: the 1-row user-count frame rides onto the
+    // user-totals frame for the LCG modulus (the tx_tfidf N shape,
+    // r15); the ci_lo/ci_hi picks are 1-row LEFT joins on a literal
+    // key (degenerate-input parity, ADVICE r14)
     "ev_bootstrap_ci")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
@@ -103,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
     "ev_survival_km" ->
       "risk-set/ln-sum cumulatives over the per-duration report frame: cardinality = distinct whole-hour durations within the observation window (metadata-sized at any data scale — the ev_drift_tv per-day shape)",
     "ev_bootstrap_ci" ->
-      "user ranking + resample-mean ranking: the first window runs over the user-DIMENSION totals frame (users ≪ events at any scale), the second over exactly B=200 resample means")
+      "resample-mean ranking over exactly B=200 rows (the user indexing is the Reindex partition-offset pattern since r15 — its own global window runs over the ≤numShufflePartitions counts frame, the m5_reindex shape)")
 
   /** Queries that deliberately funnel the RETURNED frame through a
     * single-partition SHUFFLE (the other way a plan serializes
