@@ -2348,9 +2348,13 @@ object QueriesText {
       val brute = Vectors.bruteForceTopK(q, "query_id", "qv",
           e, "vec_id", "embedding", k = 3)
         .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      // probe only the graded subset (identical kept rows — the
+      // ss_recall_methods queryPred rationale, r15); the post-filter
+      // stays as a no-op guard
       val lsh = Vectors.lshTopK(e, "vec_id", "embedding",
           dim = 64, k = 3, tables = 8,
-          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"),
+          queryPred = Some(id => id % 20 === 0))
         .where(col("qid") % 20 === 0)
         .select(col("qid"), col("cid").as("_lcid"))
       val hits = brute.join(lsh,
@@ -2635,16 +2639,27 @@ object QueriesText {
       def top3(m: String, df: org.apache.spark.sql.DataFrame) =
         df.where(col("qid") % 20 === 0)
           .select(lit(m).as("method"), col("qid"), col("cid"))
+      // each index probes ONLY the graded query subset (queryPred):
+      // per-qid results are independent, so the kept rows are
+      // byte-identical to the all-queries run this query took through
+      // r14 (then threw 95% of away) — index BUILD stages (signatures,
+      // coarse cells, PQ codes, NSW graph) still cover the full corpus
+      // (r15, guide §2.3). The post-filter in top3 stays as a no-op
+      // guard documenting the grading contract.
+      val evalQs = Some((id: org.apache.spark.sql.Column) => id % 20 === 0)
       val methods = top3("lsh", Vectors.lshTopK(e, "vec_id", "embedding",
           dim = 64, k = 3, tables = 8,
-          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings")))
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"),
+          queryPred = evalQs))
         .unionByName(top3("ivf", Vectors.ivfTopK(e, "vec_id", "embedding",
-          cents, nProbe = Vectors.Ivf.NProbe, k = 3)))
+          cents, nProbe = Vectors.Ivf.NProbe, k = 3, queryPred = evalQs)))
         .unionByName(top3("ivfpq", Vectors.ivfPqTopK(e, "vec_id", "embedding",
-          cents, cbs, nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank)))
+          cents, cbs, nProbe = Vectors.Ivf.PqNProbe, k = 3, rerank = Vectors.Ivf.Rerank,
+          queryPred = evalQs)))
         .unionByName(top3("hnsw", Vectors.nswTopK(e, "vec_id", "embedding",
           dim = 64, k = 3,
-          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"))))
+          nHint = graft.core.Tables.parquetRowCount(s, dir, "embeddings"),
+          queryPred = evalQs)))
       // static method list exploded onto brute (narrow op) — a cross
       // join here plans CartesianProduct, which PlanAudit forbids
       val hits = brute.withColumn("method",

@@ -187,10 +187,20 @@ object Graph {
     // harness have no external reclaim).
     val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to rounds) {
-      val votes = e.join(
-          cur.where(col("label").isNotNull)
-            .select(col("node").as("_nb"), col("label").as("_nl")),
-          e("dst") === col("_nb"))
+      // ONE exchange per vote round (r15): hash-partition the joined
+      // edge rows by src first — HashPartitioning(src) satisfies the
+      // vote count's ClusteredDistribution(src, _nl) (equal (src,
+      // label) rows co-locate) and, via alias-aware propagation, the
+      // best-vote window's ClusteredDistribution(_v). The previous
+      // shape paid one exchange on (src,_nl) for the aggregate and a
+      // second on _v for the window, every round (the nswTopK rescore
+      // rule).
+      val votes = graft.core.Tables.spread(
+          e.join(
+            cur.where(col("label").isNotNull)
+              .select(col("node").as("_nb"), col("label").as("_nl")),
+            e("dst") === col("_nb"))
+          .select(col("src"), col("_nl")), col("src"))
         .groupBy(col("src").as("_v"), col("_nl"))
         .agg(count(lit(1)).as("_c"))
       val w = org.apache.spark.sql.expressions.Window

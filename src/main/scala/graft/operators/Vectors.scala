@@ -310,12 +310,19 @@ object Vectors {
     * the scale path when hyperplane LSH recall is poor on
     * near-isotropic data. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+              centroids: Array[Array[Double]], nProbe: Int, k: Int,
+              queryPred: Option[Column => Column] = None): DataFrame = {
     import graft.functions.Expressions.{cosineSim, nearestCells}
     val base = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
     val candidates = base.select(col(idCol).as("cid"), col(vecCol).as("_cv"),
       nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"))
-    val queries = base.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+    // queryPred restricts the QUERY side only (eval queries grade a
+    // subset; per-qid results are independent, so the kept queries'
+    // top-k is byte-identical to the unfiltered run's — the candidate
+    // side always stays the full corpus). Computing all-query top-k
+    // and discarding 95% was the r14 ss_recall_* shape (guide §2.3).
+    val qBase = queryPred.fold(base)(p => base.where(p(col(idCol))))
+    val queries = qBase.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("_cell"))
     val scored = queries.join(candidates, Seq("_cell"))
       .where(col("qid") =!= col("cid"))
@@ -368,7 +375,8 @@ object Vectors {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]],
-                nProbe: Int, k: Int, rerank: Int = 0): DataFrame = {
+                nProbe: Int, k: Int, rerank: Int = 0,
+                queryPred: Option[Column => Column] = None): DataFrame = {
     import graft.functions.Expressions.nearestCells
     val m = codebooks.length
     val ds = codebooks(0)(0).length
@@ -397,7 +405,9 @@ object Vectors {
     val qnorm = sqrt(aggregate(
       transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (a, x) => a + x))
-    val queries = base.select(col(idCol).as("qid"),
+    // query-side-only restriction — the ivfTopK queryPred contract
+    val qBase = queryPred.fold(base)(p => base.where(p(col(idCol))))
+    val queries = qBase.select(col(idCol).as("qid"),
       tab.as("_tab"), qnorm.as("_qnorm"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("_cell"))
     val ip = aggregate(zip_with(col("_tab"), col("_codes"),
@@ -501,7 +511,8 @@ object Vectors {
     * measured in VectorsSpec, occupancy scaling in ScaleSpec. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, tables: Int = 8, bucketTarget: Int = 16,
-              planesOverride: Int = -1, nHint: Long = -1L): DataFrame = {
+              planesOverride: Int = -1, nHint: Long = -1L,
+              queryPred: Option[Column => Column] = None): DataFrame = {
     // plane auto-scaling needs the corpus size: caller-supplied nHint
     // > catalog statistics > one count() job, in that order — the
     // count is a full extra scan per invocation of a hot operator.
@@ -517,7 +528,7 @@ object Vectors {
           }
         planesFor(n, bucketTarget)
       }
-    lshTopKKeyed(df, idCol, vecCol, Nil, dim, k, planes, tables)
+    lshTopKKeyed(df, idCol, vecCol, Nil, dim, k, planes, tables, queryPred)
   }
 
   /** Shared candidate-generation body for [[lshTopK]] and
@@ -527,7 +538,8 @@ object Vectors {
     * and attribute-constrained searches cannot drift. */
   private def lshTopKKeyed(df: DataFrame, idCol: String, vecCol: String,
                            extraKeys: Seq[String], dim: Int, k: Int,
-                           planes: Int, tables: Int): DataFrame = {
+                           planes: Int, tables: Int,
+                           queryPred: Option[Column => Column] = None): DataFrame = {
     val carried = Seq(idCol, vecCol) ++ extraKeys
     val keyed = graft.core.Tables.spread(
         df.select(carried.map(col): _*), col(idCol))
@@ -535,13 +547,25 @@ object Vectors {
         posexplode(graft.functions.Expressions.lshTableKeys(col(vecCol), dim, planes, tables))
           .as(Seq("_tbl", "_key")): _*)
     val joinKeys = Seq("_tbl", "_key") ++ extraKeys
-    val a = keyed.select(joinKeys.map(col) ++
+    // query-side-only restriction (the ivfTopK queryPred contract):
+    // the predicate references only the id, so Catalyst pushes it
+    // below the posexplode — the a-side signature kernel runs on the
+    // kept queries only, while the candidate side stays the corpus
+    val aKeyed = queryPred.fold(keyed)(p => keyed.where(p(col(idCol))))
+    val a = aKeyed.select(joinKeys.map(col) ++
       Seq(col(idCol).as("qid"), col(vecCol).as("_qv")): _*)
     val b = keyed.select(joinKeys.map(col) ++
       Seq(col(idCol).as("cid"), col(vecCol).as("_cv")): _*)
-    val scored = a.join(b, joinKeys).where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine"))
+    // ONE post-join exchange (r15): hash-partition by qid before the
+    // OR-dedup — HashPartitioning(qid) satisfies both the distinct's
+    // ClusteredDistribution(qid, cid, cosine) and the window's
+    // ClusteredDistribution(qid), where distinct-then-window planned
+    // two exchanges (the nswTopK rescore rule).
+    val scored = graft.core.Tables.spread(
+        a.join(b, joinKeys).where(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6).as("cosine")),
+        col("qid"))
       .distinct() // a pair may collide in several tables
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
@@ -650,10 +674,13 @@ object Vectors {
     val qKeyed = base.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
       posexplode(lshTableKeys(qaug, dim + 1, planes, tables))
         .as(Seq("_tbl", "_key")))
-    val scored = qKeyed.join(cKeyed, Seq("_tbl", "_key"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(dotProduct(col("_qv"), col("_cv")), 6).as("dot"))
+    // one post-join exchange — the lshTopKKeyed qid-spread rule (r15)
+    val scored = graft.core.Tables.spread(
+        qKeyed.join(cKeyed, Seq("_tbl", "_key"))
+          .where(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(dotProduct(col("_qv"), col("_cv")), 6).as("dot")),
+        col("qid"))
       .distinct() // a pair may collide in several tables
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
@@ -749,7 +776,8 @@ object Vectors {
               beam: Int = Nsw.Beam, beamRounds: Int = Nsw.BeamRounds,
               initTables: Int = Nsw.InitTables,
               bucketTarget: Int = Nsw.BucketTarget, planesOverride: Int = -1,
-              nHint: Long = -1L): DataFrame = {
+              nHint: Long = -1L,
+              queryPred: Option[Column => Column] = None): DataFrame = {
     require(beam >= k, s"beam=$beam must be >= k=$k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val planes =
@@ -770,8 +798,17 @@ object Vectors {
         df.select(col(idCol).as("node"), col(vecCol).as("_v")), col("node"))
       .persist(lvl)
     def rescore(cands: DataFrame, keep: Int): DataFrame = {
-      // cands: (node, cand) — dedup, exact cosine, top-`keep` per node
-      val scored = cands.distinct()
+      // cands: (node, cand) — dedup, exact cosine, top-`keep` per node.
+      // ONE exchange per round (r15): hash-partition by `node` FIRST —
+      // HashPartitioning(node) satisfies the distinct aggregate's
+      // ClusteredDistribution(node, cand) (equal pairs co-locate) AND
+      // the window's ClusteredDistribution(node), and the two vecs
+      // joins broadcast, so neither the distinct nor the window plans
+      // its own exchange afterward. The previous shape paid two
+      // (distinct on the pair key, then window on node) — with 6
+      // checkpointed rounds that is 6 extra barrier stages per query
+      // at the bench's stage-latency floor.
+      val scored = graft.core.Tables.spread(cands, col("node")).distinct()
         .join(vecs.select(col("node"), col("_v").as("_nv")), "node")
         .join(vecs.select(col("node").as("cand"), col("_v").as("_cv")), "cand")
         .select(col("node"), col("cand"),
@@ -819,21 +856,38 @@ object Vectors {
     // (beam frames: same ≥2-references-per-round shape — unpersisted
     // they also recompute 2^beamRounds times, measured 5.5 → 73 s at
     // sf0.1 when rounds went 2 → 3)
-    var beamDf = g.select(col("node").as("qid"), col("cand").as("cid"),
+    // queryPred restricts the PROBE side only (per-qid beams are
+    // independent; the GRAPH above is always built over the full
+    // corpus, so kept queries' results are byte-identical — the
+    // ivfTopK queryPred contract)
+    val probeSeed = queryPred.fold(g)(p => g.where(p(col("node"))))
+    var beamDf = probeSeed.select(col("node").as("qid"), col("cand").as("cid"),
       col("cosine"))
-    for (_ <- 1 to beamRounds) {
+    for (r <- 1 to beamRounds) {
       val expanded = beamDf.select(col("qid"), col("cid").as("node"))
         .join(g.select(col("node"), col("cand")), "node")
         .select(col("qid"), col("cand").as("cid"))
       val cands = beamDf.select(col("qid"), col("cid"))
         .union(expanded).where(col("qid") =!= col("cid"))
         .withColumnRenamed("qid", "node").withColumnRenamed("cid", "cand")
+      // The LAST round folds the final top-k into its own rescore
+      // window: the emitted top-k is the first k rows of the final
+      // beam under the identical (cosine desc, cand) order, so
+      // rescore(keep = k) returns byte-identical rows to
+      // rescore(keep = beam) + a second top-k window — one window,
+      // one exchange and one eager checkpoint job fewer (r15; the
+      // frame is then consumed exactly once, the dbscan stays-LAZY
+      // rule, so no lineage cut is needed either).
+      if (r == beamRounds)
+        return rescore(cands, k)
+          .select(col("node").as("qid"), col("cand").as("cid"), col("cosine"))
       // CP-OK: beam loop state, (n·beam)-row, multiply-referenced —
       // the exponential-plan cut, once per round
       beamDf = rescore(cands, beam)
         .select(col("node").as("qid"), col("cand").as("cid"), col("cosine"))
         .localCheckpoint()
     }
+    // beamRounds == 0: emit top-k of the seed beam (g's top-m rows)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     beamDf.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
       .drop("_rn")
