@@ -1292,7 +1292,11 @@ object QueriesText {
           d.select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), explode(Text.wordNgrams(col("text"), 2)).as("gram"))
       val c = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
-      val tot = g.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      // totals from the aggregated counts, not a second pass over the
+      // raw gram explode (Σ n over a doc ≡ its occurrence count): the
+      // explode subtree then runs once under the reused (doc_id, gram)
+      // exchange instead of twice (r15, guide §2.3 aggregate-first)
+      val tot = c.groupBy("doc_id").agg(sum(col("n")).as("total"))
       val ov = c.select(col("doc_id").as("_xa"), col("gram"), col("n").as("_xn"))
         .join(c.select((col("doc_id") - 1).as("_xa"), col("gram"), col("n").as("_yn")),
           Seq("_xa", "gram"))
@@ -1352,10 +1356,17 @@ object QueriesText {
           ORDER BY src_a, src_b"""),
     (s, dir) => {
       val d = t(s, dir, "documents")
+      // persist: the vocab frame feeds THREE scans (the size aggregate
+      // and both sides of the gram self-join), and the broadcast build
+      // side cannot reuse the shuffle exchange — unpersisted, the
+      // corpus-wide explode+distinct ran three times per action
+      // (measured: paired 4-7 CPU-s Generate stages per run, r15).
+      // Vocab-sized, recomputable — the PMI persist recipe.
       val g = graft.core.Tables.spread(
           d.select(col("source"), col("text")), col("source"))
         .select(col("source"), explode(Text.wordNgrams(col("text"), 3)).as("gram"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
       val ov = g.select(col("source").as("src_a"), col("gram"))
         .join(g.select(col("source").as("src_b"), col("gram")), Seq("gram"))

@@ -422,9 +422,15 @@ object Vectors {
     else {
       val short = scored.withColumn("_rn", row_number().over(w))
         .where(col("_rn") <= rerank).select("qid", "cid")
+      // cid-side vector first, qid-side LAST (r15): the final exact
+      // window partitions by qid, so in the sort-merge regime it rides
+      // the qid join's exchange instead of paying its own after a
+      // cid-partitioned join (join order is result-neutral — both are
+      // 1:1 key attaches). At bench scale both joins broadcast and the
+      // plan is unchanged.
       val exact = short
-        .join(base.select(col(idCol).as("qid"), col(vecCol).as("_qv")), Seq("qid"))
         .join(base.select(col(idCol).as("cid"), col(vecCol).as("_cv")), Seq("cid"))
+        .join(base.select(col(idCol).as("qid"), col(vecCol).as("_qv")), Seq("qid"))
         .select(col("qid"), col("cid"),
           round(graft.functions.Expressions.cosineSim(col("_qv"), col("_cv")), 6)
             .as("cosine"))
@@ -615,8 +621,11 @@ object Vectors {
     val joined = q.join(c, Seq("_tbl", "_key"))
     val filtered = selfExcludeCol
       .map(sc => joined.where(col(sc) =!= col(qIdCol))).getOrElse(joined)
-    val scored = filtered.select(col(qIdCol) +: cKeyCols.map(col) :+
-        round(cosineSim(col("_qv"), col("_cv")), 6).as("cosine"): _*)
+    // one post-join exchange — the lshTopKKeyed qid-spread rule (r15)
+    val scored = graft.core.Tables.spread(
+        filtered.select(col(qIdCol) +: cKeyCols.map(col) :+
+          round(cosineSim(col("_qv"), col("_cv")), 6).as("cosine"): _*),
+        col(qIdCol))
       .distinct() // a pair may collide in several tables
     val w = Window.partitionBy(qIdCol)
       .orderBy(col("cosine").desc +: cKeyCols.map(col): _*)

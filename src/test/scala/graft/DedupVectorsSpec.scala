@@ -189,6 +189,39 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.6, s"recall=$recall")
   }
 
+  test("queryPred run == unfiltered run filtered after (r15 byte-identity)") {
+    // the eval-subset optimization's contract: restricting the QUERY
+    // side (probe/rank stages) must return byte-identical rows to
+    // computing every query's top-k and discarding the rest — per-qid
+    // results are independent and the candidate side/index build stays
+    // the full corpus. Exercises all four indexes.
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 3 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("cid"), col(df.columns.last))
+        .collect().map(_.toString).sorted.toSeq
+    val lshAll = Vectors.lshTopK(e, "vec_id", "embedding", dim = 64, k = 4)
+    val lshSub = Vectors.lshTopK(e, "vec_id", "embedding", dim = 64, k = 4,
+      queryPred = Some(pred))
+    assert(rows(lshSub) == rows(lshAll.where(pred(col("qid")))))
+    val cents = Vectors.trainIvfCentroids(e, "embedding", nCentroids = 8)
+    val ivfAll = Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 4)
+    val ivfSub = Vectors.ivfTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 4,
+      queryPred = Some(pred))
+    assert(rows(ivfSub) == rows(ivfAll.where(pred(col("qid")))))
+    val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)
+    val pqAll = Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+      nProbe = 2, k = 4, rerank = 8)
+    val pqSub = Vectors.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+      nProbe = 2, k = 4, rerank = 8, queryPred = Some(pred))
+    assert(rows(pqSub) == rows(pqAll.where(pred(col("qid")))))
+    val nswAll = Vectors.nswTopK(e, "vec_id", "embedding", dim = 64, k = 4)
+    val nswSub = Vectors.nswTopK(e, "vec_id", "embedding", dim = 64, k = 4,
+      queryPred = Some(pred))
+    assert(rows(nswSub) == rows(nswAll.where(pred(col("qid")))))
+  }
+
   test("lshTopKFiltered == lshTopK run per label stratum (pre-filter exactness)") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     val filtered = Vectors.lshTopKFiltered(e, "vec_id", "embedding", "label",
