@@ -230,10 +230,22 @@ object Pipeline {
     * (adaptive), one report aggregate — no all-pairs anywhere. */
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Text}
-    val base = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
+    // spread BEFORE the quality kernel + persist (the ep9 r14 recipe,
+    // applied here r15): the gated frame feeds five downstream scans
+    // (exact-dedup agg, its semi join, the LSH band/verify sides, the
+    // final report), and unpersisted each scan re-ran the compiled
+    // quality expression inside the SINGLE-TASK parquet scan stage
+    // (measured: ~8 serial 0.2-0.45 s Exchange<-Filter<-Scan stages
+    // per warm ep4 run). The kernel is a projection, so it stays
+    // ABOVE the repartition exchange (filters push through
+    // RepartitionByExpression; projections don't) and evaluates once,
+    // 32-wide, into the cache. Corpus-sized, recomputable.
+    val base = Tables.spread(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang")), col("doc_id"))
       .withColumn("quality", Text.qualityScore(col("text")))
       .where(col("quality") > 0.35)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep1 = Dedup.exact(base, "doc_id", "text")
       .select(col("kept_id").as("doc_id"))
     val kept1 = base.join(keep1, Seq("doc_id"), "left_semi")
@@ -272,9 +284,15 @@ object Pipeline {
     * sides run the same compiled kernel. */
   def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Text}
-    val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
+    // spread + persist (the ep4/ep9 recipe): corpus/batch splits and
+    // the quality gate re-scan this frame 4+ times; cached 32-wide it
+    // is read once from parquet and the bucket/quality kernels run at
+    // full width instead of per-scan in the single-task scan stage
+    val d = graft.core.Tables.spread(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang")), col("doc_id"))
       .withColumn("_bucket", Text.sampleBucket(col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = d.where(col("_bucket") >= 100).drop("_bucket")
     val batch = d.where(col("_bucket") < 100).drop("_bucket")
     val pass = batch.where(Text.qualityScore(col("text")) > 0.35)

@@ -3191,8 +3191,14 @@ object QueriesText {
       val docs = t(s, dir, "documents")
       val groups = Dedup.duplicateGroups(docs, "doc_id", "text",
         threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4, poly = true)
-      val scores = docs.select(col("doc_id"),
-        Text.qualityScore(col("text")).as("quality"))
+      // spread BEFORE the quality kernel (the r01 minhash rule): this
+      // frame becomes the broadcast build side of the keep-best join,
+      // and unspread the compiled score ran serially inside the
+      // single-task scan feeding BroadcastExchange (measured 0.35 s
+      // warm / 7 s cold-JIT per run, r15)
+      val scores = graft.core.Tables.spread(
+          docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
       Dedup.keepBestPerGroup(groups, scores, "doc_id", "quality")
         .orderBy("canonical_id")
     })

@@ -705,9 +705,14 @@ object Text {
                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tc = termCounts(df, idCol, textCol)
+    // window ORDER matters for exchange reuse (r15): the term-df
+    // window first, the doc-length window LAST — the final top-k
+    // window partitions by the doc id too, so it rides the _dl
+    // exchange instead of paying a third one (term, id, id → term, id;
+    // the two stats are independent, so the values are unchanged)
     val withStats = tc
-      .withColumn("_dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("_dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .crossJoin(broadcast(df.agg(count_distinct(col(idCol)).as("_n"))))
     val scored = withStats.withColumn("tfidf",
       round((col("tf") / col("_dl")) * log(col("_n") / col("_df")), 6))
