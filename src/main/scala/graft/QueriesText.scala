@@ -506,6 +506,12 @@ object QueriesText {
           FROM b GROUP BY bucket, lang ORDER BY bucket, lang"""),
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // NOT persisted (r16, measured): scored feeds two scans (tercile
+      // aggregate + bucket join), but the duplicated bigram pipelines
+      // run as CONCURRENT independent stages on idle cores, while a
+      // persist serializes them behind one materialization — interleaved
+      // A/B read 2.66 s unpersisted vs 2.98-3.15 s persisted at sf0.1.
+      // Revisit only with a saturated-cluster profile.
       val scored = Text.bigramLmScore(docs, "doc_id", "text")
       val qs = scored.agg(
         round(percentile(col("lm_score"), lit(0.33333333)), 6).as("_q33"),
@@ -1461,7 +1467,18 @@ object QueriesText {
             SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
             ORDER BY n DESC, pair LIMIT 20"""),
     (s, dir) =>
-      t(s, dir, "documents")
+      // spread-by-id before the tokenizer + pair explode (r16): the two
+      // chained Generates otherwise run inside the single-task scan
+      // stage with NOTHING to overlap with (one 0.55-0.65 s single-task
+      // stage per run = ~90% of the query; unlike the multi-consumer
+      // text operators, there is no concurrent twin stage to hide it
+      // behind — see OPTIMIZATION_r16.md on the reverted family-wide
+      // spread). The pair aggregate is map-side-combinable over a
+      // bounded char-pair key space, so the post-spread exchange
+      // carries almost nothing. Interleaved A/B: 0.65 -> 0.50-0.56 s.
+      graft.core.Tables.spread(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(explode(filter(Text.tokens(col("text")),
           x => length(x) >= 2)).as("tok"))
         .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
