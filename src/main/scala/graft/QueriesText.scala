@@ -1153,10 +1153,14 @@ object QueriesText {
             group_size * count(*) AS n_docs
           FROM sizes GROUP BY group_size ORDER BY group_size"""),
     (s, dir) =>
-      Dedup.dupGroupStats(
-          Dedup.duplicateGroups(t(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4,
-            poly = true))
+      // fused stats path (r16): sizes from the CC frame + a 1×1-row
+      // singleton count — drops the corpus-spine join and the
+      // fact-sized canonical_id aggregate (byte-identity with the
+      // dupGroupStats∘duplicateGroups composition gated in
+      // DedupVectorsSpec and by this oracle)
+      Dedup.dupGroupSizeStats(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.25, shingleSize = 5, numHashes = 8, bandSize = 4,
+          poly = true)
         .orderBy("group_size"))
 
   /** Semantic duplicate groups: embedding-cosine pairs (hyperplane

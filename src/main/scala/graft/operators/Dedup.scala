@@ -266,15 +266,25 @@ object Dedup {
     * their own canonical). */
   private def canonicalGroups(df: DataFrame, idCol: String,
                               pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a").as("_a"), col("b").as("_b"))
-      .unionByName(pairs.select(col("b").as("_a"), col("a").as("_b")))
-    val nodes = edges.select(col("_a").as("_id")).distinct()
-    val cc = Clustering.connectedComponents(nodes, edges)
+    val cc = componentsOf(pairs)
     df.select(col(idCol))
       .join(cc.withColumnRenamed("_id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_label"), col(idCol)).as("canonical_id"))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Connected components of an undirected verified-pair graph:
+    * (_id, _label) for every node that HAS a (non-self) edge — the
+    * shared head of [[canonicalGroups]] and [[dupGroupSizeStats]].
+    * Every component has ≥ 2 members by construction: each node in
+    * the frame carries an edge to a DISTINCT doc (pair emitters yield
+    * a < b), and both endpoints land in the same component. */
+  private def componentsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("_a"), col("b").as("_b"))
+      .unionByName(pairs.select(col("b").as("_a"), col("a").as("_b")))
+    val nodes = edges.select(col("_a").as("_id")).distinct()
+    Clustering.connectedComponents(nodes, edges)
   }
 
   /** Duplicate-group size report over a [[duplicateGroups]] /
@@ -291,6 +301,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_groups"))
       .select(col("group_size"), col("n_groups"),
         (col("group_size") * col("n_groups")).as("n_docs"))
+
+  /** [[dupGroupStats]] ∘ [[duplicateGroups]], folded onto the CC frame
+    * (r16, §2.3/§2.4): the generic composition joins the corpus spine
+    * onto the component labels and then aggregates the FACT-sized
+    * per-doc frame twice. But group sizes are fully determined by the
+    * component frame alone — every CC component has ≥ 2 members (see
+    * [[componentsOf]]), so each id is unique per doc and the
+    * group_size = 1 bucket is exactly the docs OUTSIDE the pair
+    * graph: count(df) − count(cc). This drops the corpus-spine join
+    * AND the corpus-sized canonical_id aggregate from the plan — at
+    * scale the only fact-wide work left is the pair generation
+    * itself; everything downstream is component-graph-sized. The two
+    * 1-row counts cross 1 × 1 (PlanAuditSpec-allowlisted). Result
+    * byte-identity with the unfused composition is an executable gate
+    * (DedupVectorsSpec) and oracle-checked end-to-end. */
+  def dupGroupSizeStats(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleSize: Int = 5,
+                        numHashes: Int = 8, bandSize: Int = 2,
+                        poly: Boolean = false): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, idCol, textCol, threshold,
+        shingleSize, numHashes, bandSize, poly)
+      .select(col("a"), col("b"))
+      // persist: pair-graph-sized, scanned by CC twice (the
+      // duplicateGroups rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist: the component-size frame feeds BOTH the histogram and
+    // the CC-node count (Σ group_size) — unpersisted, each consumer
+    // re-derives the whole edges→nodes→CC chain (component-count-
+    // sized, recomputable; filled within the query's own action)
+    val sizes = componentsOf(pairs)
+      .groupBy(col("_label"))
+      .agg(count(lit(1)).as("group_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = sizes.groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+    val singleton = df.agg(count(lit(1)).as("_n"))
+      .crossJoin(sizes.agg(sum(col("group_size")).as("_m")))
+      .select(lit(1L).as("group_size"),
+        (col("_n") - coalesce(col("_m"), lit(0L))).as("n_groups"))
+      .where(col("n_groups") > 0)
+    hist.unionByName(singleton)
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+  }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| over
     * the char-shingle sets. Jaccard misses near-SUBSET duplication —

@@ -522,6 +522,21 @@ class VectorsSpec extends SparkSpec {
       r.getAs[Long]("n_docs") == r.getAs[Long]("group_size") * r.getAs[Long]("n_groups")))
   }
 
+  test("dupGroupSizeStats == dupGroupStats ∘ duplicateGroups (r16 fused path identity)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val unfused = Dedup.dupGroupStats(
+        Dedup.duplicateGroups(docs, "doc_id", "text",
+          threshold = 0.25, numHashes = 8, bandSize = 4, poly = true))
+      .orderBy("group_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    val fused = Dedup.dupGroupSizeStats(docs, "doc_id", "text",
+        threshold = 0.25, numHashes = 8, bandSize = 4, poly = true)
+      .orderBy("group_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fused == unfused)
+    assert(fused.exists(_._1 == 1L)) // the singleton bucket is exercised
+  }
+
   test("PQ codes are in range and training is write-order-independent") {
     val e = graft.core.Tables.load(spark, sf001, "embeddings")
     val cbs = Vectors.trainPqCodebooks(e, "embedding", dim = 64, m = 8, kSub = 16)

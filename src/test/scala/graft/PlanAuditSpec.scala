@@ -84,7 +84,11 @@ class PlanAuditSpec extends SparkSpec {
     // user-totals frame for the LCG modulus (the tx_tfidf N shape,
     // r15); the ci_lo/ci_hi picks are 1-row LEFT joins on a literal
     // key (degenerate-input parity, ADVICE r14)
-    "ev_bootstrap_ci")
+    "ev_bootstrap_ci",
+    // dd_group_stats: the 1-row corpus count crosses the 1-row CC-node
+    // count for the singleton bucket (1 × 1 by construction — the
+    // m10_triangles shape; r16 fused stats path)
+    "dd_group_stats")
 
   /** Queries whose empty-partition-spec WindowExec runs over a frame
     * PROVABLY bounded by construction (a TakeOrdered top-k, a
