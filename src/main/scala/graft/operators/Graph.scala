@@ -361,8 +361,13 @@ object Graph {
         if (broadcastKeep) broadcast(r) else r
       }
       stale += e
-      e = e.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
-        .select(col("a"), col("b")).persist(lvl)
+      // the LAST round's edge frame is consumed exactly ONCE (the
+      // final degree pass) — persisting it is a pure cache-write tax
+      // (the dbscan stays-LAZY rule, r16); every earlier round's frame
+      // feeds its round's degree aggregate AND the next round's join
+      val joined = e.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+        .select(col("a"), col("b"))
+      e = if (i < rounds) joined.persist(lvl) else joined
       if (i % checkpointEvery == 0 && i < rounds) {
         // CP-OK: loop-carried state — lineage grows each round and
         // must be cut; edge-frame-sized, freed by harness reclaim
