@@ -715,6 +715,180 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Per-query ADC (asymmetric distance computation) table in one
+    * compiled pass — the IVF-PQ scoring prep: tab(j)(c) = ⟨q_j,
+    * codebook_j(c)⟩ for each of the m subspaces × kSub codes.
+    * Bit-identical to the interpreted
+    * `array(transform(cb_j, cvec -> aggregate(zip_with(slice(q, j·ds+1,
+    * ds), cvec, (x, y) -> double(x)·y), 0.0, +)))` form it replaces
+    * (same left-to-right accumulation from 0.0 per (j, c) cell), but
+    * ONE eval per row instead of m·kSub interpreted lambda folds —
+    * the r16 ss_topk_ivfpq profile measured the interpreted form at
+    * 27–38 CPU-s per warm run over a 2 000-row corpus. */
+  case class PqAdcTable(child: Expression,
+      codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    require(codebooks.nonEmpty && codebooks(0).nonEmpty)
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => true
+        case DoubleType => false
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val ds = codebooks(0)(0).length
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        val kSub = cb.length
+        val t = new Array[Double](kSub)
+        var c = 0
+        while (c < kSub) {
+          val cent = cb(c)
+          var s = 0.0
+          var i = 0
+          val base = j * ds
+          val lim = math.min(ds, math.max(0, arr.numElements() - base))
+          while (i < lim) {
+            val x = if (isFloat) arr.getFloat(base + i).toDouble
+                    else arr.getDouble(base + i)
+            s += x * cent(i)
+            i += 1
+          }
+          t(c) = s
+          c += 1
+        }
+        out(j) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(t)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val getter = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, a => {
+        val cb = ctx.freshName("cb")
+        val out = ctx.freshName("out")
+        val t = ctx.freshName("t")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val ds = ctx.freshName("ds")
+        val base = ctx.freshName("base")
+        val lim = ctx.freshName("lim")
+        s"""
+        double[][][] $cb = $cbRef;
+        int $ds = $cb[0][0].length;
+        org.apache.spark.sql.catalyst.util.ArrayData[] $out =
+          new org.apache.spark.sql.catalyst.util.ArrayData[$cb.length];
+        for (int $j = 0; $j < $cb.length; $j++) {
+          double[] $t = new double[$cb[$j].length];
+          int $base = $j * $ds;
+          int $lim = java.lang.Math.min($ds, java.lang.Math.max(0, $a.numElements() - $base));
+          for (int $c = 0; $c < $cb[$j].length; $c++) {
+            double $s = 0.0;
+            for (int $i = 0; $i < $lim; $i++) {
+              $s += ((double) $a.$getter($base + $i)) * $cb[$j][$c][$i];
+            }
+            $t[$c] = $s;
+          }
+          $out[$j] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($t);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $out);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-pair ADC score in one compiled pass: Σ_j tab(j)(codes(j)) —
+    * the IVF-PQ inner-product lookup over a candidate's m codes.
+    * Bit-identical to the interpreted `aggregate(zip_with(tab, codes,
+    * (tj, cj) -> element_at(tj, cj + 1)), 0.0, +)` it replaces (same
+    * left fold from 0.0); one eval per PAIR on the scoring join's hot
+    * path. */
+  case class CodesDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val tab = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[ArrayData]
+      val n = math.min(tab.numElements(), codes.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += tab.getArray(j).getDouble(codes.getInt(j))
+        j += 1
+      }
+      s
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          $s += $a.getArray($j).getDouble($b.getInt($j));
+        }
+        ${ev.value} = $s;
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Σ_j table(j)(codes(j)) against a CONSTANT table — the PQ-
+    * reconstructed squared-norm lookup (table = per-(subspace, code)
+    * centroid norms). Bit-identical left fold from 0.0, one eval per
+    * candidate row. */
+  case class CodesConstLookupSum(child: Expression,
+      table: Array[Array[Double]]) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(input: Any): Any = {
+      val codes = input.asInstanceOf[ArrayData]
+      val n = math.min(table.length, codes.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += table(j)(codes.getInt(j)); j += 1 }
+      s
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val tblRef = ctx.addReferenceObj("table", table, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val tbl = ctx.freshName("tbl")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        s"""
+        double[][] $tbl = $tblRef;
+        int $n = java.lang.Math.min($tbl.length, $a.numElements());
+        double $s = 0.0;
+        for (int $j = 0; $j < $n; $j++) { $s += $tbl[$j][$a.getInt($j)]; }
+        ${ev.value} = $s;
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Bloom-filter membership probe over a LONG key — the runtime-
     * filter / semi-join-prefilter primitive: a dimension-side
     * `BloomFilter` (built once, KBs even for millions of keys) rides
@@ -1021,6 +1195,15 @@ object Expressions {
 
   def hashedTf(c: Column, nBuckets: Int): Column =
     Bridge.column(HashedTf(Bridge.expression(c), nBuckets))
+
+  def pqAdcTable(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcTable(Bridge.expression(c), codebooks))
+
+  def codesDot(tab: Column, codes: Column): Column =
+    Bridge.column(CodesDot(Bridge.expression(tab), Bridge.expression(codes)))
+
+  def codesConstLookupSum(codes: Column, table: Array[Array[Double]]): Column =
+    Bridge.column(CodesConstLookupSum(Bridge.expression(codes), table))
 
   def bloomMightContain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =

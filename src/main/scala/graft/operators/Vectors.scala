@@ -377,41 +377,41 @@ object Vectors {
                 codebooks: Array[Array[Array[Double]]],
                 nProbe: Int, k: Int, rerank: Int = 0,
                 queryPred: Option[Column => Column] = None): DataFrame = {
-    import graft.functions.Expressions.nearestCells
-    val m = codebooks.length
-    val ds = codebooks(0)(0).length
+    import graft.functions.Expressions.{codesConstLookupSum, codesDot, dotProduct, nearestCells, pqAdcTable}
     // per-(subspace, code) squared norms: the PQ reconstruction of a
     // candidate's ‖c‖² is the sum of its chosen codes' norms
-    val norms2: Seq[Seq[Double]] = codebooks.toIndexedSeq.map(_.toIndexedSeq.map { c =>
+    val norms2: Array[Array[Double]] = codebooks.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
     val base = graft.core.Tables.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+    // compiled kernels throughout the per-row/per-pair path (r16,
+    // guide "eliminate non-codegen expressions in the hot path"): the
+    // interpreted transform/aggregate/zip_with forms of the ADC table,
+    // the per-pair code lookup sum and the norm lookups evaluate one
+    // lambda per ELEMENT — profiled at 27–38 CPU-s (table build) plus
+    // 6–73 CPU-s (scoring join) per ss_topk_ivfpq run at sf0.1. Each
+    // compiled twin makes one eval per row/pair with the identical
+    // left-to-right IEEE fold from 0.0, so every emitted double is
+    // bit-unchanged (oracle + VectorsSpec identity).
     val candidates = base.select(col(idCol).as("cid"),
         nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
         pqCodes(col(vecCol), codebooks).as("_codes"))
-      .withColumn("_cnorm2",
-        aggregate(zip_with(typedlit(norms2), col("_codes"),
-          (nj, cj) => element_at(nj, cj + 1)), lit(0.0), (a, x) => a + x))
+      .withColumn("_cnorm2", codesConstLookupSum(col("_codes"), norms2))
     // ADC table: tab(j)(code) = <q_j, codebook_j(code)> — computed once
     // per query row, before the join fans the query out to candidates
-    val tab = array((0 until m).map { j =>
-      val cbj = typedlit(codebooks(j).toIndexedSeq.map(_.toIndexedSeq))
-      transform(cbj, cvec =>
-        aggregate(zip_with(slice(col(vecCol), j * ds + 1, ds), cvec,
-          (x, y) => x.cast(DoubleType) * y), lit(0.0), (a, x) => a + x))
-    }: _*)
-    val qnorm = sqrt(aggregate(
-      transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (a, x) => a + x))
+    val tab = pqAdcTable(col(vecCol), codebooks)
+    // dotProduct(v, v) accumulates double(x_i)·double(x_i) left-to-
+    // right — the same IEEE op sequence as the previous
+    // aggregate(transform(x -> x²)) form
+    val qnorm = sqrt(dotProduct(col(vecCol), col(vecCol)))
     // query-side-only restriction — the ivfTopK queryPred contract
     val qBase = queryPred.fold(base)(p => base.where(p(col(idCol))))
     val queries = qBase.select(col(idCol).as("qid"),
       tab.as("_tab"), qnorm.as("_qnorm"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("_cell"))
-    val ip = aggregate(zip_with(col("_tab"), col("_codes"),
-      (tj, cj) => element_at(tj, cj + 1)), lit(0.0), (a, x) => a + x)
+    val ip = codesDot(col("_tab"), col("_codes"))
     val scored = queries.join(candidates, Seq("_cell"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
