@@ -810,6 +810,64 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Squared L2 distance from a vector to ONE addressed centroid in a
+    * compiled pass — the assigned-cell distance the k-means report /
+    * diverse-sampling rank on. Bit-identical to the interpreted
+    * `aggregate(zip_with(toDoubles(vec), element_at(centLit, cell+1),
+    * (x, c) -> (x−c)·(x−c)), 0.0, +)` it replaces (same left-to-right
+    * (x−c)² fold — the exact value [[NearestCells]] minimized), one
+    * eval per row instead of one lambda per dimension. */
+  case class CellDistTo(left: Expression, right: Expression,
+      centroids: Array[Array[Double]]) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val isFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => true
+        case DoubleType => false
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val cent = centroids(b.asInstanceOf[Int])
+      val dim = math.min(cent.length, arr.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val t = x - cent(i)
+        d += t * t
+        i += 1
+      }
+      d
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val getter = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cent = ctx.freshName("cent")
+        val dim = ctx.freshName("dim")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val t = ctx.freshName("t")
+        s"""
+        double[] $cent = $centsRef[$b];
+        int $dim = java.lang.Math.min($cent.length, $a.numElements());
+        double $d = 0.0;
+        for (int $i = 0; $i < $dim; $i++) {
+          double $t = ((double) $a.$getter($i)) - $cent[$i];
+          $d += $t * $t;
+        }
+        ${ev.value} = $d;
+        """
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Per-pair ADC score in one compiled pass: Σ_j tab(j)(codes(j)) —
     * the IVF-PQ inner-product lookup over a candidate's m codes.
     * Bit-identical to the interpreted `aggregate(zip_with(tab, codes,
@@ -1195,6 +1253,9 @@ object Expressions {
 
   def hashedTf(c: Column, nBuckets: Int): Column =
     Bridge.column(HashedTf(Bridge.expression(c), nBuckets))
+
+  def cellDistTo(vec: Column, cell: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(CellDistTo(Bridge.expression(vec), Bridge.expression(cell), centroids))
 
   def pqAdcTable(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcTable(Bridge.expression(c), codebooks))

@@ -221,21 +221,18 @@ object Vectors {
     * both engines agree on bit-for-bit. */
   def kmeansReport(df: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[Array[Double]]): DataFrame = {
-    import graft.functions.Expressions.nearestCells
+    import graft.functions.Expressions.{cellDistTo, nearestCells}
     val base = graft.core.Tables.spread(
       df.select(col(idCol), col(vecCol)), col(idCol))
-    val centLit = array(centroids.map(c =>
-      array(c.map(lit(_)): _*)): _*)
     val assigned = base.select(
       nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
       col(vecCol))
     // (x - c)^2 folded left-to-right in double — the NearestCells
     // loop order, so the value is the exact distance the assignment
-    // itself minimized (and the SQL mirror reproduces).
-    val cvec = element_at(centLit, col("_cell") + 1)
-    val d2 = aggregate(
-      zip_with(toDoubles(col(vecCol)), cvec, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+    // itself minimized (and the SQL mirror reproduces). Compiled
+    // kernel (r16): one eval per row instead of one interpreted
+    // lambda per dimension over the full corpus scan.
+    val d2 = cellDistTo(col(vecCol), col("_cell"), centroids)
     val distQ = floor(sqrt(d2) * 1e6 + 0.5) / 1e6
     assigned
       .select(col("_cell").cast(LongType).as("cell"), distQ.as("_dist"))
@@ -257,19 +254,16 @@ object Vectors {
   def diverseSample(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Double]], perCell: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Expressions.nearestCells
+    import graft.functions.Expressions.{cellDistTo, nearestCells}
     val base = graft.core.Tables.spread(
       df.select(col(idCol), col(vecCol)), col(idCol))
-    val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     val assigned = base.select(col(idCol),
       nearestCells(col(vecCol), centroids, 1).getItem(0).as("_cell"),
       col(vecCol))
     // same left-to-right fold as the assignment kernel (and the m8
-    // SQL mirror) so the ranked value IS the minimized distance
-    val cvec = element_at(centLit, col("_cell") + 1)
-    val d2 = aggregate(
-      zip_with(toDoubles(col(vecCol)), cvec, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+    // SQL mirror) so the ranked value IS the minimized distance;
+    // compiled kernel (r16), one eval per row
+    val d2 = cellDistTo(col(vecCol), col("_cell"), centroids)
     val distQ = floor(sqrt(d2) * 1e6 + 0.5) / 1e6
     assigned
       .select(col(idCol), col("_cell").cast(LongType).as("cell"),
