@@ -659,9 +659,10 @@ object Vectors {
           }
         planesFor(n, bucketTarget)
       }
-    val n2 = aggregate(
-      transform(col(vecCol), x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (a, x) => a + x)
+    // compiled squared norm (r16): dotProduct(v, v) accumulates
+    // double(x_i)·double(x_i) left-to-right — the identical IEEE op
+    // sequence as the interpreted aggregate(transform(x -> x²)) form
+    val n2 = dotProduct(col(vecCol), col(vecCol))
     val base = graft.core.Tables.spread(
         df.select(col(idCol), col(vecCol)), col(idCol))
       .select(col(idCol), col(vecCol), n2.as("_n2"))
